@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2 C — PII masking / hashing / type-conversion transformers
+  * (reference: src/transformation/transformers/pii.py, types.py, rules.py).
+  *
+  * The reference masks values row-by-row in a Kafka consumer; graft
+  * expresses every mask as a codegen'd Catalyst expression over a column,
+  * so masking 100 TB is a narrow map with zero shuffle.
+  *
+  * The test lake has no PII columns, so each query first synthesizes
+  * deterministic PII (email/phone/SSN/card) from `customer` keys with
+  * engine-portable string ops — the DuckDB oracle rebuilds the identical
+  * inputs, then both apply the identical mask.
+  */
+object PiiSuite {
+
+  /** Synthesized PII columns, Spark side. Formats:
+    * email `customer.000000001@example.com`, phone `(123) 456-7890`,
+    * ssn `123-45-6789`, card `4532############` (16 digits).
+    */
+  private def withPii(df: DataFrame): DataFrame = df
+    .withColumn("email", concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")))
+    .withColumn("phone", concat(
+      lit("("), lpad(((col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+      lit(") "), lpad(((col("c_custkey") * 13) % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad(((col("c_custkey") * 17) % 10000).cast("string"), 4, "0")))
+    .withColumn("ssn", concat(
+      lpad(((col("c_custkey") * 3) % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit("-"),
+      lpad(((col("c_custkey") * 11) % 10000).cast("string"), 4, "0")))
+    .withColumn("card", concat(lit("4532"), lpad(col("c_custkey").cast("string"), 12, "0")))
+
+  /** The same synthesis in the DuckDB dialect. */
+  private val PiiSql =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |  lower(replace(c_name, '#', '.')) || '@example.com' AS email,
+      |  '(' || lpad(CAST((c_custkey*7)%1000 AS VARCHAR), 3, '0') || ') ' ||
+      |    lpad(CAST((c_custkey*13)%1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST((c_custkey*17)%10000 AS VARCHAR), 4, '0') AS phone,
+      |  lpad(CAST((c_custkey*3)%1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST(c_custkey%100 AS VARCHAR), 2, '0') || '-' ||
+      |    lpad(CAST((c_custkey*11)%10000 AS VARCHAR), 4, '0') AS ssn,
+      |  '4532' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS card
+      |FROM customer""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_mask_email" -> { (s, d) =>
+      withPii(Tables.customer(s, d))
+        .select(col("c_custkey"), col("email"),
+          concat(substring(col("email"), 1, 1),
+            expr("repeat('*', instr(email, '@') - 2)"),
+            expr("substr(email, instr(email, '@'))")).as("masked_email"))
+        .orderBy("c_custkey")
+    },
+
+    "pii_mask_phone" -> { (s, d) =>
+      // keep last 4 digits, format preserved (ref: pii.py::_mask_phone)
+      withPii(Tables.customer(s, d))
+        .select(col("c_custkey"), col("phone"),
+          concat(lit("(***) ***-"), substring(col("phone"), 11, 4)).as("masked_phone"))
+        .orderBy("c_custkey")
+    },
+
+    "pii_mask_ssn" -> { (s, d) =>
+      withPii(Tables.customer(s, d))
+        .select(col("c_custkey"), col("ssn"),
+          concat(lit("***-**-"), substring(col("ssn"), 8, 4)).as("masked_ssn"))
+        .orderBy("c_custkey")
+    },
+
+    "pii_mask_card" -> { (s, d) =>
+      // 16-digit card, keep last 4 (ref: pii.py::_mask_credit_card);
+      // length guard mirrors the 13..19-digit validation.
+      withPii(Tables.customer(s, d))
+        .select(col("c_custkey"), col("card"),
+          when(length(col("card")).between(13, 19),
+            concat(expr("repeat('*', length(card) - 4)"),
+                   expr("substr(card, length(card) - 3)")))
+            .otherwise(expr("repeat('*', length(card))")).as("masked_card"))
+        .orderBy("c_custkey")
+    },
+
+    "pii_hash" -> { (s, d) =>
+      // salted SHA-256 pseudonymization (ref: pii.py::HashingTransformer)
+      withPii(Tables.customer(s, d))
+        .select(col("c_custkey"),
+          sha2(concat(lit("graft-salt:"), col("email")), 256).as("email_hash"),
+          sha2(concat(lit("graft-salt:"), col("ssn")), 256).as("ssn_hash"))
+        .orderBy("c_custkey")
+    },
+
+    "pii_pipeline" -> { (s, d) =>
+      // composed GDPR pipeline (ref: rules.py::create_gdpr_pipeline):
+      // mask email+phone, hash the name, drop raw identifiers.
+      withPii(Tables.customer(s, d))
+        .select(col("c_custkey"),
+          concat(substring(col("email"), 1, 1),
+            expr("repeat('*', instr(email, '@') - 2)"),
+            expr("substr(email, instr(email, '@'))")).as("email"),
+          concat(lit("(***) ***-"), substring(col("phone"), 11, 4)).as("phone"),
+          sha2(concat(lit("graft-salt:"), col("c_name")), 256).as("name_hash"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    "type_convert" -> { (s, d) =>
+      // cast matrix incl. the bool/int edge the reference special-cases
+      // (ref: types.py::TypeConversionTransformer BUG-9). Double→int goes
+      // through explicit floor: bare casts round in PG/DuckDB but truncate
+      // in Spark/SQL Server — exactly the class of mismatch the reference's
+      // type mapper exists to paper over.
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_custkey").cast("string").as("key_str"),
+          col("c_custkey").cast("string").cast("long").as("key_roundtrip"),
+          (col("c_nationkey") % 2 === 0).as("flag_bool"),
+          (col("c_nationkey") % 2 === 0).cast("int").as("flag_int"),
+          floor(col("c_acctbal")).cast("long").as("acctbal_floor"),
+          col("c_acctbal").cast("string").as("acctbal_str"))
+        .orderBy("c_custkey")
+    },
+
+    "conditional_transform" -> { (s, d) =>
+      // predicate-gated transforms (ref: types.py::ConditionalTransformer):
+      // tier by balance; mask email only for the BUILDING segment.
+      withPii(Tables.customer(s, d))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0, lit("NEGATIVE"))
+            .when(col("c_acctbal") > 5000, lit("HIGH"))
+            .otherwise(lit("NORMAL")).as("balance_tier"),
+          when(col("c_mktsegment") === "BUILDING",
+            concat(substring(col("email"), 1, 1),
+              expr("repeat('*', instr(email, '@') - 2)"),
+              expr("substr(email, instr(email, '@'))")))
+            .otherwise(col("email")).as("email_out"))
+        .orderBy("c_custkey")
+    }
+  )
+
+  private val maskEmailSql =
+    "substr(email, 1, 1) || repeat('*', instr(email, '@') - 2) || substr(email, instr(email, '@'))"
+
+  def oracles: Map[String, String] = Map(
+    "pii_mask_email" ->
+      s"""SELECT c_custkey, email, $maskEmailSql AS masked_email
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "pii_mask_phone" ->
+      s"""SELECT c_custkey, phone, '(***) ***-' || substr(phone, 11, 4) AS masked_phone
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "pii_mask_ssn" ->
+      s"""SELECT c_custkey, ssn, '***-**-' || substr(ssn, 8, 4) AS masked_ssn
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "pii_mask_card" ->
+      s"""SELECT c_custkey, card,
+         |  CASE WHEN length(card) BETWEEN 13 AND 19
+         |       THEN repeat('*', length(card) - 4) || substr(card, length(card) - 3)
+         |       ELSE repeat('*', length(card)) END AS masked_card
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "pii_hash" ->
+      s"""SELECT c_custkey,
+         |  sha256('graft-salt:' || email) AS email_hash,
+         |  sha256('graft-salt:' || ssn) AS ssn_hash
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "pii_pipeline" ->
+      s"""SELECT c_custkey,
+         |  $maskEmailSql AS email,
+         |  '(***) ***-' || substr(phone, 11, 4) AS phone,
+         |  sha256('graft-salt:' || c_name) AS name_hash,
+         |  c_mktsegment
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "type_convert" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        |  c_nationkey % 2 = 0 AS flag_bool,
+        |  CAST(c_nationkey % 2 = 0 AS INT) AS flag_int,
+        |  CAST(FLOOR(c_acctbal) AS BIGINT) AS acctbal_floor,
+        |  CAST(c_acctbal AS VARCHAR) AS acctbal_str
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "conditional_transform" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |  CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+         |       WHEN c_acctbal > 5000 THEN 'HIGH'
+         |       ELSE 'NORMAL' END AS balance_tier,
+         |  CASE WHEN c_mktsegment = 'BUILDING' THEN $maskEmailSql
+         |       ELSE email END AS email_out
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin
+  )
+}
