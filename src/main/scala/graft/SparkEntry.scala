@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AnalyticCore.queries ++ PiiSuite.queries ++ ReconSuite.queries
+    AnalyticCore.queries ++ PiiSuite.queries ++ ReconSuite.queries ++
+      CdcSuite.queries ++ graft.streaming.CdcStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AnalyticCore.oracles ++ PiiSuite.oracles ++ ReconSuite.oracles
+    AnalyticCore.oracles ++ PiiSuite.oracles ++ ReconSuite.oracles ++
+      CdcSuite.oracles ++ graft.streaming.CdcStream.oracles
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** §2 A — CDC envelope processing and sink semantics
+  * (reference: Debezium source connector configs, JDBC sink upsert mode,
+  * kafka-connect-transforms/AddDeletedField.java).
+  *
+  * The reference's change stream is Kafka topics of Debezium JSON; the
+  * lake has no Kafka, so the suite synthesizes a deterministic change log
+  * from `orders` (both engines build the identical log):
+  *   seq 1: op 'c' for every order (snapshot read)
+  *   seq 2: op 'u' for o_orderkey % 7 = 0 (status → 'U')
+  *   seq 3: op 'd' for o_orderkey % 13 = 0
+  * Applying the log with last-write-wins per key must yield: all orders
+  * except %13 keys, with status 'U' on %7 keys (minus deleted ones).
+  */
+object CdcSuite {
+
+  /** Synthesized change log (Spark side): (op, seq, ts_ms, id, status). */
+  private[graft] def changeLog(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val base = o.select(col("o_orderkey").as("id"), col("o_custkey").as("custkey"),
+      col("o_orderstatus").as("status"))
+    val c = base.withColumn("op", lit("c")).withColumn("seq", lit(1L))
+    val u = base.filter(col("id") % 7 === 0)
+      .withColumn("status", lit("U"))
+      .withColumn("op", lit("u")).withColumn("seq", lit(2L))
+    val del = base.filter(col("id") % 13 === 0)
+      .withColumn("op", lit("d")).withColumn("seq", lit(3L))
+    c.unionByName(u).unionByName(del)
+      .withColumn("ts_ms", lit(1700000000000L) + col("seq") * 1000 + col("id"))
+  }
+
+  /** The same change log in the DuckDB dialect. */
+  private val LogSql =
+    """SELECT o_orderkey AS id, o_custkey AS custkey, o_orderstatus AS status,
+      |  'c' AS op, CAST(1 AS BIGINT) AS seq,
+      |  1700000000000 + 1*1000 + o_orderkey AS ts_ms
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, 'U', 'u', 2, 1700000000000 + 2*1000 + o_orderkey
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, 'd', 3, 1700000000000 + 3*1000 + o_orderkey
+      |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
+
+  /** Debezium-style JSON envelope built from the log — engine-portably
+    * (plain concat; ints and quoted strings only).
+    */
+  private val EnvelopeSql =
+    s"""SELECT id,
+       |  '{"op":"' || op || '","ts_ms":' || ts_ms ||
+       |  ',"after":{"id":' || id || ',"custkey":' || custkey ||
+       |  ',"status":"' || status || '"}}' AS envelope
+       |FROM ($LogSql) log""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_parse" -> { (s, d) =>
+      // Parse the Debezium envelope with a typed from_json schema —
+      // the Spark-native equivalent of the sink's JSON deserializer
+      // (ref: Debezium ExtractNewRecordState + JDBC sink converter).
+      val schema = StructType(Seq(
+        StructField("op", StringType), StructField("ts_ms", LongType),
+        StructField("after", StructType(Seq(
+          StructField("id", LongType), StructField("custkey", LongType),
+          StructField("status", StringType))))))
+      val log = changeLog(s, d)
+      val env = log.select(col("id"), concat(
+        lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
+        lit(",\"after\":{\"id\":"), col("id"), lit(",\"custkey\":"), col("custkey"),
+        lit(",\"status\":\""), col("status"), lit("\"}}")).as("envelope"))
+      env.select(from_json(col("envelope"), schema).as("e"))
+        .select(col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
+          col("e.after.id").as("id"), col("e.after.custkey").as("custkey"),
+          col("e.after.status").as("status"))
+        .orderBy("id", "ts_ms")
+    },
+
+    "cdc_apply_latest" -> { (s, d) =>
+      // Materialize current state: last-write-wins per key by (seq, ts),
+      // deletes drop the key (ref: JDBC sink upsert+delete mode). One
+      // shuffle on the key; max_by-style window keeps partial state small.
+      val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("ts_ms"))
+      changeLog(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .select(col("id"), col("custkey"), col("status"))
+        .orderBy("id")
+    },
+
+    "cdc_soft_delete" -> { (s, d) =>
+      // __deleted flag per event (ref: AddDeletedField.java: DELETE →
+      // "true", else "false") — then latest-per-key like the sink's
+      // soft-delete mode, so deleted keys survive as tombstones.
+      val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("ts_ms"))
+      changeLog(s, d)
+        .withColumn("__deleted", when(col("op") === "d", lit("true")).otherwise(lit("false")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("custkey"), col("status"), col("__deleted"))
+        .orderBy("id")
+    },
+
+    "cdc_route" -> { (s, d) =>
+      // Topic → target-table routing (ref: RegexRouter in the connector
+      // config: strips "server.schema." and applies env prefix).
+      val topics = changeLog(s, d)
+        .groupBy((col("id") % 4).as("shard"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(concat(lit("sqlserver"), col("shard"), lit(".dbo.orders")).as("topic"), col("n_events"))
+      topics
+        .withColumn("target_table",
+          concat(lit("cdc_"), regexp_replace(col("topic"), "^[^.]+\\.[^.]+\\.", "")))
+        .orderBy("topic")
+    },
+
+    "cdc_type_map" -> { (s, d) =>
+      // SQL Server → PostgreSQL → Spark type mapping matrix applied to
+      // live columns (ref: schema-sync type mapping in docs/ +
+      // utils/database_types.py). Values prove the casts round-trip.
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_custkey").cast("int").as("as_int"),
+          col("c_custkey").cast("string").as("as_varchar"),
+          col("c_acctbal").cast("string").as("money_as_text"),
+          floor(col("c_acctbal") * 100).cast("long").as("money_cents"),
+          (col("c_custkey") % 2 === 0).cast("string").as("bit_as_text"))
+        .orderBy("c_custkey")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "cdc_parse" ->
+      s"""SELECT json_extract_string(envelope, '$$.op') AS op,
+         |  CAST(json_extract(envelope, '$$.ts_ms') AS BIGINT) AS ts_ms,
+         |  CAST(json_extract(envelope, '$$.after.id') AS BIGINT) AS id,
+         |  CAST(json_extract(envelope, '$$.after.custkey') AS BIGINT) AS custkey,
+         |  json_extract_string(envelope, '$$.after.status') AS status
+         |FROM ($EnvelopeSql) e
+         |ORDER BY id, ts_ms""".stripMargin,
+
+    "cdc_apply_latest" ->
+      s"""WITH ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
+         |  FROM ($LogSql) log)
+         |SELECT id, custkey, status FROM ranked
+         |WHERE rn = 1 AND op <> 'd'
+         |ORDER BY id""".stripMargin,
+
+    "cdc_soft_delete" ->
+      s"""WITH ranked AS (
+         |  SELECT *, CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
+         |  FROM ($LogSql) log)
+         |SELECT id, custkey, status, __deleted FROM ranked
+         |WHERE rn = 1
+         |ORDER BY id""".stripMargin,
+
+    "cdc_route" ->
+      s"""WITH t AS (
+         |  SELECT 'sqlserver' || CAST(id % 4 AS VARCHAR) || '.dbo.orders' AS topic,
+         |    COUNT(*) AS n_events
+         |  FROM ($LogSql) log GROUP BY 1)
+         |SELECT topic, n_events,
+         |  'cdc_' || regexp_replace(topic, '^[^.]+\\.[^.]+\\.', '') AS target_table
+         |FROM t ORDER BY topic""".stripMargin,
+
+    "cdc_type_map" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS INT) AS as_int,
+        |  CAST(c_custkey AS VARCHAR) AS as_varchar,
+        |  CAST(c_acctbal AS VARCHAR) AS money_as_text,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS money_cents,
+        |  CAST(c_custkey % 2 = 0 AS VARCHAR) AS bit_as_text
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

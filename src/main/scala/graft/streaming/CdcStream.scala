@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.operators.CdcSuite
+import graft.sources.Tables
+
+/** §2 F — Structured Streaming re-expression of the reference pipeline's
+  * continuous path (Debezium topic → sink upsert). The batch suites prove
+  * semantics; these prove the same semantics hold under incremental
+  * execution with per-key state, which is what a real 100 TB CDC feed
+  * needs (state store instead of a full-table window).
+  */
+object CdcStream {
+
+  case class ChangeEvent(id: Long, custkey: Long, status: String, op: String, seq: Long, ts_ms: Long)
+  case class KeyState(custkey: Long, status: String, op: String, seq: Long, ts_ms: Long)
+
+  /** Last-write-wins fold for one key's new events against stored state
+    * (ref: JDBC sink upsert+delete; same ordering rule as
+    * CdcSuite."cdc_apply_latest"). Emits the key's current state each
+    * trigger; downstream keeps the latest emission per key.
+    */
+  private def applyEvents(
+      id: Long,
+      events: Iterator[ChangeEvent],
+      state: GroupState[KeyState]): Iterator[(Long, Long, String, String, Long)] = {
+    val incoming = events.toSeq
+    val prev = state.getOption
+    val all = prev.map(p => ChangeEvent(id, p.custkey, p.status, p.op, p.seq, p.ts_ms)).toSeq ++ incoming
+    val latest = all.maxBy(e => (e.seq, e.ts_ms))
+    state.update(KeyState(latest.custkey, latest.status, latest.op, latest.seq, latest.ts_ms))
+    Iterator((id, latest.custkey, latest.status, latest.op, latest.seq))
+  }
+
+  /** Stream the synthesized change log through flatMapGroupsWithState and
+    * materialize the final table state. Returns a batch DataFrame equal to
+    * CdcSuite."cdc_apply_latest" (same oracle applies).
+    */
+  def applyLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_cdc_stream").toString
+    // Land the log as several files so AvailableNow exercises multi-batch
+    // incremental processing, with a key's events split across batches.
+    CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp).as[ChangeEvent]
+    val qname = "cdc_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents)
+      .toDF("id", "custkey", "status", "op", "seq")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Latest emission per key wins; tombstoned keys drop (hard-delete mode).
+    val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
+    spark.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("id"), col("custkey"), col("status"))
+      .orderBy("id")
+  }
+
+  /** Watermarked tumbling-window counts over the events stream; counts are
+    * monotone so the max over update-mode emissions is the final count
+    * (matches the batch group-by oracle).
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_evt_stream").toString
+    Tables.events(spark, dir).select("ts", "event_type").repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    // One batch for the finite replay: the files aren't time-ordered, so
+    // per-file triggers would advance the watermark past genuinely-on-time
+    // events and drop them as late. A live feed is roughly time-ordered;
+    // a backfill replay is exactly this single-batch shape.
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val qname = "evt_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy("win_start", "event_type")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
+    "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d))
+  )
+
+  /** The streaming results must equal their batch formulations, so the
+    * batch SQL doubles as the oracle.
+    */
+  def oracles: Map[String, String] = Map(
+    "cdc_stream_apply" -> CdcSuite.oracles("cdc_apply_latest"),
+    "stream_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
