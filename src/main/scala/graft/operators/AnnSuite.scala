@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2 E (similarity search) — approximate-nearest-neighbor over the
+  * embedding column.
+  *
+  * Brute-force is the exactness baseline: broadcast the (small) query
+  * set against a scan of the corpus — one narrow pass, no shuffle of the
+  * corpus itself, which is the right shape when queries ≪ corpus (the
+  * corpus side never moves; at 100 TB that's the only viable layout).
+  *
+  * IVF is the scale path: a coarse quantizer (k-means-style centroids)
+  * partitions the corpus; queries probe only `nprobe` cells, pruning the
+  * scanned fraction to ~nprobe/k. Centroids are derived deterministically
+  * (seed vectors + one Lloyd step) so the result is reproducible.
+  *
+  * Vector math is double-fold `aggregate`/`zip_with` — sequential fold
+  * order is part of the contract, so cosines are engine-exact and the
+  * brute-force top-k is oracle-checked; IVF's recall-vs-speed tradeoff
+  * is checked by spec (rows-only here).
+  */
+object AnnSuite {
+
+  private val DotExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def normExpr(c: String) =
+    s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("ce"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("cos",
+          floor(expr(DotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))) * 1e6 + 0.5) / 1e6)
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("query_id", "cand_id", "label", "cos", "rk")
+        .orderBy("query_id", "rk")
+    },
+
+    "ann_ivf" -> { (s, d) =>
+      // IVF: seed centroids = vec_id 0..9, one Lloyd refinement, then
+      // probe the 2 nearest cells per query. Distributed throughout:
+      // assignment is a broadcast-join map, centroid recompute is a
+      // posexplode + per-(cluster,dim) average.
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      val seeds = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+      def nearest(points: DataFrame, cents: DataFrame): DataFrame =
+        points.crossJoin(broadcast(cents))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(embedding, ce, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+
+      val assign0 = nearest(e, seeds).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      // Lloyd step: per-(cluster, dim) mean, rebuilt into vectors.
+      val refined = assign0
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
+      val assign1 = nearest(e, refined).filter(col("rn") === 1)
+        .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
+          col("label"), col("embedding").as("ce2"))
+
+      val queriesDf = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val probes = nearest(queriesDf.withColumnRenamed("query_id", "vec_id"), refined)
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("query_id"), col("cid").as("cell"), col("embedding").as("qe"))
+      // search only the probed cells
+      val scored = assign1.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos", floor(
+          expr("aggregate(zip_with(qe, ce2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+            (expr(normExpr("qe")) * expr(normExpr("ce2"))) * 1e6 + 0.5) / 1e6)
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))))
+        .filter(col("rk") <= 3)
+        .select("query_id", "cand_id", "cell", "cos", "rk")
+        .orderBy("query_id", "rk")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cand_id, label, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, cand_id, label,
+        |    floor(
+        |      list_sum(list_transform(range(1, len(qe) + 1),
+        |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(ce, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+        |      * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM c JOIN q ON query_id <> cand_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, cand_id, label, cos, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    // ann_ivf: rows-only (recall checked by AnnSpec against brute force)
+  )
+}

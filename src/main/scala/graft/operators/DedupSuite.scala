@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2 E (dedup) — the deduplication family a training-data pipeline runs
+  * before anything else: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding near-dup.
+  *
+  * Scale shape: signature/fingerprint computation is a narrow per-row
+  * map; the only shuffles key on (band, bucket-hash) — high-cardinality
+  * keys whose bucket sizes stay small, so the candidate join touches
+  * candidate pairs only, never the n² cross product. That's the property
+  * that survives a 100 TB corpus.
+  *
+  * Hashes are the engine-portable 60-bit md5 prefix
+  * ([[graft.functions.Portable.rowHash60]]) so every stage — including
+  * the full MinHash pipeline — is hash-checked against the DuckDB oracle.
+  */
+object DedupSuite {
+
+  /** Docs plus injected exact duplicates (copy of every %10==0 doc) so
+    * exact dedup has something to find; both engines build the same
+    * corpus.
+    */
+  private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+  private val CorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Spark-side shingle/signature prep shared by minhash + jaccard:
+    * ws (lowered words), 3-word shingles (distinct).
+    */
+  private val ShinglesExpr =
+    """array_distinct(transform(sequence(1, size(ws) - 2),
+      |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))""".stripMargin
+  private val ShinglesSql =
+    """list_distinct(list_transform(range(1, len(ws) - 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))""".stripMargin
+
+  private val NumPerm = 12
+  private val BandRows = 3 // 4 bands × 3 rows
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, d) =>
+      // hash-groupBy on normalized text; keep the smallest doc_id
+      // (one shuffle on the 60-char hash key; map-side partial agg).
+      corpusWithDups(s, d)
+        .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+        .groupBy(md5(col("norm")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+
+    "dedup_minhash_lsh" -> { (s, d) =>
+      // full pipeline: shingle → 12-perm MinHash → 4 LSH bands →
+      // bucket join → exact-Jaccard verification ≥ 0.7.
+      val docs = corpusWithDups(s, d)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("shingles", expr(ShinglesExpr))
+        .withColumn("sig", expr(
+          s"""transform(sequence(0, ${NumPerm - 1}), p ->
+             |  array_min(transform(shingles, sh ->
+             |    CAST(conv(substr(md5(concat(sh, '#', CAST(p AS STRING))), 1, 15), 16, 10) AS BIGINT))))""".stripMargin))
+      val bands = docs.select(col("doc_id"), col("shingles"),
+          posexplode(expr(
+            s"""transform(sequence(0, ${NumPerm / BandRows - 1}), b ->
+               |  md5(concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows))))""".stripMargin)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cands
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_simhash" -> { (s, d) =>
+      // 60-bit SimHash over distinct words; candidates share one of four
+      // 15-bit chunks; verified by Hamming distance ≤ 10.
+      val docs = corpusWithDups(s, d)
+        .withColumn("words", array_distinct(split(lower(col("text")), " ")))
+        .withColumn("whs", expr(
+          "transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+            |  acc + IF(aggregate(whs, 0, (a2, h) ->
+            |    a2 + IF((h div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
+            |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+        .select(col("doc_id"), col("simhash"))
+      val chunks = docs.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
+        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      // exact word-3-gram Jaccard inside (lang, source) buckets — the
+      // bucketing bounds candidates the way LSH bands do, but by metadata.
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("shingles", expr(ShinglesExpr))
+        .select("doc_id", "lang", "source", "shingles")
+      docs.as("a").join(docs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+            size(array_union(col("a.shingles"), col("b.shingles"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.lang").as("lang"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_embedding" -> { (s, d) =>
+      // embedding-cosine near-dup: double-fold dot/norms (sequential fold
+      // order is part of the contract, so results are engine-exact);
+      // label buckets bound the pair space; top-3 pairs per label.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .withColumn("na", expr(
+          "sqrt(aggregate(a.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+        .withColumn("nb", expr(
+          "sqrt(aggregate(b.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+        .withColumn("cos", floor(col("dot") / (col("na") * col("nb")) * 1e6 + 0.5) / 1e6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a.label")).orderBy(desc("cos"), col("a.vec_id"), col("b.vec_id"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"), col("cos"), col("rk"))
+        .orderBy("label", "rk")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+         |      FROM ($CorpusSql) c) t
+         |GROUP BY h HAVING COUNT(*) > 1
+         |ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM ($CorpusSql) c),
+         |sh AS (
+         |  SELECT doc_id, $ShinglesSql AS shingles FROM docs WHERE len(ws) >= 3),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, $NumPerm), p ->
+         |      list_min(list_transform(shingles, sh2 ->
+         |        ('0x' || substr(md5(sh2 || '#' || CAST(p AS VARCHAR)), 1, 15))::BIGINT))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, shingles, b - 1 AS band,
+         |    md5(array_to_string(sig[(b-1)*$BandRows+1:(b-1)*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig, range(1, ${NumPerm / BandRows + 1}) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.shingles AS sh_a, b.shingles AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+         |    len(list_distinct(sh_a || sh_b)) AS jaccard
+         |FROM cands
+         |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+         |    len(list_distinct(sh_a || sh_b)) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS words
+         |  FROM ($CorpusSql) c),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(words, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS whs
+         |  FROM docs),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN list_sum(list_transform(whs, h ->
+         |          CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM hs),
+         |chunks AS (
+         |  SELECT doc_id, simhash, j AS chunk_idx,
+         |    (simhash // CAST(pow(2, j * 15) AS BIGINT)) % 32768 AS chunk
+         |  FROM sim, range(0, 4) r(j)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, source, str_split(lower(text), ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang, source, $ShinglesSql AS shingles
+         |  FROM docs WHERE len(ws) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    len(list_distinct(a.shingles || b.shingles)) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    len(list_distinct(a.shingles || b.shingles)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH pairs AS (
+        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT label, vec_a, vec_b,
+        |    floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |                       ORDER BY floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 DESC,
+        |                                vec_a, vec_b) AS rk
+        |  FROM pairs)
+        |SELECT label, vec_a, vec_b, cos, rk FROM scored
+        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2 E (text) — corpus analysis operators a training-data pipeline runs
+  * over billions of documents: token counting, quality scoring,
+  * language ID, fingerprinting.
+  *
+  * Everything is a narrow per-row projection of built-in higher-order
+  * array expressions (split / filter / transform / aggregate) — zero
+  * shuffles, whole-stage codegen, embarrassingly parallel at 100 TB.
+  * No UDFs anywhere.
+  */
+object TextSuite {
+
+  /** Marker function-words per language for the n-gram-free heuristic
+    * language ID (real corpora carry real stopwords; the synthetic corpus
+    * is English-ish so most docs score 'en' — the *operator* is what's
+    * exercised).
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private val Stop = Seq("the", "a", "and", "of", "to")
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  private val BpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpePat), lit(0))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "text_quality" -> { (s, d) =>
+      // length / punctuation / stopword signals → rational-arithmetic
+      // score (no transcendentals: libm results aren't engine-portable).
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("n_stop", size(filter(col("words"),
+          w => w.isin(Stop: _*))))
+        .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))))
+        .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"),
+          (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+          (col("n_punct").cast("double") / length(col("text"))).as("punct_ratio"),
+          ((col("n_stop").cast("double") / col("n_words")) * 0.3
+            + when(col("n_words").between(20, 1000), 0.4).otherwise(0.1)
+            + (lit(1.0) - col("n_punct").cast("double") / length(col("text"))) * 0.3
+          ).as("quality_score"))
+        .orderBy("doc_id")
+    },
+
+    "text_langid" -> { (s, d) =>
+      val withScores = Markers.foldLeft(
+        Tables.documents(s, d).withColumn("words", array_distinct(split(lower(col("text")), " ")))) {
+        case (df, (lang, ms)) =>
+          df.withColumn(s"s_$lang", size(array_intersect(col("words"), array(ms.map(lit): _*))))
+      }
+      val best = Markers.map { case (l, _) => col(s"s_$l") }
+      // deterministic argmax: first language (in Markers order) whose
+      // score equals the row maximum
+      val pred = Markers.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+        case ((l, _), e) => when(col(s"s_$l") === greatest(best: _*) && greatest(best: _*) > 0, lit(l)).otherwise(e)
+      }
+      withScores
+        .select(col("doc_id") +: col("lang") +: Markers.map { case (l, _) => col(s"s_$l") } :+
+          pred.as("lang_pred"): _*)
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> { (s, d) =>
+      // three portable fingerprints: 60-bit content hash, bag-of-words
+      // hash (whitespace/order-insensitive), and a 1-permutation MinHash
+      // over 3-word shingles (the rolling-hash family).
+      Tables.documents(s, d)
+        .withColumn("norm", lower(col("text")))
+        .withColumn("ws", split(col("norm"), " "))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(norm), 1, 15), 16, 10) AS BIGINT)").as("fp_content"),
+          md5(concat_ws(" ", array_sort(array_distinct(col("ws"))))).as("fp_bow"),
+          expr(
+            """CASE WHEN size(ws) >= 3 THEN array_min(transform(
+              |  transform(sequence(1, size(ws) - 2),
+              |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))),
+              |  sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)))
+              |ELSE CAST(NULL AS BIGINT) END""".stripMargin)
+            .as("fp_minhash1"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  len(str_split(text, ' ')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '$BpePat')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    len(str_split(text, ' ')) AS n_words,
+         |    len(list_filter(str_split(text, ' '), w -> w IN ${sqlList(Stop)})) AS n_stop,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_stop, n_punct,
+         |  CAST(n_stop AS DOUBLE)/n_words AS stop_ratio,
+         |  CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio,
+         |  (CAST(n_stop AS DOUBLE)/n_words)*0.3
+         |    + (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.1 END)
+         |    + (1.0 - CAST(n_punct AS DOUBLE)/n_chars)*0.3 AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scoreCols = Markers.map { case (l, ms) =>
+        s"len(list_intersect(words, ${sqlList(ms).replace("(", "[").replace(")", "]")})) AS s_$l"
+      }.mkString(",\n    ")
+      val greatest = Markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val pred = Markers.reverse.foldLeft("'unknown'") { case (e, (l, _)) =>
+        s"CASE WHEN s_$l = $greatest AND $greatest > 0 THEN '$l' ELSE $e END"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, list_distinct(str_split(lower(text), ' ')) AS words
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM w)
+         |SELECT doc_id, lang, ${Markers.map { case (l, _) => s"s_$l" }.mkString(", ")},
+         |  $pred AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS norm, str_split(lower(text), ' ') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_content,
+        |  md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp_bow,
+        |  CASE WHEN len(ws) >= 3 THEN list_min(list_transform(
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+        |    sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT))
+        |  ELSE CAST(NULL AS BIGINT) END AS fp_minhash1
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}
