@@ -63,26 +63,45 @@ object DedupSuite {
     "dedup_minhash_lsh" -> { (s, d) =>
       // full pipeline: shingle → 12-perm MinHash → 4 LSH bands →
       // bucket join → exact-Jaccard verification ≥ 0.7.
-      val docs = corpusWithDups(s, d)
+      //
+      // Scale notes: each shingle is md5-hashed ONCE; the 12 permutations
+      // are arithmetic remixes of that 60-bit base (universal-hash style
+      // (a_p·h + p) mod P with P < 2^30, so products stay < 2^50 — no
+      // BIGINT overflow in either engine). Band rows carry only
+      // (doc_id, band, bucket); shingle sets rejoin for candidate pairs
+      // only, so the LSH shuffle is a few dozen bytes per doc, not the
+      // document content.
+      // sh is referenced three times (signatures + both sides of the
+      // verification join) and bands twice (self-join); persisting keeps
+      // each branch a cache read instead of a full text→shingle→md5
+      // recompute. Both are small relative to the corpus (ids + hashes).
+      val sh = corpusWithDups(s, d)
         .withColumn("ws", split(lower(col("text")), " "))
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", expr(ShinglesExpr))
+        .select(col("doc_id"), col("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = sh
+        .withColumn("hs", expr(
+          "transform(shingles, sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT))"))
         .withColumn("sig", expr(
           s"""transform(sequence(0, ${NumPerm - 1}), p ->
-             |  array_min(transform(shingles, sh ->
-             |    CAST(conv(substr(md5(concat(sh, '#', CAST(p AS STRING))), 1, 15), 16, 10) AS BIGINT))))""".stripMargin))
-      val bands = docs.select(col("doc_id"), col("shingles"),
+             |  array_min(transform(hs, h ->
+             |    ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789)))""".stripMargin))
+      val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             s"""transform(sequence(0, ${NumPerm / BandRows - 1}), b ->
                |  md5(concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows))))""".stripMargin)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
       cands
+        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
         .withColumn("jaccard",
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))))
@@ -177,26 +196,28 @@ object DedupSuite {
          |sh AS (
          |  SELECT doc_id, $ShinglesSql AS shingles FROM docs WHERE len(ws) >= 3),
          |sig AS (
-         |  SELECT doc_id, shingles,
+         |  SELECT doc_id,
          |    list_transform(range(0, $NumPerm), p ->
-         |      list_min(list_transform(shingles, sh2 ->
-         |        ('0x' || substr(md5(sh2 || '#' || CAST(p AS VARCHAR)), 1, 15))::BIGINT))) AS sig
+         |      list_min(list_transform(
+         |        list_transform(shingles, sh2 -> ('0x' || substr(md5(sh2), 1, 15))::BIGINT),
+         |        h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789))) AS sig
          |  FROM sh),
          |bands AS (
-         |  SELECT doc_id, shingles, b - 1 AS band,
+         |  SELECT doc_id, b - 1 AS band,
          |    md5(array_to_string(sig[(b-1)*$BandRows+1:(b-1)*$BandRows+$BandRows], ',')) AS bucket
          |  FROM sig, range(1, ${NumPerm / BandRows + 1}) r(b)),
          |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.shingles AS sh_a, b.shingles AS sh_b
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-         |    len(list_distinct(sh_a || sh_b)) AS jaccard
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
          |FROM cands
-         |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-         |    len(list_distinct(sh_a || sh_b)) >= 0.7
+         |JOIN sh sa ON sa.doc_id = doc_a
+         |JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    len(list_distinct(sa.shingles || sb.shingles)) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
