@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** §2 D/E extensions — operators beyond the reference's literal surface
+  * that its users (and any 100 TB pipeline) reach for next: as-of joins,
+  * grouping sets, per-group top-k, pivots, histograms, sampled
+  * reconciliation, and duplicate-cluster resolution.
+  */
+object ExtendedSuite {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> { (s, d) =>
+      // As-of join: each purchase matched to the same user's latest view
+      // at-or-before it. Spark lacks a native as-of join; the scalable
+      // formulation is union + ordered window (one shuffle on user_id,
+      // no range-join pair explosion): tag streams, sort by time, carry
+      // the last view timestamp forward with last_value(ignoreNulls).
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"),
+          col("event_id"))
+      val tagged = e.filter(col("event_type").isin("view", "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_view_tus",
+          last(when(col("event_type") === "view", col("tus")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("tus").as("purchase_tus"),
+          col("last_view_tus"))
+        .orderBy("user_id", "purchase_id")
+    },
+
+    "q_grouping_sets" -> { (s, d) =>
+      // cube = all grouping sets over (returnflag, linestatus)
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_price"))
+        .orderBy("rf", "ls")
+    },
+
+    "q_topk_per_group" -> { (s, d) =>
+      // top-3 orders per market segment — WindowGroupLimit pushes the
+      // limit below the shuffle (partial top-k per partition).
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("c_mktsegment", "rk")
+    },
+
+    "q_pivot" -> { (s, d) =>
+      // daily event-type matrix; pivot compiles to conditional aggregation
+      // (one shuffle on the date key), which is also the portable oracle.
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")
+    },
+
+    "q_histogram" -> { (s, d) =>
+      // fixed-width histogram of order totals: integer bucket arithmetic,
+      // map-side combinable.
+      Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 50000.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("bucket")
+    },
+
+    "recon_sampled" -> { (s, d) =>
+      // sampled checksum reconciliation: deterministic 1/16 sample by pk
+      // hash (portable — not TABLESAMPLE, whose sampling is engine
+      // random), the cheap first-pass the reference schedules hourly
+      // (ref: scheduler/jobs.py) before escalating to full checksums.
+      val sampled = Tables.orders(s, d)
+        .filter(rowHash60(col("o_orderkey").cast("string")) % 16 === 0)
+      sampled.agg(
+          count(lit(1)).as("sample_rows"),
+          checksumAgg(rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))).as("sample_checksum"))
+        .select(lit("orders").as("table_name"), col("sample_rows"), col("sample_checksum"))
+    },
+
+    "dedup_cluster" -> { (s, d) =>
+      // duplicate-cluster resolution: connected components over verified
+      // duplicate pairs via iterative min-label propagation — the
+      // distributed union-find a dedup pipeline runs after pair
+      // generation. Iterations are bounded by component diameter;
+      // convergence is checked per step so the loop stops early.
+      val pairs = DedupSuite.queries("dedup_minhash_lsh")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 10) {
+        val neighborMin = edges.join(labels, col("doc_b") === col("node"))
+          .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
+        val updated = labels.join(neighborMin, col("node") === col("doc_a"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = updated.as("u").join(labels.as("l"), col("u.node") === col("l.node"))
+          .filter(col("u.label") =!= col("l.label")).limit(1).count()
+        labels = updated
+        converged = changed == 0
+        iter += 1
+      }
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
+        .orderBy("cluster_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS view_tus FROM events WHERE event_type = 'view')
+        |SELECT p.user_id AS user_id, purchase_id, purchase_tus,
+        |  v.view_tus AS last_view_tus
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.view_tus <= p.purchase_tus
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(FLOOR((l_extendedprice)*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_price
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_histogram" ->
+      s"""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(FLOOR((o_totalprice)*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_total
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "recon_sampled" ->
+      """SELECT 'orders' AS table_name, COUNT(*) AS sample_rows,
+        |  CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 15)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS sample_checksum
+        |FROM orders
+        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 16 = 0""".stripMargin
+
+    // dedup_cluster: oracle via recursive CTE
+  ) ++ Map(
+    "dedup_cluster" -> {
+      val pairsSql = DedupSuite.oracles("dedup_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT doc_a, doc_a FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.lbl FROM edges e JOIN reach r ON e.doc_b = r.node),
+         |comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT cluster_id, COUNT(*) AS n_members, MIN(node) AS keep_id
+         |FROM comp GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin
+    }
+  )
+}
