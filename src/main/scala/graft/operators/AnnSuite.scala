@@ -32,13 +32,14 @@ object AnnSuite {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> { (s, d) =>
+      // cosine via the native codegen'd expression (graft.plans.CosineSimilarity)
+      org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("ce"))
       val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-        .withColumn("cos",
-          floor(expr(DotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))) * 1e6 + 0.5) / 1e6)
+        .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
       val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)

@@ -161,17 +161,13 @@ object DedupSuite {
       // embedding-cosine near-dup: double-fold dot/norms (sequential fold
       // order is part of the contract, so results are engine-exact);
       // label buckets bound the pair space; top-3 pairs per label.
+      org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"))
       val pairs = e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-        .withColumn("na", expr(
-          "sqrt(aggregate(a.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-        .withColumn("nb", expr(
-          "sqrt(aggregate(b.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-        .withColumn("cos", floor(col("dot") / (col("na") * col("nb")) * 1e6 + 0.5) / 1e6)
+        .withColumn("cos",
+          floor(expr("cosine_sim(a.embedding, b.embedding)") * 1e6 + 0.5) / 1e6)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a.label")).orderBy(desc("cos"), col("a.vec_id"), col("b.vec_id"))
       pairs.withColumn("rk", row_number().over(w))

@@ -1,0 +1,30 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionColumnNode
+
+/** Access bridge into Spark's `private[sql]` surface (the supported
+  * library pattern — cf. public Spark extensions like Qbeast/Delta that
+  * host a shim in an org.apache.spark.sql subpackage).
+  *
+  * Spark 4 Columns wrap ColumnNodes, not Expressions; ExpressionColumnNode
+  * is the classic-session adapter.
+  */
+object Bridge {
+
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def columnOf(e: Expression): Column = new Column(ExpressionColumnNode(e))
+
+  /** Register graft's native expressions on an existing session (the
+    * runtime path; cluster deployments can instead set
+    * spark.sql.extensions=graft.plans.GraftExtensions).
+    */
+  def register(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (exprs: Seq[Expression]) => graft.plans.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+  }
+}

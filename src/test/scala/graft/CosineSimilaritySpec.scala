@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpecBase {
+
+  test("native cosine_sim is bit-identical to the fold formulation") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("native", expr("cosine_sim(a.embedding, b.embedding)"))
+      .withColumn("fold",
+        expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+          (expr("sqrt(aggregate(a.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))") *
+           expr("sqrt(aggregate(b.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")))
+    val diff = pairs.filter(col("native") =!= col("fold")).count()
+    assert(diff == 0, "native expression must reproduce the fold bit-for-bit")
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val df = e.select(expr("cosine_sim(embedding, embedding)").as("c"))
+    // the `*(n)` prefix is how simpleString marks a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_sim"), s"expected codegen'd project in:\n$plan")
+    // and it evaluates without codegen fallback errors
+    assert(df.collect().forall(r => !r.isNullAt(0)))
+  }
+
+  test("cosine_sim handles nulls and self-similarity") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(5)
+    val self = e.select(expr("cosine_sim(embedding, embedding)").as("c")).collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val nulls = e.select(expr("cosine_sim(embedding, CAST(NULL AS ARRAY<FLOAT>))").as("c")).collect()
+    nulls.foreach(r => assert(r.isNullAt(0)))
+  }
+}
