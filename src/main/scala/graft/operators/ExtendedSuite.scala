@@ -94,6 +94,41 @@ object ExtendedSuite {
         .select(lit("orders").as("table_name"), col("sample_rows"), col("sample_checksum"))
     },
 
+    "q_session_window" -> { (s, d) =>
+      // Spark's native gap-based session_window operator — per-user
+      // session count must agree with the lag/gap formulation in
+      // q_events_sessionize, which is the oracle.
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("evts"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("evts")).as("n_events"), count(lit(1)).as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    "q_running_total" -> { (s, d) =>
+      // cumulative windowed sum per customer over order history
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(floor(col("o_totalprice") * lit(10000.0) + lit(0.5))).over(w)
+            .cast("double") / 10000.0).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "q_approx_distinct" -> { (s, d) =>
+      // HLL-sketch distinct counts (rows-only: sketch internals are
+      // engine-specific; ApproxSpec bounds the error vs exact)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     "dedup_cluster" -> { (s, d) =>
       // duplicate-cluster resolution: connected components over verified
       // duplicate pairs via iterative min-label propagation — the
@@ -180,8 +215,30 @@ object ExtendedSuite {
         |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 15)) AS BIGINT))
         |    AS DECIMAL(38,0)) AS sample_checksum
         |FROM orders
-        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 16 = 0""".stripMargin
+        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 16 = 0""".stripMargin,
 
+    "q_session_window" ->
+      // gap-equality note: session_window ends are exclusive, so a gap of
+      // exactly 30 min starts a NEW session → '>=' here (vs '>' in
+      // q_events_sessionize's convention).
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice*10000 + 0.5) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/10000.0
+        |    AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+    // q_approx_distinct: rows-only (HLL sketch internals are engine-specific)
     // dedup_cluster: oracle via recursive CTE
   ) ++ Map(
     "dedup_cluster" -> {

@@ -84,6 +84,18 @@ object PiiSuite {
         .orderBy("c_custkey")
     },
 
+    "pii_mask_ip" -> { (s, d) =>
+      // keep the /16 prefix, mask host octets (ref: pii.py::_mask_ip_address)
+      Tables.customer(s, d)
+        .withColumn("ip", concat(
+          lit("10."), (col("c_custkey") % 256).cast("string"),
+          lit("."), ((col("c_custkey") * 7) % 256).cast("string"),
+          lit("."), ((col("c_custkey") * 13) % 256).cast("string")))
+        .select(col("c_custkey"), col("ip"),
+          concat(lit("10."), (col("c_custkey") % 256).cast("string"), lit(".*.*")).as("masked_ip"))
+        .orderBy("c_custkey")
+    },
+
     "pii_hash" -> { (s, d) =>
       // salted SHA-256 pseudonymization (ref: pii.py::HashingTransformer)
       withPii(Tables.customer(s, d))
@@ -163,6 +175,14 @@ object PiiSuite {
          |       THEN repeat('*', length(card) - 4) || substr(card, length(card) - 3)
          |       ELSE repeat('*', length(card)) END AS masked_card
          |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "pii_mask_ip" ->
+      """SELECT c_custkey,
+        |  '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |    CAST((c_custkey*7) % 256 AS VARCHAR) || '.' ||
+        |    CAST((c_custkey*13) % 256 AS VARCHAR) AS ip,
+        |  '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.*.*' AS masked_ip
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "pii_hash" ->
       s"""SELECT c_custkey,

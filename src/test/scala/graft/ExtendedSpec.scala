@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.ExtendedSuite
+
+class ExtendedSpec extends SparkSpecBase {
+
+  test("as-of join: matched view always precedes (or ties) the purchase") {
+    val rows = ExtendedSuite.queries("q_asof_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "last_view_tus must be <= purchase_tus")
+    }
+  }
+
+  test("approx distinct is within 10% of exact") {
+    val approx = ExtendedSuite.queries("q_approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.countDistinct("o_custkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.10, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("session_window agrees with the lag formulation up to gap-equality") {
+    val sw = ExtendedSuite.queries("q_session_window")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lag = graft.operators.AnalyticCore.queries("q_events_sessionize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sw.keySet == lag.keySet)
+    sw.foreach { case (u, (nEvents, nSessions)) =>
+      assert(nEvents == lag(u)._1)
+      // exact-30min gaps are the only divergence; sessions can only split
+      assert(nSessions >= lag(u)._2)
+    }
+  }
+
+  test("duplicate clusters: every cluster has >= 2 members and min-label id") {
+    val rows = ExtendedSuite.queries("dedup_cluster")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "components come from edges, so size >= 2")
+      assert(r.getLong(0) == r.getLong(2), "cluster_id is the min member id")
+    }
+  }
+
+  test("running total: final cumulative value matches the customer's order sum") {
+    val rows = ExtendedSuite.queries("q_running_total")(spark, sf).collect()
+    val expected = graft.sources.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_custkey") < 100)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (cust, rs) =>
+      assert(rs.forall(_.getDouble(2) > 0))
+      val maxTotal = rs.map(_.getDouble(2)).max
+      assert(math.abs(maxTotal - expected(cust)) < 0.01,
+        s"customer $cust: cumulative $maxTotal vs direct sum ${expected(cust)}")
+    }
+  }
+}
