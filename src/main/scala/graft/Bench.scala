@@ -37,11 +37,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
 
+    // Two timed runs per query, report the min: run 1 pays per-query
+    // whole-stage-codegen compilation (a JVM artifact, not engine
+    // throughput); run 2 is the steady state a long-running cluster sees.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -17,7 +17,7 @@ object SparkEntry {
     AnalyticCore.queries ++ PiiSuite.queries ++ ReconSuite.queries ++
       CdcSuite.queries ++ graft.streaming.CdcStream.queries ++
       TextSuite.queries ++ DedupSuite.queries ++ AnnSuite.queries ++
-      MultimodalSuite.queries ++ ExtendedSuite.queries
+      MultimodalSuite.queries ++ ExtendedSuite.queries ++ OpsSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     AnalyticCore.oracles ++ PiiSuite.oracles ++ ReconSuite.oracles ++
       CdcSuite.oracles ++ graft.streaming.CdcStream.oracles ++
       TextSuite.oracles ++ DedupSuite.oracles ++ AnnSuite.oracles ++
-      MultimodalSuite.oracles ++ ExtendedSuite.oracles
+      MultimodalSuite.oracles ++ ExtendedSuite.oracles ++ OpsSuite.oracles
 }

@@ -75,6 +75,52 @@ object AnalyticCore {
         .orderBy(desc("revenue"), col("n_name"))
     },
 
+    "q7_volume_shipping" -> { (s, d) =>
+      // TPC-H Q7 shape: bilateral shipping volume between two nations
+      // by year. Dim joins broadcast; the fact table never shuffles
+      // before the (nation, nation, year) aggregate.
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    "q10_returned_items" -> { (s, d) =>
+      // TPC-H Q10 shape: top customers by revenue on returned items.
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    },
+
+    "q15_top_supplier" -> { (s, d) =>
+      // TPC-H Q15 shape: supplier(s) achieving the max quarterly revenue
+      // — the correlated-max pattern as an aggregate crossJoin.
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
     "q_window_rank" -> { (s, d) =>
       val w = Window.partitionBy(col("c_nationkey")).orderBy(desc("c_acctbal"), col("c_custkey"))
       Tables.customer(s, d)
@@ -189,6 +235,40 @@ object AnalyticCore {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${s4("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+         |  AND c_nationkey = n2.n_nationkey
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  ${s4("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM lineitem, orders, customer
+         |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+         |  AND o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${s4("l_extendedprice*(1-l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, rk FROM (

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** §2 H — operational capabilities the reference ships as scripts/tools,
+  * re-expressed Spark-natively.
+  */
+object OpsSuite {
+
+  /** Plan checks mirroring the reference's query analyzer
+    * (ref: utils/query_optimizer/analyzer.py parses EXPLAIN for seq
+    * scans / missing indexes; the Spark analogs are missing filter
+    * pushdown, missing column pruning, and codegen gaps).
+    */
+  private[graft] def advise(df: DataFrame): Seq[(String, String, String)] = {
+    // collect() executes THIS dataframe's plan (count() would build a
+    // different one), finalizing AQE so codegen stage markers appear
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val findings = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    scans.zipWithIndex.foreach { case (s, i) =>
+      val pushed = s.contains("PushedFilters: [") && !s.contains("PushedFilters: []")
+      val readAll = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s)
+        .map(_.group(1).count(_ == ',') + 1).getOrElse(0)
+      findings += (("scan_" + i, "filter_pushdown", if (pushed) "OK" else "NONE"))
+      findings += (("scan_" + i, "columns_read", readAll.toString))
+    }
+    findings += (("plan", "exchanges", plan.linesIterator.count(_.contains("Exchange")).toString))
+    findings += (("plan", "codegen_stages",
+      "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1).toInt).toSet.size.toString))
+    findings.toSeq
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "plan_advisor" -> { (s, d) =>
+      // rows-only: analyze q3's physical plan the way the reference's
+      // IndexAdvisor analyzes EXPLAIN output.
+      import s.implicits._
+      advise(AnalyticCore.queries("q3_top_orders")(s, d))
+        .toDF("subject", "check", "value")
+        .orderBy("subject", "check")
+    },
+
+    "snapshot_roundtrip" -> { (s, d) =>
+      // backup/restore as parquet snapshot + checksum verification
+      // (ref: scripts/bash/backup-databases.sh / restore-databases.sh).
+      // Oracle-checkable: the round-trip must preserve the checksum, so
+      // the output equals a direct source checksum with status RESTORED.
+      val tmp = Files.createTempDirectory("graft_snapshot").toString
+      val row = rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      Tables.orders(s, d).write.mode("overwrite").parquet(tmp)
+      val src = Tables.orders(s, d).agg(checksumAgg(row).as("source_checksum"))
+      val restored = s.read.parquet(tmp).agg(checksumAgg(row).as("restored_checksum"))
+      src.crossJoin(restored)
+        .select(lit("orders").as("table_name"), col("source_checksum"),
+          col("restored_checksum"),
+          when(col("source_checksum") === col("restored_checksum"), lit("RESTORED"))
+            .otherwise(lit("CORRUPT")).as("status"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    // plan_advisor: rows-only (Spark plan introspection has no SQL analog)
+    "snapshot_roundtrip" ->
+      """WITH ck AS (
+        |  SELECT CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 15)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS c
+        |  FROM orders)
+        |SELECT 'orders' AS table_name, c AS source_checksum, c AS restored_checksum,
+        |  'RESTORED' AS status
+        |FROM ck""".stripMargin
+  )
+}

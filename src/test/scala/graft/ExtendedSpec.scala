@@ -38,6 +38,21 @@ class ExtendedSpec extends SparkSpecBase {
     }
   }
 
+  test("plan advisor reports pushdown and codegen health of q3") {
+    val rows = graft.operators.OpsSuite.queries("plan_advisor")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    // q3 filters three scans; each must push its predicate
+    val pushdowns = rows.collect { case ((_, "filter_pushdown"), v) => v }
+    assert(pushdowns.nonEmpty && pushdowns.forall(_ == "OK"), s"pushdown findings: $rows")
+    assert(rows(("plan", "codegen_stages")).toInt >= 1)
+  }
+
+  test("snapshot roundtrip preserves the table checksum") {
+    val r = graft.operators.OpsSuite.queries("snapshot_roundtrip")(spark, sf).collect().head
+    assert(r.getAs[String]("status") == "RESTORED")
+    assert(r.get(1) == r.get(2))
+  }
+
   test("duplicate clusters: every cluster has >= 2 members and min-label id") {
     val rows = ExtendedSuite.queries("dedup_cluster")(spark, sf).collect()
     assert(rows.nonEmpty)
