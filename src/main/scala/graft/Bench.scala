@@ -24,6 +24,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // (note: each lake table is a single one-row-group parquet file,
+      // so scan parallelism is fixed at 1 task regardless of
+      // maxPartitionBytes; post-scan stages parallelize across cores)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -58,7 +58,7 @@ object PiiSuite {
     },
 
     "pii_mask_phone" -> { (s, d) =>
-      // keep last 4 digits, format preserved (ref: pii.py::_mask_phone)
+      // keep last 4 digits, format preserved (ref: pii.py:118 _mask_phone)
       withPii(Tables.customer(s, d))
         .select(col("c_custkey"), col("phone"),
           concat(lit("(***) ***-"), substring(col("phone"), 11, 4)).as("masked_phone"))
@@ -73,7 +73,7 @@ object PiiSuite {
     },
 
     "pii_mask_card" -> { (s, d) =>
-      // 16-digit card, keep last 4 (ref: pii.py::_mask_credit_card);
+      // 16-digit card, keep last 4 (ref: pii.py:173 _mask_credit_card);
       // length guard mirrors the 13..19-digit validation.
       withPii(Tables.customer(s, d))
         .select(col("c_custkey"), col("card"),
@@ -85,7 +85,7 @@ object PiiSuite {
     },
 
     "pii_mask_ip" -> { (s, d) =>
-      // keep the /16 prefix, mask host octets (ref: pii.py::_mask_ip_address)
+      // keep the /16 prefix, mask host octets (ref: pii.py:209 _mask_ip_address)
       Tables.customer(s, d)
         .withColumn("ip", concat(
           lit("10."), (col("c_custkey") % 256).cast("string"),
@@ -97,7 +97,7 @@ object PiiSuite {
     },
 
     "pii_hash" -> { (s, d) =>
-      // salted SHA-256 pseudonymization (ref: pii.py::HashingTransformer)
+      // salted SHA-256 pseudonymization (ref: pii.py:269 HashingTransformer)
       withPii(Tables.customer(s, d))
         .select(col("c_custkey"),
           sha2(concat(lit("graft-salt:"), col("email")), 256).as("email_hash"),
@@ -106,7 +106,7 @@ object PiiSuite {
     },
 
     "pii_pipeline" -> { (s, d) =>
-      // composed GDPR pipeline (ref: rules.py::create_gdpr_pipeline):
+      // composed GDPR pipeline (ref: rules.py:68 create_gdpr_pipeline):
       // mask email+phone, hash the name, drop raw identifiers.
       withPii(Tables.customer(s, d))
         .select(col("c_custkey"),
@@ -121,7 +121,7 @@ object PiiSuite {
 
     "type_convert" -> { (s, d) =>
       // cast matrix incl. the bool/int edge the reference special-cases
-      // (ref: types.py::TypeConversionTransformer BUG-9). Double→int goes
+      // (ref: types.py:28 TypeConversionTransformer BUG-9). Double→int goes
       // through explicit floor: bare casts round in PG/DuckDB but truncate
       // in Spark/SQL Server — exactly the class of mismatch the reference's
       // type mapper exists to paper over.
@@ -137,7 +137,7 @@ object PiiSuite {
     },
 
     "conditional_transform" -> { (s, d) =>
-      // predicate-gated transforms (ref: types.py::ConditionalTransformer):
+      // predicate-gated transforms (ref: types.py:79 ConditionalTransformer):
       // tier by balance; mask email only for the BUILDING segment.
       withPii(Tables.customer(s, d))
         .select(col("c_custkey"), col("c_mktsegment"),

@@ -29,7 +29,7 @@ object ReconSuite {
   /** Canonical orders row-string for checksums: ints + strings only
     * (float/timestamp rendering is not engine-portable; the reference
     * likewise checksums a canonical text projection —
-    * ref: compare/checksum.py::calculate_checksum).
+    * ref: compare/checksum.py:19 calculate_checksum).
     */
   private def orowStr: Column =
     rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
@@ -66,7 +66,7 @@ object ReconSuite {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_rowcount" -> { (s, d) =>
-      // ref: compare/counts.py::compare_row_counts — count compare with
+      // ref: compare/counts.py:17 compare_row_counts — count compare with
       // difference + status, one row per table.
       val src = Tables.orders(s, d).agg(count(lit(1)).as("source_count"))
       val tgt = target(s, d).agg(count(lit(1)).as("target_count"))
@@ -79,7 +79,7 @@ object ReconSuite {
 
     "recon_checksum_agg" -> { (s, d) =>
       // whole-table order-insensitive checksum, one narrow shuffle
-      // (ref: compare/checksum.py::calculate_checksum, re-expressed
+      // (ref: compare/checksum.py:19 calculate_checksum, re-expressed
       // commutatively so no global sort is needed at 100 TB).
       val src = Tables.orders(s, d).agg(checksumAgg(orowStr).as("source_checksum"))
       val tgt = target(s, d).agg(checksumAgg(orowStr).as("target_checksum"))
@@ -91,7 +91,7 @@ object ReconSuite {
 
     "recon_checksum_chunked" -> { (s, d) =>
       // per-chunk checksums localize which pk range diverges
-      // (ref: compare/checksum.py::calculate_checksum_chunked). Chunk =
+      // (ref: compare/checksum.py:180 calculate_checksum_chunked). Chunk =
       // pk % 32: bounded per-chunk state, embarrassingly parallel.
       val src = Tables.orders(s, d)
         .groupBy((col("o_orderkey") % 32).as("chunk"))
@@ -108,7 +108,7 @@ object ReconSuite {
 
     "recon_incremental" -> { (s, d) =>
       // checksum only rows changed since the watermark — the 10-100x
-      // shortcut (ref: incremental/checksum.py::_calculate_delta_checksum);
+      // shortcut (ref: incremental/checksum.py:142 _calculate_delta_checksum);
       // the predicate pushes down to the parquet scan.
       val cutoff = to_timestamp(lit("2000-01-01 00:00:00"))
       val src = Tables.orders(s, d).filter(col("o_orderdate") >= cutoff)
@@ -122,7 +122,7 @@ object ReconSuite {
     },
 
     "recon_rowlevel" -> { (s, d) =>
-      // ref: row_level/reconciler.py — full outer join on pk, classify
+      // ref: row_level/reconciler.py:78 RowLevelReconciler — full outer join on pk, classify
       // MISSING/EXTRA/MODIFIED, name the differing columns.
       val src = Tables.orders(s, d).select(
         col("o_orderkey").as("sk"), col("o_custkey").as("s_cust"),
@@ -146,7 +146,7 @@ object ReconSuite {
     },
 
     "recon_repair" -> { (s, d) =>
-      // ref: row_level/repair.py::generate_repair_script — emit the SQL
+      // ref: row_level/repair.py:19 generate_repair_script — emit the SQL
       // that would repair the target, as data (distributed string build).
       val src = Tables.orders(s, d).select(
         col("o_orderkey").as("sk"), col("o_custkey").as("s_cust"),
@@ -196,7 +196,7 @@ object ReconSuite {
     },
 
     "recon_multi_table" -> { (s, d) =>
-      // ref: parallel/reconciler.py — the reference thread-pools one
+      // ref: parallel/reconciler.py:36 ParallelReconciler — the reference thread-pools one
       // connection per table; in Spark the per-table plans just union
       // into one job and the scheduler runs them partition-parallel.
       def side(df: DataFrame, name: String, row: Column) =
