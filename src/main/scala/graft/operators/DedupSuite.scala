@@ -24,7 +24,7 @@ object DedupSuite {
     * exact dedup has something to find; both engines build the same
     * corpus.
     */
-  private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpusWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
@@ -99,12 +99,11 @@ object DedupSuite {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
+      org.apache.spark.sql.graft.Bridge.register(s)
       cands
         .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", expr("jaccard_sim(sh_a, sh_b)"))
         .filter(col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -145,12 +144,11 @@ object DedupSuite {
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", expr(ShinglesExpr))
         .select("doc_id", "lang", "source", "shingles")
+      org.apache.spark.sql.graft.Bridge.register(s)
       docs.as("a").join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard",
-          size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-            size(array_union(col("a.shingles"), col("b.shingles"))))
+        .withColumn("jaccard", expr("jaccard_sim(a.shingles, b.shingles)"))
         .filter(col("jaccard") >= 0.5)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.lang").as("lang"), col("jaccard"))

@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+      (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1))))
   }
 }

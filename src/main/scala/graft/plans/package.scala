@@ -8,4 +8,6 @@ package graft
 package object plans {
   type CosineSimilarity = org.apache.spark.sql.graft.CosineSimilarity
   val CosineSimilarity = org.apache.spark.sql.graft.CosineSimilarity
+  type JaccardSimilarity = org.apache.spark.sql.graft.JaccardSimilarity
+  val JaccardSimilarity = org.apache.spark.sql.graft.JaccardSimilarity
 }

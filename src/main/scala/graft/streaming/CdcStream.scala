@@ -94,9 +94,46 @@ object CdcStream {
       .orderBy("win_start", "event_type")
   }
 
+  /** Streaming exact dedup: per-content-hash keyed state tracks
+    * (min doc_id, copy count) across micro-batches — how a continuous
+    * ingest pipeline dedups against everything already seen. The final
+    * state per key equals the batch group-by, so the batch oracle applies.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_dedup_stream").toString
+    graft.operators.DedupSuite.corpusWithDups(spark, dir)
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"), col("doc_id"))
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp).as[(String, Long)]
+    val qname = "dedup_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          val s0 = state.getOption.getOrElse((Long.MaxValue, 0L))
+          val s1 = rows.foldLeft(s0) { case ((m, c), (_, id)) => (math.min(m, id), c + 1) }
+          state.update(s1)
+          Iterator((h, s1._1, s1._2))
+      }
+      .toDF("h", "keep_id", "n_copies")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // final emission per key: count is monotone, min-id non-increasing
+    spark.table(qname)
+      .groupBy(col("h"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("n_copies")).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
-    "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d))
+    "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
+    "stream_dedup_exact" -> ((s, d) => dedupExact(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -106,6 +143,7 @@ object CdcStream {
     "cdc_stream_apply" -> CdcSuite.oracles("cdc_apply_latest"),
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_dedup_exact" -> graft.operators.DedupSuite.oracles("dedup_exact")
   )
 }

@@ -24,7 +24,11 @@ object Bridge {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      (exprs: Seq[Expression]) => graft.plans.CosineSimilarity(exprs(0), exprs(1)),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim",
+      (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1)),
       "built-in")
   }
 }

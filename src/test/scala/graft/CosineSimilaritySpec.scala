@@ -29,6 +29,27 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(df.collect().forall(r => !r.isNullAt(0)))
   }
 
+  test("jaccard_sim equals the composed array_intersect/array_union form") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("w"))
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("native", expr("jaccard_sim(a.w, b.w)"))
+      .withColumn("composed",
+        size(array_intersect(col("a.w"), col("b.w"))).cast("double") /
+          size(array_union(col("a.w"), col("b.w"))))
+    assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("streaming exact dedup equals the batch group-by") {
+    val stream = graft.streaming.CdcStream.queries("stream_dedup_exact")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.DedupSuite.queries("dedup_exact")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.sameElements(batch))
+  }
+
   test("cosine_sim handles nulls and self-similarity") {
     org.apache.spark.sql.graft.Bridge.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf).limit(5)
