@@ -129,6 +129,45 @@ object ExtendedSuite {
         .orderBy("o_orderstatus")
     },
 
+    "q_skew_join_salted" -> { (s, d) =>
+      // Skew mitigation by salting (SURVEY §5): the probe side carries a
+      // deterministic salt, the build side replicates once per salt, and
+      // the join key becomes (key, salt) — a hot key's rows spread over
+      // SALT partitions instead of one. Result must equal the unsalted
+      // join, which is the oracle.
+      val SALT = 4
+      val l = Tables.lineitem(s, d)
+        .withColumn("salt", (col("l_linenumber") % SALT).cast("int"))
+      val o = Tables.orders(s, d)
+        .withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
+      l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    "text_filter_pipeline" -> { (s, d) =>
+      // the classic pretraining corpus filter: quality gates + langid →
+      // per-language kept/dropped accounting. Composes the TextSuite
+      // signals in one narrow pass over the corpus.
+      val docs = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("n_stop", size(filter(col("words"),
+          w => w.isin("the", "a", "and", "of", "to"))))
+        .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))))
+        .withColumn("keep",
+          col("n_words").between(20, 1000) &&
+          (col("n_stop").cast("double") / col("n_words")) >= 0.01 &&
+          (col("n_punct").cast("double") / length(col("text"))) <= 0.2)
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_words")).otherwise(0L)).as("kept_words"))
+        .orderBy("lang")
+    },
+
     "dedup_cluster" -> { (s, d) =>
       // duplicate-cluster resolution: connected components over verified
       // duplicate pairs via iterative min-label propagation — the
@@ -236,7 +275,33 @@ object ExtendedSuite {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/10000.0
         |    AS running_total
         |FROM orders WHERE o_custkey < 100
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_skew_join_salted" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "text_filter_pipeline" ->
+      """WITH t AS (
+        |  SELECT lang, length(text) AS n_chars,
+        |    len(str_split(text, ' ')) AS n_words,
+        |    len(list_filter(str_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, n_words,
+        |    (n_words BETWEEN 20 AND 1000)
+        |      AND CAST(n_stop AS DOUBLE)/n_words >= 0.01
+        |      AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2 AS keep
+        |  FROM t)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q_approx_distinct: rows-only (HLL sketch internals are engine-specific)
     // dedup_cluster: oracle via recursive CTE
