@@ -25,8 +25,6 @@ import graft.sources.Tables
   */
 object AnnSuite {
 
-  private val DotExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
   private def normExpr(c: String) =
     s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
 

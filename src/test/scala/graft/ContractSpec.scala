@@ -1,0 +1,37 @@
+package graft
+
+/** Guards the driver contract itself against drift. */
+class ContractSpec extends SparkSpecBase {
+
+  private val rowsOnly = Set("ann_ivf", "q_approx_distinct", "plan_advisor")
+  private val streaming = Set("cdc_stream_apply", "stream_windowed_agg", "stream_dedup_exact")
+
+  test("every query is oracle-checked or a documented rows-only op") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly,
+      s"undocumented rows-only: ${SparkEntry.queries.keySet -- rowsOnly -- SparkEntry.oracleSql.keySet}; " +
+        s"orphan oracles: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  test("result schemas: lowercase, distinct, no spark-illegal column names") {
+    SparkEntry.queries.filterNot(q => streaming(q._1)).foreach { case (name, fn) =>
+      val cols = fn(spark, sf).schema.fieldNames
+      assert(cols.distinct.length == cols.length, s"$name has duplicate columns")
+      cols.foreach { c =>
+        assert(c == c.toLowerCase || c == "__deleted",
+          s"$name column '$c' is not lowercase (driver sorts/hashes by name)")
+      }
+    }
+  }
+
+  test("oracle SQL mentions every output column name of its query") {
+    // cheap guard for alias drift: each Spark column name should appear
+    // verbatim in the oracle text (as alias or source column)
+    SparkEntry.oracleSql.filterNot(q => streaming(q._1)).foreach { case (name, sql) =>
+      val cols = SparkEntry.queries(name)(spark, sf).schema.fieldNames
+      cols.foreach { c =>
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"$name: column '$c' not found in oracle SQL")
+      }
+    }
+  }
+}
