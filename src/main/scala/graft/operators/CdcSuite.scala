@@ -119,6 +119,32 @@ object CdcSuite {
         .orderBy("topic")
     },
 
+    "cdc_schema_evolution" -> { (s, d) =>
+      // schema evolution mid-stream (ref: the pipeline's automatic schema
+      // migration): v1 envelopes lack `region`, v2 carry it; parsing with
+      // the evolved schema leaves v1 rows null — exactly how the sink
+      // backfills an added column.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("region", org.apache.spark.sql.types.LongType)))
+      val log = changeLog(s, d)
+      val v1 = log.filter(col("seq") === 1)
+        .select(col("id"), concat(lit("{\"id\":"), col("id"),
+          lit(",\"status\":\""), col("status"), lit("\"}")).as("env"))
+      val v2 = log.filter(col("seq") === 2)
+        .select(col("id"), concat(lit("{\"id\":"), col("id"),
+          lit(",\"status\":\""), col("status"),
+          lit("\",\"region\":"), col("id") % 5, lit("}")).as("env"))
+      v1.unionByName(v2)
+        .select(from_json(col("env"), schema).as("e"))
+        .select(col("e.id").as("id"), col("e.status").as("status"), col("e.region").as("region"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          count(col("region")).as("n_with_region"))
+        .orderBy("status")
+    },
+
     "cdc_type_map" -> { (s, d) =>
       // SQL Server → PostgreSQL → Spark type mapping matrix applied to
       // live columns (ref: schema-sync type mapping in docs/ +
@@ -169,6 +195,20 @@ object CdcSuite {
          |SELECT topic, n_events,
          |  'cdc_' || regexp_replace(topic, '^[^.]+\\.[^.]+\\.', '') AS target_table
          |FROM t ORDER BY topic""".stripMargin,
+
+    "cdc_schema_evolution" ->
+      s"""WITH env AS (
+         |  SELECT '{"id":' || id || ',"status":"' || status || '"}' AS env
+         |  FROM ($LogSql) log WHERE seq = 1
+         |  UNION ALL
+         |  SELECT '{"id":' || id || ',"status":"' || status ||
+         |         '","region":' || (id % 5) || '}'
+         |  FROM ($LogSql) log WHERE seq = 2)
+         |SELECT json_extract_string(env, '$$.status') AS status,
+         |  COUNT(*) AS n,
+         |  COUNT(CAST(json_extract(env, '$$.region') AS BIGINT)) AS n_with_region
+         |FROM env
+         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "cdc_type_map" ->
       """SELECT c_custkey,

@@ -168,6 +168,56 @@ object ExtendedSuite {
         .orderBy("lang")
     },
 
+    "text_ngram_stats" -> { (s, d) =>
+      // corpus-level n-gram frequencies (LM-data staple): explode word
+      // bigrams → count → top-50. The explode-then-count shape is one
+      // shuffle with map-side combine; key cardinality (distinct bigrams)
+      // bounds state, not corpus size.
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .filter(size(col("ws")) >= 2)
+      docs.select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))""".stripMargin))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(50)
+    },
+
+    "events_retention" -> { (s, d) =>
+      // day-over-day cohort retention: users active on day D who return
+      // on D+1. Distinct (user, day) first, then a self-join on
+      // (user, day+1) — both shuffles key on user/day, no skew.
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val next = ud.select(col("user_id").as("uid2"),
+        (col("day") - expr("INTERVAL 1 DAY")).as("day"))
+      ud.as("a").join(next.as("b"),
+          col("a.day") === col("b.day") && col("a.user_id") === col("b.uid2"), "left")
+        .groupBy(col("a.day").as("day"))
+        .agg(countDistinct(col("a.user_id")).as("active_users"),
+          countDistinct(col("b.uid2")).as("retained_users"))
+        .orderBy("day")
+    },
+
+    "q_correlated_subquery" -> { (s, d) =>
+      // correlated-aggregate shape: customers whose balance beats their
+      // segment average — window-average formulation (one shuffle on the
+      // segment key, no per-row subquery execution).
+      val w = Window.partitionBy(col("c_mktsegment"))
+      Tables.customer(s, d)
+        .withColumn("seg_sum", sum(floor(col("c_acctbal") * 10000.0 + 0.5)).over(w))
+        .withColumn("seg_n", count(lit(1)).over(w))
+        .withColumn("seg_avg", col("seg_sum").cast("double") / 10000.0 / col("seg_n"))
+        .filter(col("c_acctbal") > col("seg_avg"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("seg_avg"))
+        .orderBy("c_custkey")
+    },
+
     "dedup_cluster" -> { (s, d) =>
       // duplicate-cluster resolution: connected components over verified
       // duplicate pairs via iterative min-label propagation — the
@@ -276,6 +326,38 @@ object ExtendedSuite {
         |    AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "text_ngram_stats" ->
+      """WITH docs AS (
+        |  SELECT str_split(lower(text), ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM docs WHERE len(ws) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "events_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events),
+        |nxt AS (SELECT user_id AS uid2, day - INTERVAL 1 DAY AS day FROM ud)
+        |SELECT ud.day AS day,
+        |  COUNT(DISTINCT ud.user_id) AS active_users,
+        |  COUNT(DISTINCT uid2) AS retained_users
+        |FROM ud LEFT JOIN nxt ON ud.day = nxt.day AND ud.user_id = nxt.uid2
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(SUM(CAST(FLOOR(c_acctbal*10000 + 0.5) AS BIGINT))
+        |        OVER (PARTITION BY c_mktsegment) AS DOUBLE)/10000.0
+        |      / COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_avg
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, seg_avg FROM t
+        |WHERE c_acctbal > seg_avg
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_skew_join_salted" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_items,
