@@ -63,10 +63,15 @@ object AnnSuite {
 
       val assign0 = nearest(e, seeds).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("embedding"))
-      // Lloyd step: per-(cluster, dim) mean, rebuilt into vectors.
+      // Lloyd step: per-(cluster, dim) mean, rebuilt into vectors. The
+      // mean uses exact fixed-point accumulation (a bare avg() over
+      // floats is reduction-order nondeterministic, which would make the
+      // whole index irreproducible).
       val refined = assign0
         .select(col("cid"), posexplode(col("embedding")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("col").cast("double") * 1e6 + 0.5)).cast("double")
+          / count(lit(1)) / 1e6).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
@@ -110,7 +115,62 @@ object AnnSuite {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
         |  FROM scored)
         |SELECT query_id, cand_id, label, cos, rk FROM ranked
-        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
-    // ann_ivf: rows-only (recall checked by AnnSpec against brute force)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // the IVF index is fully deterministic (fixed seeds, fixed-point
+    // Lloyd means, tie-broken argmins), so even the index build is
+    // oracle-checkable end-to-end
+    "ann_ivf" -> {
+      val sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))"
+      def dist(c: String) =
+        s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
+           |      i -> ${sq.format(c)} * ${sq.format(c)}))""".stripMargin
+      val norm = "sqrt(list_sum(list_transform(%s, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 10),
+         |d0 AS (
+         |  SELECT e.vec_id, s.cid, e.embedding,
+         |    ${dist("s.ce")} AS dist
+         |  FROM e, seeds s),
+         |a0 AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d0) t WHERE rn = 1),
+         |dims AS (
+         |  -- DuckDB range() can't take lateral column refs; dim is fixed 64
+         |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM a0, range(1, 65) r(i)),
+         |cents AS (
+         |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
+         |    SELECT cid, i,
+         |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
+         |    FROM dims GROUP BY cid, i) t GROUP BY cid),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cid, e.label, e.embedding,
+         |    ${dist("c.ce")} AS dist
+         |  FROM e, cents c),
+         |a1 AS (
+         |  SELECT vec_id AS cand_id, cid AS cell, label, embedding AS ce2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell, embedding AS qe FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 5) t WHERE rn <= 2),
+         |scored AS (
+         |  SELECT query_id, cand_id, a1.cell AS cell,
+         |    FLOOR(
+         |      list_sum(list_transform(range(1, len(qe) + 1),
+         |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE))) /
+         |      (${norm.format("qe")} * ${norm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
+         |  FROM a1 JOIN probes ON a1.cell = probes.cell
+         |  WHERE query_id <> cand_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, cand_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, cand_id, cell, cos, rk FROM ranked
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    }
   )
 }

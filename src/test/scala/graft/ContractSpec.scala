@@ -3,7 +3,7 @@ package graft
 /** Guards the driver contract itself against drift. */
 class ContractSpec extends SparkSpecBase {
 
-  private val rowsOnly = Set("ann_ivf", "q_approx_distinct", "plan_advisor")
+  private val rowsOnly = Set("q_approx_distinct", "plan_advisor")
   private val streaming = Set("cdc_stream_apply", "stream_windowed_agg", "stream_dedup_exact")
 
   test("every query is oracle-checked or a documented rows-only op") {
