@@ -218,6 +218,23 @@ object ExtendedSuite {
         .orderBy("c_custkey")
     },
 
+    "q_set_ops" -> { (s, d) =>
+      // EXCEPT / INTERSECT semantics over customer key sets: customers
+      // with orders vs customers with big orders.
+      val withOrders = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      val withBig = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("k")).distinct()
+      val exceptN = withOrders.except(withBig).agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("except"))
+      val intersectN = withOrders.intersect(withBig).agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("intersect"))
+      val unionN = withOrders.union(withBig).distinct().agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("union"))
+      exceptN.unionByName(intersectN).unionByName(unionN)
+        .select("set_op", "n")
+        .orderBy("set_op")
+    },
+
     "dedup_cluster" -> { (s, d) =>
       // duplicate-cluster resolution: connected components over verified
       // duplicate pairs via iterative min-label propagation — the
@@ -326,6 +343,16 @@ object ExtendedSuite {
         |    AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+        |SELECT 'except' AS set_op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t
+        |UNION ALL
+        |SELECT 'intersect', COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t
+        |UNION ALL
+        |SELECT 'union', COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b) t
+        |ORDER BY set_op""".stripMargin,
 
     "text_ngram_stats" ->
       """WITH docs AS (

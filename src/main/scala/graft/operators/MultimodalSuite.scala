@@ -40,7 +40,36 @@ object MultimodalSuite {
     (first, payload.length.toLong % 7)
   }
 
+  /** One sampled frame's features. */
+  case class FrameFeatures(doc_id: Long, n_frames: Long, n_sampled: Long,
+                           first_frame_len: Int, frame_checksum: Long)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      // video-style frame sampling: the payload splits into fixed-size
+      // "frames" (64-byte chunks standing in for decoded frames) and
+      // every 4th is kept — the batch shape (bytes in, per-frame
+      // features out, mapPartitions) is exactly a real frame sampler's.
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaRow]
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val frames = r.payload.grouped(64).toArray
+          val sampled = frames.zipWithIndex.collect { case (f, i) if i % 4 == 0 => f }
+          // deterministic stand-in for per-frame feature extraction:
+          // sum of sampled frame bytes (unsigned)
+          val checksum = sampled.map(_.map(_ & 0xff).sum.toLong).sum
+          FrameFeatures(r.doc_id, frames.length.toLong, sampled.length.toLong,
+            sampled.headOption.map(_.length).getOrElse(0), checksum)
+        }
+      }.toDF()
+        .orderBy("doc_id")
+    },
+
     "mm_extract" -> { (s, d) =>
       import s.implicits._
       // text → utf-8 bytes stands in for an image payload; the column IS
@@ -64,6 +93,19 @@ object MultimodalSuite {
     * path is oracle-checkable in SQL.
     */
   def oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      // ASCII corpus ⇒ byte k of the payload is ascii(char k); frame i
+      // (0-based, 64 bytes) is sampled when i % 4 = 0
+      """SELECT doc_id,
+        |  CAST(CEIL(length(text)/64.0) AS BIGINT) AS n_frames,
+        |  CAST(CEIL(CEIL(length(text)/64.0)/4.0) AS BIGINT) AS n_sampled,
+        |  CAST(LEAST(64, length(text)) AS INT) AS first_frame_len,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |    p -> CASE WHEN ((p-1)//64)%4 = 0
+        |              THEN ascii(substr(text, CAST(p AS INT), 1)) ELSE 0 END)) AS BIGINT)
+        |    AS frame_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_extract" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
