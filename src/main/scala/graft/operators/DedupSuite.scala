@@ -110,22 +110,24 @@ object DedupSuite {
     },
 
     "dedup_simhash" -> { (s, d) =>
-      // 60-bit SimHash over distinct words; candidates share one of four
-      // 15-bit chunks; verified by Hamming distance ≤ 10.
+      // 60-bit SimHash over distinct words via the native simhash60
+      // expression (the composed 60×tokens nested-aggregate form runs
+      // interpreted and is ~10× slower); candidates share one of four
+      // 15-bit chunks; verified by Hamming distance ≤ 6.
+      org.apache.spark.sql.graft.Bridge.register(s)
       val docs = corpusWithDups(s, d)
         .withColumn("words", array_distinct(split(lower(col("text")), " ")))
         .withColumn("whs", expr(
           "transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
-            |  acc + IF(aggregate(whs, 0, (a2, h) ->
-            |    a2 + IF((h div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
-            |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+        .withColumn("simhash", expr("simhash60(whs)"))
         .select(col("doc_id"), col("simhash"))
+      // persist: the self-join would otherwise recompute the 60-bit
+      // signature pipeline for both sides
       val chunks = docs.select(col("doc_id"), col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
         .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       chunks.as("a").join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -144,6 +146,7 @@ object DedupSuite {
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", expr(ShinglesExpr))
         .select("doc_id", "lang", "source", "shingles")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       org.apache.spark.sql.graft.Bridge.register(s)
       docs.as("a").join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

@@ -46,6 +46,37 @@ object OpsSuite {
         .orderBy("subject", "check")
     },
 
+    "source_formats" -> { (s, d) =>
+      // source/sink format coverage: the same relation written and
+      // re-read through parquet, JSON-lines and CSV must checksum
+      // identically (int/string projection — CSV/JSON have no binary
+      // float format). One row per format.
+      val row = rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val src = base.agg(checksumAgg(row).as("source_checksum"))
+      val restored = Seq("parquet", "json", "csv").map { fmt =>
+        val tmp = Files.createTempDirectory(s"graft_fmt_$fmt").toString
+        fmt match {
+          case "parquet" => base.write.mode("overwrite").parquet(tmp)
+          case "json"    => base.write.mode("overwrite").json(tmp)
+          case "csv"     => base.write.mode("overwrite").option("header", "true").csv(tmp)
+        }
+        val back = fmt match {
+          case "parquet" => s.read.parquet(tmp)
+          case "json"    => s.read.schema(base.schema).json(tmp)
+          case "csv"     => s.read.schema(base.schema).option("header", "true").csv(tmp)
+        }
+        back.agg(checksumAgg(row).as("restored_checksum"))
+          .select(lit(fmt).as("format"), col("restored_checksum"))
+      }.reduce(_ unionByName _)
+      restored.crossJoin(broadcast(src))
+        .select(col("format"),
+          when(col("restored_checksum") === col("source_checksum"), lit("OK"))
+            .otherwise(lit("CORRUPT")).as("status"))
+        .orderBy("format")
+    },
+
     "snapshot_roundtrip" -> { (s, d) =>
       // backup/restore as parquet snapshot + checksum verification
       // (ref: scripts/bash/backup-databases.sh / restore-databases.sh).
@@ -66,6 +97,11 @@ object OpsSuite {
 
   def oracles: Map[String, String] = Map(
     // plan_advisor: rows-only (Spark plan introspection has no SQL analog)
+    "source_formats" ->
+      """SELECT * FROM (VALUES ('csv', 'OK'), ('json', 'OK'), ('parquet', 'OK'))
+        |  t(format, status)
+        |ORDER BY format""".stripMargin,
+
     "snapshot_roundtrip" ->
       """WITH ck AS (
         |  SELECT CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',

@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
       (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName.replace("JaccardSimilarity", "SimHash60"), "simhash60"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.SimHash60(exprs(0))))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
   }

@@ -10,4 +10,6 @@ package object plans {
   val CosineSimilarity = org.apache.spark.sql.graft.CosineSimilarity
   type JaccardSimilarity = org.apache.spark.sql.graft.JaccardSimilarity
   val JaccardSimilarity = org.apache.spark.sql.graft.JaccardSimilarity
+  type SimHash60 = org.apache.spark.sql.graft.SimHash60
+  val SimHash60 = org.apache.spark.sql.graft.SimHash60
 }

@@ -30,5 +30,9 @@ object Bridge {
       "jaccard_sim",
       (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1)),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60",
+      (exprs: Seq[Expression]) => SimHash60(exprs(0)),
+      "built-in")
   }
 }
