@@ -76,6 +76,20 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(stream.sameElements(batch))
   }
 
+  test("simhash60 equals the composed nested-aggregate form") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+      .withColumn("whs", expr(
+        "transform(array_distinct(split(lower(text), ' ')), w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("native", expr("simhash60(whs)"))
+      .withColumn("composed", expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(aggregate(whs, 0, (a2, h) ->
+          |    a2 + IF((h div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+    assert(docs.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
   test("cosine_sim handles nulls and self-similarity") {
     org.apache.spark.sql.graft.Bridge.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf).limit(5)
