@@ -218,6 +218,23 @@ object ExtendedSuite {
         .orderBy("c_custkey")
     },
 
+    "q_window_range" -> { (s, d) =>
+      // RANGE-frame window: 7-day trailing revenue per day (vs the
+      // ROWS frames used elsewhere). Frame bounds are value-based on
+      // the epoch-day key, so gaps in the calendar are handled.
+      val daily = Tables.orders(s, d)
+        // parquet gives TIMESTAMP_NTZ; cast to TIMESTAMP (UTC session) for unix_micros
+        .groupBy((unix_micros(col("o_orderdate").cast("timestamp")) / lit(86400000000L))
+          .cast("long").as("epoch_day"))
+        .agg(sum(floor(col("o_totalprice") * 10000.0 + 0.5)).as("rev_fp"))
+      val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+      daily
+        .select(col("epoch_day"),
+          (col("rev_fp").cast("double") / 10000.0).as("day_revenue"),
+          (sum(col("rev_fp")).over(w).cast("double") / 10000.0).as("trailing_7d_revenue"))
+        .orderBy("epoch_day")
+    },
+
     "q_set_ops" -> { (s, d) =>
       // EXCEPT / INTERSECT semantics over customer key sets: customers
       // with orders vs customers with big orders.
@@ -343,6 +360,18 @@ object ExtendedSuite {
         |    AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_range" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS epoch_day,
+        |    SUM(CAST(FLOOR(o_totalprice*10000 + 0.5) AS BIGINT)) AS rev_fp
+        |  FROM orders GROUP BY 1)
+        |SELECT epoch_day,
+        |  CAST(rev_fp AS DOUBLE)/10000.0 AS day_revenue,
+        |  CAST(SUM(rev_fp) OVER (ORDER BY epoch_day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)/10000.0
+        |    AS trailing_7d_revenue
+        |FROM daily ORDER BY epoch_day""".stripMargin,
 
     "q_set_ops" ->
       """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
