@@ -48,11 +48,18 @@ object Portable {
     */
   def rowStr(cols: Column*): Column = concat_ws("|", cols.map(_.cast("string")): _*)
 
+  /** 2^60 — checksum modulus keeping exposed checksums inside BIGINT. */
+  val ChecksumMod = 1152921504606846976L
+
   /** Order-insensitive table/bucket checksum: exact sum of per-row 60-bit
     * hashes, accumulated in DECIMAL(38,0) so it cannot overflow at 100 TB
-    * row counts. DuckDB: `CAST(SUM(h) AS DECIMAL(38,0))` (DuckDB sums
-    * BIGINT into HUGEINT, so the cast also aligns types).
+    * row counts, then reduced mod 2^60 so the exposed value fits BIGINT
+    * (>64-bit decimals serialize differently across engines; collision
+    * strength is unchanged — the checksum was 60-bit to begin with).
+    * DuckDB: `CAST(SUM(h) % 1152921504606846976 AS BIGINT)` (DuckDB sums
+    * BIGINT into HUGEINT, so the modulo also brings the type back down).
     */
   def checksumAgg(rowStrCol: Column): Column =
-    sum(rowHash60(rowStrCol).cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+    pmod(sum(rowHash60(rowStrCol).cast(DecimalType(38, 0))), lit(ChecksumMod))
+      .cast(LongType)
 }

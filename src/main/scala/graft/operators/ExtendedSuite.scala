@@ -24,8 +24,13 @@ object ExtendedSuite {
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"),
           col("event_id"))
       val tagged = e.filter(col("event_type").isin("view", "purchase"))
+      // views sort BEFORE purchases on timestamp ties so a same-tus view
+      // is visible to the purchase row — matching ASOF `view_tus <=
+      // purchase_tus` semantics (<= includes equality).
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus"), col("event_id"))
+        .orderBy(col("tus"),
+          when(col("event_type") === "view", lit(0)).otherwise(lit(1)),
+          col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tagged
         .withColumn("last_view_tus",
@@ -336,7 +341,7 @@ object ExtendedSuite {
       """SELECT 'orders' AS table_name, COUNT(*) AS sample_rows,
         |  CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
         |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 15)) AS BIGINT))
-        |    AS DECIMAL(38,0)) AS sample_checksum
+        |    % 1152921504606846976 AS BIGINT) AS sample_checksum
         |FROM orders
         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 16 = 0""".stripMargin,
 

@@ -106,7 +106,7 @@ object OpsSuite {
       """WITH ck AS (
         |  SELECT CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
         |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 15)) AS BIGINT))
-        |    AS DECIMAL(38,0)) AS c
+        |    % 1152921504606846976 AS BIGINT) AS c
         |  FROM orders)
         |SELECT 'orders' AS table_name, c AS source_checksum, c AS restored_checksum,
         |  'RESTORED' AS status

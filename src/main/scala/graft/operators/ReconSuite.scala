@@ -62,7 +62,7 @@ object ReconSuite {
     * group — the order-insensitive checksum.
     */
   private def ckSql(rowExpr: String) =
-    s"CAST(SUM(CAST(('0x' || substr(md5($rowExpr), 1, 15)) AS BIGINT)) AS DECIMAL(38,0))"
+    s"CAST(SUM(CAST(('0x' || substr(md5($rowExpr), 1, 15)) AS BIGINT)) % 1152921504606846976 AS BIGINT)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_rowcount" -> { (s, d) =>
@@ -148,22 +148,29 @@ object ReconSuite {
     "recon_repair" -> { (s, d) =>
       // ref: row_level/repair.py:19 generate_repair_script — emit the SQL
       // that would repair the target, as data (distributed string build).
+      // Values are ''-escaped and identifiers quoted like the reference
+      // (repair.py:184 value.replace("'","''"); repair.py:118 per-dialect
+      // identifier quoting); MISSING rows get a quote injected into
+      // o_orderpriority so the oracle exercises the escape path.
+      def esc(c: Column): Column = regexp_replace(c, "'", "''")
       val src = Tables.orders(s, d).select(
         col("o_orderkey").as("sk"), col("o_custkey").as("s_cust"),
-        col("o_orderstatus").as("s_status"), col("o_orderpriority").as("s_prio"))
+        col("o_orderstatus").as("s_status"),
+        when(col("o_orderkey") % 97 === 0, concat(col("o_orderpriority"), lit("'Q")))
+          .otherwise(col("o_orderpriority")).as("s_prio"))
       val tgt = target(s, d).select(
         col("o_orderkey").as("tk"), col("o_orderstatus").as("t_status"))
       src.join(tgt, col("sk") === col("tk"), "full_outer")
         .withColumn("repair_sql",
           when(col("tk").isNull, concat(
-            lit("INSERT INTO orders (o_orderkey, o_custkey, o_orderstatus, o_orderpriority) VALUES ("),
-            col("sk"), lit(", "), col("s_cust"), lit(", '"), col("s_status"), lit("', '"),
-            col("s_prio"), lit("');")))
+            lit("INSERT INTO \"orders\" (\"o_orderkey\", \"o_custkey\", \"o_orderstatus\", \"o_orderpriority\") VALUES ("),
+            col("sk"), lit(", "), col("s_cust"), lit(", '"), esc(col("s_status")), lit("', '"),
+            esc(col("s_prio")), lit("');")))
           .when(col("sk").isNull, concat(
-            lit("DELETE FROM orders WHERE o_orderkey = "), col("tk"), lit(";")))
+            lit("DELETE FROM \"orders\" WHERE \"o_orderkey\" = "), col("tk"), lit(";")))
           .when(col("s_status") =!= col("t_status"), concat(
-            lit("UPDATE orders SET o_orderstatus = '"), col("s_status"),
-            lit("' WHERE o_orderkey = "), col("sk"), lit(";"))))
+            lit("UPDATE \"orders\" SET \"o_orderstatus\" = '"), esc(col("s_status")),
+            lit("' WHERE \"o_orderkey\" = "), col("sk"), lit(";"))))
         .filter(col("repair_sql").isNotNull)
         .select(coalesce(col("sk"), col("tk")).as("o_orderkey"), col("repair_sql"))
         .orderBy("o_orderkey")
@@ -310,17 +317,20 @@ object ReconSuite {
 
     "recon_repair" ->
       s"""WITH src AS (SELECT o_orderkey AS sk, o_custkey AS s_cust,
-         |    o_orderstatus AS s_status, o_orderpriority AS s_prio FROM orders),
+         |    o_orderstatus AS s_status,
+         |    CASE WHEN o_orderkey % 97 = 0 THEN o_orderpriority || '''Q'
+         |         ELSE o_orderpriority END AS s_prio FROM orders),
          |tgt AS (SELECT o_orderkey AS tk, o_orderstatus AS t_status FROM ($TargetSql) x)
          |SELECT COALESCE(sk, tk) AS o_orderkey,
          |  CASE WHEN tk IS NULL THEN
-         |    'INSERT INTO orders (o_orderkey, o_custkey, o_orderstatus, o_orderpriority) VALUES (' ||
-         |    sk || ', ' || s_cust || ', ''' || s_status || ''', ''' || s_prio || ''');'
+         |    'INSERT INTO "orders" ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority") VALUES (' ||
+         |    sk || ', ' || s_cust || ', ''' || replace(s_status, '''', '''''') ||
+         |    ''', ''' || replace(s_prio, '''', '''''') || ''');'
          |  WHEN sk IS NULL THEN
-         |    'DELETE FROM orders WHERE o_orderkey = ' || tk || ';'
+         |    'DELETE FROM "orders" WHERE "o_orderkey" = ' || tk || ';'
          |  WHEN s_status <> t_status THEN
-         |    'UPDATE orders SET o_orderstatus = ''' || s_status ||
-         |    ''' WHERE o_orderkey = ' || sk || ';' END AS repair_sql
+         |    'UPDATE "orders" SET "o_orderstatus" = ''' || replace(s_status, '''', '''''') ||
+         |    ''' WHERE "o_orderkey" = ' || sk || ';' END AS repair_sql
          |FROM src FULL OUTER JOIN tgt ON sk = tk
          |WHERE (CASE WHEN tk IS NULL THEN 1 WHEN sk IS NULL THEN 1
          |            WHEN s_status <> t_status THEN 1 END) IS NOT NULL
