@@ -52,6 +52,10 @@ object Bench {
     // throughput); run 2 is the steady state a long-running cluster sees.
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
+        // each run starts cache-cold: leftover persists from the previous
+        // run would otherwise make run 2 time a cache read, and the
+        // accumulated entries would spill the long bench session
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try materialize(SparkEntry.queries(name)(spark, sfDir))
         catch { case _: Throwable => () }

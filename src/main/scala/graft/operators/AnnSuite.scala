@@ -28,6 +28,91 @@ object AnnSuite {
   private def normExpr(c: String) =
     s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
 
+  /** IVF parameters (overridable per call via [[ivf]]). */
+  private[graft] val IvfK = 10
+  private[graft] val IvfNProbe = 2
+
+  /** Per-centroid squared distances as an array of (dist, cid) structs —
+    * dist first so struct ordering is (dist, cid).
+    */
+  private val DistsExpr =
+    """transform(cents, c -> named_struct('dist',
+      |  aggregate(zip_with(embedding, c.ce, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+      |  'cid', c.cid))""".stripMargin
+
+  /** IVF index build + probe, parameterized by centroid count and probe
+    * width. Assignment is a narrow per-row argmin expression over the
+    * broadcast centroid array: no n·k row explosion, no window exchange —
+    * the shape that survives 100 TB (each executor scans its rows once).
+    */
+  private[graft] def ivf(k: Int, nprobe: Int): (SparkSession, String) => DataFrame = { (s, d) =>
+    import graft.functions.Portable.rowHash60
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+
+    // deterministic hash-ordered sample: the k vectors with the smallest
+    // 60-bit hash of vec_id — an unbiased pseudo-random seed set (the
+    // first-k-rows init would sample one corner of the file), still
+    // reproducible in the oracle. TakeOrdered keeps only k rows.
+    val seeds = e
+      .orderBy(rowHash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+    // single-row cid-ascending centroid array, broadcast to every task
+    def centArray(cents: DataFrame): DataFrame =
+      cents.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+
+    // argmin by sequential scan with strict '<' over the cid-ascending
+    // array: ties keep the lowest cid, identical to ORDER BY dist, cid
+    def assign(points: DataFrame, cents: DataFrame): DataFrame =
+      points.crossJoin(broadcast(centArray(cents)))
+        .withColumn("dists", expr(DistsExpr))
+        .withColumn("best", expr(
+          """aggregate(dists, named_struct('dist', CAST('Infinity' AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
+            |  (b, x) -> IF(x.dist < b.dist, x, b))""".stripMargin))
+        .withColumn("cid", col("best.cid"))
+        .drop("cents", "dists", "best")
+
+    val assign0 = assign(e, seeds).select(col("vec_id"), col("cid"), col("embedding"))
+    // Lloyd step: per-(cluster, dim) mean, rebuilt into vectors. The
+    // mean uses exact fixed-point accumulation (a bare avg() over
+    // floats is reduction-order nondeterministic, which would make the
+    // whole index irreproducible).
+    val refined = assign0
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(floor(col("col").cast("double") * 1e6 + 0.5)).cast("double")
+        / count(lit(1)) / 1e6).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
+    val assign1 = assign(e, refined)
+      .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
+        col("label"), col("embedding").as("ce2"))
+
+    val queriesDf = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // nprobe nearest cells per query, ranked inside one array expression
+    // (sort k structs per query row — no window, no shuffle)
+    val probes = queriesDf.crossJoin(broadcast(centArray(refined)))
+      .withColumn("dists", expr(DistsExpr))
+      .select(col("query_id"), col("embedding").as("qe"),
+        explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
+      .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
+
+    // search only the probed cells
+    val scored = assign1.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", floor(
+        expr("aggregate(zip_with(qe, ce2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+          (expr(normExpr("qe")) * expr(normExpr("ce2"))) * 1e6 + 0.5) / 1e6)
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))))
+      .filter(col("rk") <= 3)
+      .select("query_id", "cand_id", "cell", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> { (s, d) =>
       // cosine via the native codegen'd expression (graft.plans.CosineSimilarity)
@@ -45,57 +130,7 @@ object AnnSuite {
         .orderBy("query_id", "rk")
     },
 
-    "ann_ivf" -> { (s, d) =>
-      // IVF: seed centroids = vec_id 0..9, one Lloyd refinement, then
-      // probe the 2 nearest cells per query. Distributed throughout:
-      // assignment is a broadcast-join map, centroid recompute is a
-      // posexplode + per-(cluster,dim) average.
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
-      val seeds = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-
-      def nearest(points: DataFrame, cents: DataFrame): DataFrame =
-        points.crossJoin(broadcast(cents))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(embedding, ce, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-
-      val assign0 = nearest(e, seeds).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("embedding"))
-      // Lloyd step: per-(cluster, dim) mean, rebuilt into vectors. The
-      // mean uses exact fixed-point accumulation (a bare avg() over
-      // floats is reduction-order nondeterministic, which would make the
-      // whole index irreproducible).
-      val refined = assign0
-        .select(col("cid"), posexplode(col("embedding")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(floor(col("col").cast("double") * 1e6 + 0.5)).cast("double")
-          / count(lit(1)) / 1e6).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
-      val assign1 = nearest(e, refined).filter(col("rn") === 1)
-        .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
-          col("label"), col("embedding").as("ce2"))
-
-      val queriesDf = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val probes = nearest(queriesDf.withColumnRenamed("query_id", "vec_id"), refined)
-        .filter(col("rn") <= 2)
-        .select(col("vec_id").as("query_id"), col("cid").as("cell"), col("embedding").as("qe"))
-      // search only the probed cells
-      val scored = assign1.join(broadcast(probes), Seq("cell"))
-        .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cos", floor(
-          expr("aggregate(zip_with(qe, ce2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
-            (expr(normExpr("qe")) * expr(normExpr("ce2"))) * 1e6 + 0.5) / 1e6)
-      scored.withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))))
-        .filter(col("rk") <= 3)
-        .select("query_id", "cand_id", "cell", "cos", "rk")
-        .orderBy("query_id", "rk")
-    }
+    "ann_ivf" -> ivf(IvfK, IvfNProbe)
   )
 
   def oracles: Map[String, String] = Map(
@@ -127,7 +162,10 @@ object AnnSuite {
            |      i -> ${sq.format(c)} * ${sq.format(c)}))""".stripMargin
       val norm = "sqrt(list_sum(list_transform(%s, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-         |seeds AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 10),
+         |seeds AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM e
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+         |  LIMIT $IvfK),
          |d0 AS (
          |  SELECT e.vec_id, s.cid, e.embedding,
          |    ${dist("s.ce")} AS dist
@@ -156,7 +194,7 @@ object AnnSuite {
          |probes AS (
          |  SELECT vec_id AS query_id, cid AS cell, embedding AS qe FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d1 WHERE vec_id < 5) t WHERE rn <= 2),
+         |    FROM d1 WHERE vec_id < 5) t WHERE rn <= $IvfNProbe),
          |scored AS (
          |  SELECT query_id, cand_id, a1.cell AS cell,
          |    FLOOR(

@@ -45,7 +45,14 @@ object DedupSuite {
       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))""".stripMargin
 
   private val NumPerm = 12
-  private val BandRows = 3 // 4 bands × 3 rows
+  private val BandRows = 3 // 4 bands × 3 rows (s-curve midpoint ≈ 0.63 for the 0.7 verify)
+  // ngram-jaccard re-bands the same 12 perms as 6 bands × 2 rows: the
+  // s-curve midpoint (1/6)^(1/2) ≈ 0.41 sits below its 0.5 verify
+  // threshold, so near-threshold pairs still collide with high odds.
+  private val NgramBandRows = 2
+  // embedding LSH: 16 sign-bit hyperplanes, banded 4 × 4 bits
+  private val EmbPlanes = 16
+  private val EmbBandBits = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
@@ -139,42 +146,92 @@ object DedupSuite {
     },
 
     "dedup_ngram_jaccard" -> { (s, d) =>
-      // exact word-3-gram Jaccard inside (lang, source) buckets — the
-      // bucketing bounds candidates the way LSH bands do, but by metadata.
+      // exact word-3-gram Jaccard, candidate-generated by MinHash LSH —
+      // the same bucketed 100 TB shape as dedup_minhash_lsh (the only
+      // shuffles key on (band, bucket)); same-(lang, source) is a cheap
+      // post-filter on candidates, NOT the candidate generator, so no
+      // bucket ever degenerates into an all-pairs join when one
+      // (lang, source) dominates the corpus.
       val docs = Tables.documents(s, d)
         .withColumn("ws", split(lower(col("text")), " "))
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", expr(ShinglesExpr))
         .select("doc_id", "lang", "source", "shingles")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      org.apache.spark.sql.graft.Bridge.register(s)
-      docs.as("a").join(docs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+      val sigs = docs
+        .withColumn("hs", expr(
+          "transform(shingles, sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT))"))
+        .withColumn("sig", expr(
+          s"""transform(sequence(0, ${NumPerm - 1}), p ->
+             |  array_min(transform(hs, h ->
+             |    ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789)))""".stripMargin))
+      val bands = sigs.select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, ${NumPerm / NgramBandRows - 1}), b ->
+               |  md5(concat_ws(',', slice(sig, b * $NgramBandRows + 1, $NgramBandRows))))""".stripMargin)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard", expr("jaccard_sim(a.shingles, b.shingles)"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      org.apache.spark.sql.graft.Bridge.register(s)
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+          col("source").as("source_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+          col("source").as("source_b"), col("shingles").as("sh_b")), "doc_b")
+        .filter(col("lang_a") === col("lang_b") && col("source_a") === col("source_b"))
+        .withColumn("jaccard", expr("jaccard_sim(sh_a, sh_b)"))
         .filter(col("jaccard") >= 0.5)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.lang").as("lang"), col("jaccard"))
+        .select(col("doc_a"), col("doc_b"), col("lang_a").as("lang"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
     "dedup_embedding" -> { (s, d) =>
-      // embedding-cosine near-dup: double-fold dot/norms (sequential fold
-      // order is part of the contract, so results are engine-exact);
-      // label buckets bound the pair space; top-3 pairs per label.
+      // embedding-cosine near-dup, candidate-generated by random-
+      // hyperplane (sign-bit) LSH: 16 deterministic ±1 hyperplanes —
+      // coefficient(h, dim) = parity of the 60-bit md5 hash of "h,dim",
+      // reproducible in any engine — banded 4 × 4 bits. Candidates share
+      // a band; exact cosine (double-fold, engine-exact) verifies; top-3
+      // pairs per label. The only shuffle keys on (band, bucket) — no
+      // label-bucket all-pairs join, so a dominant label can't go
+      // quadratic at scale.
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("bits", expr(
+          s"""transform(sequence(0, ${EmbPlanes - 1}), h ->
+             |  CASE WHEN floor(aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
+             |    (acc, i) -> acc +
+             |      (CASE WHEN CAST(conv(substr(md5(CAST(concat(CAST(h AS STRING), ',', CAST(i AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2 = 1
+             |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+             |        * CAST(element_at(embedding, i) AS DOUBLE)) * 1e6 + 0.5) > 0
+             |  THEN 1 ELSE 0 END)""".stripMargin))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = e.select(col("vec_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, ${EmbPlanes / EmbBandBits - 1}), b ->
+               |  concat_ws(',', slice(bits, b * $EmbBandBits + 1, $EmbBandBits)))""".stripMargin)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .dropDuplicates("vec_a", "vec_b")
+      val pairs = cands
+        .join(e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+          col("embedding").as("emb_a")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+          col("embedding").as("emb_b")), "vec_b")
+        .filter(col("label_a") === col("label_b"))
         .withColumn("cos",
-          floor(expr("cosine_sim(a.embedding, b.embedding)") * 1e6 + 0.5) / 1e6)
+          floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a.label")).orderBy(desc("cos"), col("a.vec_id"), col("b.vec_id"))
+        .partitionBy(col("label_a")).orderBy(desc("cos"), col("vec_a"), col("vec_b"))
       pairs.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
-          col("b.vec_id").as("vec_b"), col("cos"), col("rk"))
+        .select(col("label_a").as("label"), col("vec_a"), col("vec_b"), col("cos"), col("rk"))
         .orderBy("label", "rk")
     }
   )
@@ -250,33 +307,69 @@ object DedupSuite {
          |  SELECT doc_id, lang, source, str_split(lower(text), ' ') AS ws FROM documents),
          |sh AS (
          |  SELECT doc_id, lang, source, $ShinglesSql AS shingles
-         |  FROM docs WHERE len(ws) >= 3)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |    len(list_distinct(a.shingles || b.shingles)) AS jaccard
-         |FROM sh a JOIN sh b
-         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |    len(list_distinct(a.shingles || b.shingles)) >= 0.5
+         |  FROM docs WHERE len(ws) >= 3),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $NumPerm), p ->
+         |      list_min(list_transform(
+         |        list_transform(shingles, sh2 -> ('0x' || substr(md5(sh2), 1, 15))::BIGINT),
+         |        h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b - 1 AS band,
+         |    md5(array_to_string(sig[(b-1)*$NgramBandRows+1:(b-1)*$NgramBandRows+$NgramBandRows], ',')) AS bucket
+         |  FROM sig, range(1, ${NumPerm / NgramBandRows + 1}) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, sa.lang AS lang,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+         |FROM cands
+         |JOIN sh sa ON sa.doc_id = doc_a
+         |JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE sa.lang = sb.lang AND sa.source = sb.source
+         |  AND CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
-      """WITH pairs AS (
-        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
-        |    sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
-        |    sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id),
-        |scored AS (
-        |  SELECT label, vec_a, vec_b,
-        |    floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 AS cos,
-        |    ROW_NUMBER() OVER (PARTITION BY label
-        |                       ORDER BY floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 DESC,
-        |                                vec_a, vec_b) AS rk
-        |  FROM pairs)
-        |SELECT label, vec_a, vec_b, cos, rk FROM scored
-        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    list_transform(range(0, $EmbPlanes), h ->
+         |      CASE WHEN floor(list_sum(list_transform(range(1, 65), i ->
+         |        (CASE WHEN ('0x' || substr(md5(CAST(h AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 1
+         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+         |          * CAST(embedding[i] AS DOUBLE))) * 1e6 + 0.5) > 0
+         |      THEN 1 ELSE 0 END) AS bits
+         |  FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, b - 1 AS band,
+         |    array_to_string(bits[(b-1)*$EmbBandBits+1:(b-1)*$EmbBandBits+$EmbBandBits], ',') AS bucket
+         |  FROM e, range(1, ${EmbPlanes / EmbBandBits + 1}) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT ea.label AS label, vec_a, vec_b,
+         |    list_sum(list_transform(range(1, len(ea.embedding) + 1),
+         |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) AS dot,
+         |    sqrt(list_sum(list_transform(ea.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+         |    sqrt(list_sum(list_transform(eb.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+         |  FROM cands
+         |  JOIN e ea ON ea.vec_id = vec_a
+         |  JOIN e eb ON eb.vec_id = vec_b
+         |  WHERE ea.label = eb.label),
+         |scored AS (
+         |  SELECT label, vec_a, vec_b,
+         |    floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY label
+         |                       ORDER BY floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 DESC,
+         |                                vec_a, vec_b) AS rk
+         |  FROM pairs)
+         |SELECT label, vec_a, vec_b, cos, rk FROM scored
+         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
   )
 }

@@ -270,9 +270,11 @@ object ExtendedSuite {
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       var labels = edges.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node"))
+      var persistedLabels: DataFrame = null
       var converged = false
       var iter = 0
-      while (!converged && iter < 10) {
+      val MaxIter = 30 // bounds component diameter; convergence-checked below
+      while (!converged && iter < MaxIter) {
         val neighborMin = edges.join(labels, col("doc_b") === col("node"))
           .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
         val updated = labels.join(neighborMin, col("node") === col("doc_a"), "left")
@@ -281,10 +283,19 @@ object ExtendedSuite {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val changed = updated.as("u").join(labels.as("l"), col("u.node") === col("l.node"))
           .filter(col("u.label") =!= col("l.label")).limit(1).count()
+        // `changed` materialized `updated`, so the superseded generation
+        // can be dropped before the next iteration re-caches
+        if (persistedLabels != null) persistedLabels.unpersist()
+        persistedLabels = updated
         labels = updated
         converged = changed == 0
         iter += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"dedup_cluster: label propagation did not converge in $MaxIter iterations " +
+            "(component diameter exceeds the cap); raise MaxIter")
+      pairs.unpersist()
       labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
         .orderBy("cluster_id")
