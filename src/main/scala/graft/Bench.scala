@@ -45,28 +45,44 @@ object Bench {
     // Warm the JVM/codegen/IO paths once so timings reflect steady state,
     // not first-query session setup.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    // warmup failure is not fatal: the timed loop below records the
+    // per-query error so the JSON still reports what broke
+    try materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     // Two timed runs per query, report the min: run 1 pays per-query
     // whole-stage-codegen compilation (a JVM artifact, not engine
     // throughput); run 2 is the steady state a long-running cluster sees.
-    val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+    // A query that throws is reported under "errors" (never as a timing):
+    // a partial elapsed-to-exception time would make a broken query look
+    // fast and the regression invisible.
+    val results: Seq[(String, Either[String, Double])] = names.map { name =>
+      val runs = (1 to 2).map { _ =>
         // each run starts cache-cold: leftover persists from the previous
         // run would otherwise make run 2 time a cache read, and the
         // accumulated entries would spill the long bench session
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try materialize(SparkEntry.queries(name)(spark, sfDir))
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val err =
+          try { materialize(SparkEntry.queries(name)(spark, sfDir)); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      name -> times.min
+      runs.collectFirst { case (_, Some(msg)) => name -> Left(msg) }
+        .getOrElse(name -> Right(runs.map(_._1).min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(m)) => k -> m }
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

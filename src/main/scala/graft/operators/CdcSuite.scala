@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -58,6 +58,86 @@ object CdcSuite {
        |  ',"after":{"id":' || id || ',"custkey":' || custkey ||
        |  ',"status":"' || status || '"}}' AS envelope
        |FROM ($LogSql) log""".stripMargin
+
+  /** Change log carrying BOTH images, like the real Debezium envelope
+    * (ref: specs/001-sqlserver-pg-cdc/contracts/debezium-sqlserver-source.json —
+    * `before` and `after` are both part of the value schema):
+    * inserts have before=null, updates both, deletes after=null. A key
+    * deleted after being updated carries the post-update image as its
+    * before (the true pre-delete state).
+    */
+  private[graft] def changeLogBI(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("id"),
+      col("o_custkey").as("custkey"), col("o_orderstatus").as("status"))
+    val c = base.select(col("id"),
+      lit(null).cast(LongType).as("b_custkey"), lit(null).cast(StringType).as("b_status"),
+      col("custkey").as("a_custkey"), col("status").as("a_status"),
+      lit("c").as("op"), lit(1L).as("seq"))
+    val u = base.filter(col("id") % 7 === 0).select(col("id"),
+      col("custkey").as("b_custkey"), col("status").as("b_status"),
+      col("custkey").as("a_custkey"), lit("U").as("a_status"),
+      lit("u").as("op"), lit(2L).as("seq"))
+    val del = base.filter(col("id") % 13 === 0).select(col("id"),
+      col("custkey").as("b_custkey"),
+      when(col("id") % 7 === 0, lit("U")).otherwise(col("status")).as("b_status"),
+      lit(null).cast(LongType).as("a_custkey"), lit(null).cast(StringType).as("a_status"),
+      lit("d").as("op"), lit(3L).as("seq"))
+    c.unionByName(u).unionByName(del)
+      .withColumn("ts_ms", lit(1700000000000L) + col("seq") * 1000 + col("id"))
+  }
+
+  private val LogBISql =
+    """SELECT *, 1700000000000 + seq*1000 + id AS ts_ms FROM (
+      |  SELECT o_orderkey AS id,
+      |    CAST(NULL AS BIGINT) AS b_custkey, CAST(NULL AS VARCHAR) AS b_status,
+      |    o_custkey AS a_custkey, o_orderstatus AS a_status,
+      |    'c' AS op, CAST(1 AS BIGINT) AS seq
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_custkey, 'U', 'u', 2
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'd', 3
+      |  FROM orders WHERE o_orderkey % 13 = 0) log""".stripMargin
+
+  /** Full dual-image envelope in the DuckDB dialect. */
+  private val EnvelopeBISql =
+    s"""SELECT id,
+       |  '{"op":"' || op || '","ts_ms":' || ts_ms ||
+       |  ',"before":' || CASE WHEN b_status IS NULL THEN 'null' ELSE
+       |    '{"id":' || id || ',"custkey":' || b_custkey || ',"status":"' || b_status || '"}' END ||
+       |  ',"after":' || CASE WHEN a_status IS NULL THEN 'null' ELSE
+       |    '{"id":' || id || ',"custkey":' || a_custkey || ',"status":"' || a_status || '"}' END ||
+       |  '}' AS envelope
+       |FROM ($LogBISql) logbi""".stripMargin
+
+  /** Spark-side dual-image envelope string (bit-identical to
+    * [[EnvelopeBISql]]).
+    */
+  private def envelopeBI(s: SparkSession, d: String): DataFrame = {
+    val log = changeLogBI(s, d)
+    def image(ck: String, st: String): Column =
+      when(col(st).isNull, lit("null")).otherwise(concat(
+        lit("{\"id\":"), col("id"), lit(",\"custkey\":"), col(ck),
+        lit(",\"status\":\""), col(st), lit("\"}")))
+    log.select(col("id"), concat(
+      lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
+      lit(",\"before\":"), image("b_custkey", "b_status"),
+      lit(",\"after\":"), image("a_custkey", "a_status"),
+      lit("}")).as("envelope"))
+  }
+
+  /** from_json schema for the dual-image envelope. */
+  private val BISchema = StructType(Seq(
+    StructField("op", StringType), StructField("ts_ms", LongType),
+    StructField("before", StructType(Seq(
+      StructField("id", LongType), StructField("custkey", LongType),
+      StructField("status", StringType)))),
+    StructField("after", StructType(Seq(
+      StructField("id", LongType), StructField("custkey", LongType),
+      StructField("status", StringType))))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_parse" -> { (s, d) =>
@@ -145,6 +225,38 @@ object CdcSuite {
         .orderBy("status")
     },
 
+    "cdc_before_image" -> { (s, d) =>
+      // Parse the dual-image envelope: before/after structs flatten to
+      // nullable columns — inserts have null befores, deletes null afters
+      // (ref: Debezium value schema `before`+`after`,
+      // specs/001-sqlserver-pg-cdc/contracts/debezium-sqlserver-source.json).
+      envelopeBI(s, d)
+        .select(from_json(col("envelope"), BISchema).as("e"))
+        .select(col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
+          coalesce(col("e.after.id"), col("e.before.id")).as("id"),
+          col("e.before.custkey").as("before_custkey"),
+          col("e.before.status").as("before_status"),
+          col("e.after.custkey").as("after_custkey"),
+          col("e.after.status").as("after_status"))
+        .orderBy("id", "ts_ms")
+    },
+
+    "cdc_update_diff" -> { (s, d) =>
+      // Per-update changed-column list computed FROM THE PARSED STREAM —
+      // the diffing the after-only envelope can't express. Null-safe
+      // compare (<=>) so a column appearing/disappearing also counts as
+      // changed.
+      envelopeBI(s, d)
+        .select(from_json(col("envelope"), BISchema).as("e"))
+        .filter(col("e.op") === "u")
+        .select(col("e.after.id").as("id"), col("e.ts_ms").as("ts_ms"),
+          concat_ws(",",
+            when(!(col("e.before.custkey") <=> col("e.after.custkey")), lit("custkey")),
+            when(!(col("e.before.status") <=> col("e.after.status")), lit("status")))
+            .as("changed_columns"))
+        .orderBy("id")
+    },
+
     "cdc_type_map" -> { (s, d) =>
       // SQL Server → PostgreSQL → Spark type mapping matrix applied to
       // live columns (ref: schema-sync type mapping in docs/ +
@@ -209,6 +321,32 @@ object CdcSuite {
          |  COUNT(CAST(json_extract(env, '$$.region') AS BIGINT)) AS n_with_region
          |FROM env
          |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "cdc_before_image" ->
+      s"""SELECT json_extract_string(envelope, '$$.op') AS op,
+         |  CAST(json_extract(envelope, '$$.ts_ms') AS BIGINT) AS ts_ms,
+         |  COALESCE(CAST(json_extract(envelope, '$$.after.id') AS BIGINT),
+         |           CAST(json_extract(envelope, '$$.before.id') AS BIGINT)) AS id,
+         |  CAST(json_extract(envelope, '$$.before.custkey') AS BIGINT) AS before_custkey,
+         |  json_extract_string(envelope, '$$.before.status') AS before_status,
+         |  CAST(json_extract(envelope, '$$.after.custkey') AS BIGINT) AS after_custkey,
+         |  json_extract_string(envelope, '$$.after.status') AS after_status
+         |FROM ($EnvelopeBISql) e
+         |ORDER BY id, ts_ms""".stripMargin,
+
+    "cdc_update_diff" ->
+      s"""SELECT CAST(json_extract(envelope, '$$.after.id') AS BIGINT) AS id,
+         |  CAST(json_extract(envelope, '$$.ts_ms') AS BIGINT) AS ts_ms,
+         |  concat_ws(',',
+         |    CASE WHEN CAST(json_extract(envelope, '$$.before.custkey') AS BIGINT)
+         |           IS DISTINCT FROM CAST(json_extract(envelope, '$$.after.custkey') AS BIGINT)
+         |         THEN 'custkey' END,
+         |    CASE WHEN json_extract_string(envelope, '$$.before.status')
+         |           IS DISTINCT FROM json_extract_string(envelope, '$$.after.status')
+         |         THEN 'status' END) AS changed_columns
+         |FROM ($EnvelopeBISql) e
+         |WHERE json_extract_string(envelope, '$$.op') = 'u'
+         |ORDER BY id""".stripMargin,
 
     "cdc_type_map" ->
       """SELECT c_custkey,

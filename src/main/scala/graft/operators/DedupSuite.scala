@@ -37,7 +37,7 @@ object DedupSuite {
   /** Spark-side shingle/signature prep shared by minhash + jaccard:
     * ws (lowered words), 3-word shingles (distinct).
     */
-  private val ShinglesExpr =
+  private[graft] val ShinglesExpr =
     """array_distinct(transform(sequence(1, size(ws) - 2),
       |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))""".stripMargin
   private val ShinglesSql =
@@ -338,7 +338,7 @@ object DedupSuite {
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding,
          |    list_transform(range(0, $EmbPlanes), h ->
-         |      CASE WHEN floor(list_sum(list_transform(range(1, 65), i ->
+         |      CASE WHEN floor(list_sum(list_transform(range(1, len(embedding) + 1), i ->
          |        (CASE WHEN ('0x' || substr(md5(CAST(h AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 1
          |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
          |          * CAST(embedding[i] AS DOUBLE))) * 1e6 + 0.5) > 0

@@ -270,24 +270,24 @@ object ExtendedSuite {
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       var labels = edges.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node"))
-      var persistedLabels: DataFrame = null
       var converged = false
       var iter = 0
       val MaxIter = 30 // bounds component diameter; convergence-checked below
       while (!converged && iter < MaxIter) {
         val neighborMin = edges.join(labels, col("doc_b") === col("node"))
           .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
+        // carry old_label through so the convergence check is a filter on
+        // this frame — not a second join against the previous generation.
+        // localCheckpoint (eager) truncates BOTH lineage and the logical
+        // plan each iteration, so planning cost stays constant across
+        // iterations at real scale; superseded checkpoint RDDs are
+        // released by the ContextCleaner once dereferenced.
         val updated = labels.join(neighborMin, col("node") === col("doc_a"), "left")
-          .select(col("node"),
+          .select(col("node"), col("label").as("old_label"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = updated.as("u").join(labels.as("l"), col("u.node") === col("l.node"))
-          .filter(col("u.label") =!= col("l.label")).limit(1).count()
-        // `changed` materialized `updated`, so the superseded generation
-        // can be dropped before the next iteration re-caches
-        if (persistedLabels != null) persistedLabels.unpersist()
-        persistedLabels = updated
-        labels = updated
+          .localCheckpoint()
+        val changed = updated.filter(col("label") =!= col("old_label")).limit(1).count()
+        labels = updated.select(col("node"), col("label"))
         converged = changed == 0
         iter += 1
       }

@@ -1,48 +1,78 @@
 package graft.operators
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable._
-import graft.sources.Tables
+import graft.sources.{Scratch, Tables}
 
 /** §2 H — operational capabilities the reference ships as scripts/tools,
   * re-expressed Spark-natively.
   */
 object OpsSuite {
 
-  /** Plan checks mirroring the reference's query analyzer
+  /** Plan checks mirroring the reference's query analyzer, now with
+    * actionable recommendations + layout DDL per finding
     * (ref: utils/query_optimizer/analyzer.py parses EXPLAIN for seq
-    * scans / missing indexes; the Spark analogs are missing filter
-    * pushdown, missing column pruning, and codegen gaps).
+    * scans; advisor.py:34 recommend_indexes_for_reconciliation and
+    * generate_index_ddl:122 turn findings into index DDL — the Spark
+    * analogs are partition/bucket/sort table layouts).
     */
-  private[graft] def advise(df: DataFrame): Seq[(String, String, String)] = {
+  private[graft] def advise(df: DataFrame): Seq[(String, String, String, String, String)] = {
     // collect() executes THIS dataframe's plan (count() would build a
     // different one), finalizing AQE so codegen stage markers appear
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
+    // AQE's toString carries BOTH "Final Plan" and "Initial Plan"
+    // sections — analyze only the final (executed) one, or every scan
+    // double-counts
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
-    val findings = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val findings = scala.collection.mutable.ArrayBuffer[(String, String, String, String, String)]()
     scans.zipWithIndex.foreach { case (s, i) =>
-      val pushed = s.contains("PushedFilters: [") && !s.contains("PushedFilters: []")
-      val readAll = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s)
+      val table = "([A-Za-z0-9_]+)\\.parquet".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("unknown")
+      // long filter lists render truncated ("IsNotNull..." with no
+      // closing bracket), so accept either the bracket or the following
+      // ", ReadSchema" as the terminator
+      val pushedStr = "PushedFilters: \\[([^\\]]*?)(?:\\]|, ReadSchema)".r.findFirstMatchIn(s)
+        .map(_.group(1).trim).getOrElse("")
+      val pushed = pushedStr.nonEmpty
+      val filterCol = "\\(([A-Za-z0-9_]+)[,)]".r.findFirstMatchIn(pushedStr).map(_.group(1))
+      val nCols = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s)
         .map(_.group(1).count(_ == ',') + 1).getOrElse(0)
-      findings += (("scan_" + i, "filter_pushdown", if (pushed) "OK" else "NONE"))
-      findings += (("scan_" + i, "columns_read", readAll.toString))
+      findings += (("scan_" + i, "filter_pushdown", if (pushed) "OK" else "NONE",
+        if (pushed)
+          s"partition $table by ${filterCol.getOrElse("the filtered column")} so the pushed filter prunes whole files, not just row groups"
+        else
+          s"rewrite the predicate over $table into a pushdown-eligible form (no casts or expressions wrapping the scanned column)",
+        filterCol.filter(_ => pushed)
+          .map(c => s"CREATE TABLE ${table}_part USING parquet PARTITIONED BY ($c) AS SELECT * FROM $table")
+          .getOrElse("")))
+      findings += (("scan_" + i, "columns_read", nCols.toString,
+        if (nCols > 8) s"project only the needed columns from $table before joins so ReadSchema narrows"
+        else "none needed", ""))
     }
-    findings += (("plan", "exchanges", plan.linesIterator.count(_.contains("Exchange")).toString))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    findings += (("plan", "exchanges", exchanges.toString,
+      if (exchanges > 3)
+        "co-locate the dominant join to remove a shuffle: bucket both sides on the join key"
+      else "none needed",
+      if (exchanges > 3)
+        "CREATE TABLE fact_bucketed USING parquet CLUSTERED BY (join_key) INTO 32 BUCKETS AS SELECT * FROM fact"
+      else ""))
     findings += (("plan", "codegen_stages",
-      "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1).toInt).toSet.size.toString))
+      "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1).toInt).toSet.size.toString,
+      "none needed", ""))
     findings.toSeq
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "plan_advisor" -> { (s, d) =>
       // rows-only: analyze q3's physical plan the way the reference's
-      // IndexAdvisor analyzes EXPLAIN output.
+      // IndexAdvisor analyzes EXPLAIN output, emitting a recommendation
+      // (+ layout DDL where derivable) per finding.
       import s.implicits._
       advise(AnalyticCore.queries("q3_top_orders")(s, d))
-        .toDF("subject", "check", "value")
+        .toDF("subject", "check", "value", "recommendation", "ddl")
         .orderBy("subject", "check")
     },
 
@@ -56,7 +86,7 @@ object OpsSuite {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       val src = base.agg(checksumAgg(row).as("source_checksum"))
       val restored = Seq("parquet", "json", "csv").map { fmt =>
-        val tmp = Files.createTempDirectory(s"graft_fmt_$fmt").toString
+        val tmp = Scratch.dir(s"graft_fmt_$fmt")
         fmt match {
           case "parquet" => base.write.mode("overwrite").parquet(tmp)
           case "json"    => base.write.mode("overwrite").json(tmp)
@@ -82,7 +112,7 @@ object OpsSuite {
       // (ref: scripts/bash/backup-databases.sh / restore-databases.sh).
       // Oracle-checkable: the round-trip must preserve the checksum, so
       // the output equals a direct source checksum with status RESTORED.
-      val tmp = Files.createTempDirectory("graft_snapshot").toString
+      val tmp = Scratch.dir("graft_snapshot")
       val row = rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       Tables.orders(s, d).write.mode("overwrite").parquet(tmp)
       val src = Tables.orders(s, d).agg(checksumAgg(row).as("source_checksum"))

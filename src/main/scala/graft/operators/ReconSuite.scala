@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.functions.Portable._
-import graft.sources.Tables
+import graft.sources.{Scratch, Tables}
 
 /** §2 B — reconciliation between a "source" and "target" table
   * (reference: src/reconciliation/).
@@ -63,6 +63,85 @@ object ReconSuite {
     */
   private def ckSql(rowExpr: String) =
     s"CAST(SUM(CAST(('0x' || substr(md5($rowExpr), 1, 15)) AS BIGINT)) % 1152921504606846976 AS BIGINT)"
+
+  /** State-store location for [[recon_incremental_stateful]], keyed by
+    * lake dir so concurrent SFs don't clobber each other's state.
+    */
+  private[graft] def stateDirFor(d: String): String =
+    Scratch.stable("graft_recon_state/" + d.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** Fixture: the reconciliation source VIEW for repair generation. Real
+    * deployments read the source table as-is; this fixture suffixes a
+    * quote-bearing marker onto o_orderpriority of exactly the keys the
+    * target is missing, so the emitter's value-escaping path is
+    * oracle-exercised. It is test-data synthesis, kept OUT of the
+    * emitter: the emitter below faithfully reproduces whatever the source
+    * view holds (the r2 version injected the quote inside the operator,
+    * which made every INSERT restore a corrupted priority value).
+    */
+  private def repairSource(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("sk"), col("o_custkey").as("s_cust"),
+      col("o_orderstatus").as("s_status"),
+      when(col("o_orderkey") % 97 === 0, concat(col("o_orderpriority"), lit("'Q")))
+        .otherwise(col("o_orderpriority")).as("s_prio"))
+
+  private val RepairSourceSql =
+    """SELECT o_orderkey AS sk, o_custkey AS s_cust, o_orderstatus AS s_status,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN o_orderpriority || '''Q'
+      |       ELSE o_orderpriority END AS s_prio FROM orders""".stripMargin
+
+  /** Generic repair-script emitter (ref: row_level/repair.py:19
+    * generate_repair_script; identifier quoting per target dialect —
+    * ref: compare/quoting.py emits `[ident]` for SQL Server vs `"ident"`
+    * for Postgres). Emits source values verbatim, ''-escaped
+    * (ref: repair.py:184).
+    */
+  private def repairStatements(src: DataFrame, tgt: DataFrame, dialect: String): DataFrame = {
+    def q(id: String): String =
+      if (dialect == "sqlserver") s"[$id]" else "\"" + id + "\""
+    def esc(c: Column): Column = regexp_replace(c, "'", "''")
+    src.join(tgt, col("sk") === col("tk"), "full_outer")
+      .withColumn("repair_sql",
+        when(col("tk").isNull, concat(
+          lit(s"INSERT INTO ${q("orders")} (${q("o_orderkey")}, ${q("o_custkey")}, ${q("o_orderstatus")}, ${q("o_orderpriority")}) VALUES ("),
+          col("sk"), lit(", "), col("s_cust"), lit(", '"), esc(col("s_status")), lit("', '"),
+          esc(col("s_prio")), lit("');")))
+        .when(col("sk").isNull, concat(
+          lit(s"DELETE FROM ${q("orders")} WHERE ${q("o_orderkey")} = "), col("tk"), lit(";")))
+        .when(col("s_status") =!= col("t_status"), concat(
+          lit(s"UPDATE ${q("orders")} SET ${q("o_orderstatus")} = '"), esc(col("s_status")),
+          lit(s"' WHERE ${q("o_orderkey")} = "), col("sk"), lit(";"))))
+      .filter(col("repair_sql").isNotNull)
+      .select(coalesce(col("sk"), col("tk")).as("o_orderkey"), col("repair_sql"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The discrepancy-rollup report shared by recon_report and its export
+    * variant (ref: report/generator.py).
+    */
+  private def reportDf(s: SparkSession, d: String): DataFrame = {
+    val total = Tables.orders(s, d).agg(count(lit(1)).as("total"))
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").as("sk"), col("o_orderstatus").as("s_status"))
+    val tgt = target(s, d).select(
+      col("o_orderkey").as("tk"), col("o_orderstatus").as("t_status"))
+    src.join(tgt, col("sk") === col("tk"), "full_outer")
+      .withColumn("discrepancy_type",
+        when(col("tk").isNull, lit("MISSING"))
+          .when(col("sk").isNull, lit("EXTRA"))
+          .when(col("s_status") =!= col("t_status"), lit("MODIFIED")))
+      .filter(col("discrepancy_type").isNotNull)
+      .groupBy(col("discrepancy_type")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("severity",
+        when(col("n") * 100 > col("total") * 5, lit("CRITICAL"))
+          .when(col("n") * 100 > col("total"), lit("HIGH"))
+          .when(col("n") * 1000 > col("total"), lit("MEDIUM"))
+          .otherwise(lit("LOW")))
+      .select("discrepancy_type", "n", "severity")
+      .orderBy("discrepancy_type")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_rowcount" -> { (s, d) =>
@@ -146,60 +225,128 @@ object ReconSuite {
     },
 
     "recon_repair" -> { (s, d) =>
-      // ref: row_level/repair.py:19 generate_repair_script — emit the SQL
-      // that would repair the target, as data (distributed string build).
-      // Values are ''-escaped and identifiers quoted like the reference
-      // (repair.py:184 value.replace("'","''"); repair.py:118 per-dialect
-      // identifier quoting); MISSING rows get a quote injected into
-      // o_orderpriority so the oracle exercises the escape path.
-      def esc(c: Column): Column = regexp_replace(c, "'", "''")
-      val src = Tables.orders(s, d).select(
-        col("o_orderkey").as("sk"), col("o_custkey").as("s_cust"),
-        col("o_orderstatus").as("s_status"),
-        when(col("o_orderkey") % 97 === 0, concat(col("o_orderpriority"), lit("'Q")))
-          .otherwise(col("o_orderpriority")).as("s_prio"))
-      val tgt = target(s, d).select(
-        col("o_orderkey").as("tk"), col("o_orderstatus").as("t_status"))
-      src.join(tgt, col("sk") === col("tk"), "full_outer")
-        .withColumn("repair_sql",
-          when(col("tk").isNull, concat(
-            lit("INSERT INTO \"orders\" (\"o_orderkey\", \"o_custkey\", \"o_orderstatus\", \"o_orderpriority\") VALUES ("),
-            col("sk"), lit(", "), col("s_cust"), lit(", '"), esc(col("s_status")), lit("', '"),
-            esc(col("s_prio")), lit("');")))
-          .when(col("sk").isNull, concat(
-            lit("DELETE FROM \"orders\" WHERE \"o_orderkey\" = "), col("tk"), lit(";")))
-          .when(col("s_status") =!= col("t_status"), concat(
-            lit("UPDATE \"orders\" SET \"o_orderstatus\" = '"), esc(col("s_status")),
-            lit("' WHERE \"o_orderkey\" = "), col("sk"), lit(";"))))
-        .filter(col("repair_sql").isNotNull)
-        .select(coalesce(col("sk"), col("tk")).as("o_orderkey"), col("repair_sql"))
-        .orderBy("o_orderkey")
+      // Postgres-dialect repair script ("ident" quoting) over the fixture
+      // source view — the emitter itself is dialect-parameterized and
+      // value-faithful (see repairStatements).
+      repairStatements(repairSource(s, d),
+        target(s, d).select(col("o_orderkey").as("tk"), col("o_orderstatus").as("t_status")),
+        "postgres")
     },
 
-    "recon_report" -> { (s, d) =>
-      // ref: report/generator.py — discrepancy rollup with severity
-      // thresholds on the share of affected rows. The total stays a
-      // (1-row) aggregate joined in, not a driver-side count().
-      val total = Tables.orders(s, d).agg(count(lit(1)).as("total"))
-      val src = Tables.orders(s, d).select(
-        col("o_orderkey").as("sk"), col("o_orderstatus").as("s_status"))
-      val tgt = target(s, d).select(
-        col("o_orderkey").as("tk"), col("o_orderstatus").as("t_status"))
-      src.join(tgt, col("sk") === col("tk"), "full_outer")
-        .withColumn("discrepancy_type",
-          when(col("tk").isNull, lit("MISSING"))
-            .when(col("sk").isNull, lit("EXTRA"))
-            .when(col("s_status") =!= col("t_status"), lit("MODIFIED")))
-        .filter(col("discrepancy_type").isNotNull)
-        .groupBy(col("discrepancy_type")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
-        .withColumn("severity",
-          when(col("n") * 100 > col("total") * 5, lit("CRITICAL"))
-            .when(col("n") * 100 > col("total"), lit("HIGH"))
-            .when(col("n") * 1000 > col("total"), lit("MEDIUM"))
-            .otherwise(lit("LOW")))
-        .select("discrepancy_type", "n", "severity")
-        .orderBy("discrepancy_type")
+    "recon_repair_sqlserver" -> { (s, d) =>
+      // Same emitter, SQL Server dialect: [ident] bracket quoting
+      // (ref: compare/quoting.py).
+      repairStatements(repairSource(s, d),
+        target(s, d).select(col("o_orderkey").as("tk"), col("o_orderstatus").as("t_status")),
+        "sqlserver")
+    },
+
+    "recon_incremental_stateful" -> { (s, d) =>
+      // ref: incremental/state.py:31 IncrementalChecksumTracker
+      // (get_last_checksum_timestamp:50, save_checksum_state:112) — the
+      // reference's headline cost-saver: persist (table, watermark,
+      // checksum, rows) after each run and checksum ONLY the delta on the
+      // next. Two scheduled runs compressed into one call:
+      //   bootstrap — checksum history ≤ watermark, SAVE state to the
+      //     (shared-FS) state store;
+      //   incremental — LOAD the state, scan only rows > watermark. The
+      //     loaded watermark is a literal, so the predicate pushes down
+      //     to the parquet scan and historical data pages are never read
+      //     — at 100 TB that's the difference between a full-table scan
+      //     and a tail scan.
+      val stateDir = stateDirFor(d)
+      val src = Tables.orders(s, d)
+      val tgt = target(s, d)
+      // watermark = max(o_orderdate) - 180 days, derived in-query
+      val wm = src.agg((max(col("o_orderdate")) - expr("INTERVAL 180 DAYS")).as("wm"))
+      def prefix(df: DataFrame, side: String) =
+        df.crossJoin(broadcast(wm)).filter(col("o_orderdate") <= col("wm"))
+          .agg(checksumAgg(orowStr).as(side + "_ck"), count(lit(1)).as(side + "_rows"))
+      prefix(src, "source").crossJoin(prefix(tgt, "target")).crossJoin(broadcast(wm))
+        .select(lit("orders").as("table_name"), col("wm").as("watermark"),
+          col("source_ck"), col("source_rows"), col("target_ck"), col("target_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(stateDir)
+      // incremental run: load persisted state — a 1-row driver read, the
+      // analog of the reference's SELECT from its state table
+      // o_orderdate is TIMESTAMP_NTZ in the lake parquet, so the java8
+      // API surfaces the watermark as LocalDateTime (not sql.Timestamp)
+      val st = s.read.parquet(stateDir).head()
+      val wmLit = lit(st.getAs[java.time.LocalDateTime]("watermark"))
+      def delta(df: DataFrame, side: String) =
+        df.filter(col("o_orderdate") > wmLit)
+          .agg(checksumAgg(orowStr).as(side + "_dck"), count(lit(1)).as(side + "_drows"))
+      def combine(stored: Long, deltaCk: Column): Column =
+        pmod(lit(stored) + deltaCk, lit(ChecksumMod)).cast(LongType)
+      delta(src, "source").crossJoin(delta(tgt, "target"))
+        .select(lit("orders").as("table_name"), wmLit.as("watermark"),
+          col("source_drows").as("delta_rows"),
+          (lit(st.getAs[Long]("source_rows")) + col("source_drows")).as("total_rows"),
+          combine(st.getAs[Long]("source_ck"), col("source_dck")).as("source_checksum"),
+          combine(st.getAs[Long]("target_ck"), col("target_dck")).as("target_checksum"))
+        .withColumn("status",
+          when(col("source_checksum") === col("target_checksum"), lit("MATCH"))
+            .otherwise(lit("MISMATCH")))
+    },
+
+    "recon_report" -> ((s, d) => reportDf(s, d)),
+
+    "recon_report_export" -> { (s, d) =>
+      // ref: report/formatters.py:13 export_report_json/export_report_csv
+      // — the report written as JSON-lines + CSV artifacts, read back and
+      // checksum-verified (same roundtrip proof as source_formats).
+      val rep = reportDf(s, d)
+      val dir = Scratch.dir("graft_report")
+      rep.coalesce(1).write.mode("overwrite").json(dir + "/json")
+      rep.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir + "/csv")
+      val row = rowStr(col("discrepancy_type"), col("n"), col("severity"))
+      val orig = rep.agg(checksumAgg(row).as("orig_ck"), count(lit(1)).as("orig_rows"))
+      Seq("csv", "json").map { fmt =>
+        val back = fmt match {
+          case "json" => s.read.schema(rep.schema).json(dir + "/json")
+          case "csv"  => s.read.schema(rep.schema).option("header", "true").csv(dir + "/csv")
+        }
+        back.agg(checksumAgg(row).as("back_ck"), count(lit(1)).as("back_rows"))
+          .select(lit(fmt).as("format"), col("back_ck"), col("back_rows"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(orig))
+        .select(col("format"), col("back_rows").as("n_rows"),
+          when(col("back_ck") === col("orig_ck") && col("back_rows") === col("orig_rows"),
+            lit("OK")).otherwise(lit("CORRUPT")).as("status"))
+        .orderBy("format")
+    },
+
+    "recon_rowcount_fast" -> { (s, d) =>
+      // ref: utils/query_optimizer/optimizer.py:19 — fast row counts from
+      // pg_stat / sys.partitions instead of COUNT(*). The lake analog is
+      // EXACT and near-free: parquet footers carry per-file row counts,
+      // so this reads a few KB of metadata per file and ZERO data pages.
+      // Listing is driver metadata work (what Spark's FileIndex does
+      // anyway); footer reads distribute over the executors.
+      import s.implicits._
+      val path = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files: Seq[String] =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).toSeq
+        else Seq(path.toString)
+      s.createDataset(files)
+        .repartition(math.min(files.size, 32))
+        .mapPartitions { it =>
+          // executor-local conf: footer paths resolve against the default
+          // FS, same as the driver listing above
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { pstr =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(pstr), conf))
+            try rd.getRecordCount finally rd.close()
+          }
+        }
+        .toDF("n")
+        .agg(sum(col("n")).as("row_count"))
+        .select(lit("orders").as("table_name"), col("row_count"),
+          lit("METADATA").as("method"))
     },
 
     "recon_schema" -> { (s, d) =>
@@ -254,6 +401,46 @@ object ReconSuite {
         .orderBy("table_name")
     }
   )
+
+  /** Dialect-parameterized DuckDB analog of [[repairStatements]]:
+    * `q` renders a quoted identifier for the target dialect.
+    */
+  private def repairOracleSql(q: String => String): String =
+    s"""WITH src AS ($RepairSourceSql),
+       |tgt AS (SELECT o_orderkey AS tk, o_orderstatus AS t_status FROM ($TargetSql) x)
+       |SELECT COALESCE(sk, tk) AS o_orderkey,
+       |  CASE WHEN tk IS NULL THEN
+       |    'INSERT INTO ${q("orders")} (${q("o_orderkey")}, ${q("o_custkey")}, ${q("o_orderstatus")}, ${q("o_orderpriority")}) VALUES (' ||
+       |    sk || ', ' || s_cust || ', ''' || replace(s_status, '''', '''''') ||
+       |    ''', ''' || replace(s_prio, '''', '''''') || ''');'
+       |  WHEN sk IS NULL THEN
+       |    'DELETE FROM ${q("orders")} WHERE ${q("o_orderkey")} = ' || tk || ';'
+       |  WHEN s_status <> t_status THEN
+       |    'UPDATE ${q("orders")} SET ${q("o_orderstatus")} = ''' || replace(s_status, '''', '''''') ||
+       |    ''' WHERE ${q("o_orderkey")} = ' || sk || ';' END AS repair_sql
+       |FROM src FULL OUTER JOIN tgt ON sk = tk
+       |WHERE (CASE WHEN tk IS NULL THEN 1 WHEN sk IS NULL THEN 1
+       |            WHEN s_status <> t_status THEN 1 END) IS NOT NULL
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** DuckDB analog of [[reportDf]], shared by report + export oracles. */
+  private val ReportSql =
+    s"""WITH src AS (SELECT o_orderkey AS sk, o_orderstatus AS s_status FROM orders),
+       |tgt AS (SELECT o_orderkey AS tk, o_orderstatus AS t_status FROM ($TargetSql) x),
+       |d AS (
+       |  SELECT CASE WHEN tk IS NULL THEN 'MISSING'
+       |              WHEN sk IS NULL THEN 'EXTRA'
+       |              WHEN s_status <> t_status THEN 'MODIFIED' END AS discrepancy_type
+       |  FROM src FULL OUTER JOIN tgt ON sk = tk),
+       |tot AS (SELECT COUNT(*) AS total FROM orders)
+       |SELECT discrepancy_type, COUNT(*) AS n,
+       |  CASE WHEN COUNT(*) * 100 > MAX(total) * 5 THEN 'CRITICAL'
+       |       WHEN COUNT(*) * 100 > MAX(total) THEN 'HIGH'
+       |       WHEN COUNT(*) * 1000 > MAX(total) THEN 'MEDIUM'
+       |       ELSE 'LOW' END AS severity
+       |FROM d, tot WHERE discrepancy_type IS NOT NULL
+       |GROUP BY discrepancy_type
+       |ORDER BY discrepancy_type""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "recon_rowcount" ->
@@ -315,44 +502,39 @@ object ReconSuite {
          |              THEN 'MODIFIED' END) IS NOT NULL
          |ORDER BY o_orderkey""".stripMargin,
 
-    "recon_repair" ->
-      s"""WITH src AS (SELECT o_orderkey AS sk, o_custkey AS s_cust,
-         |    o_orderstatus AS s_status,
-         |    CASE WHEN o_orderkey % 97 = 0 THEN o_orderpriority || '''Q'
-         |         ELSE o_orderpriority END AS s_prio FROM orders),
-         |tgt AS (SELECT o_orderkey AS tk, o_orderstatus AS t_status FROM ($TargetSql) x)
-         |SELECT COALESCE(sk, tk) AS o_orderkey,
-         |  CASE WHEN tk IS NULL THEN
-         |    'INSERT INTO "orders" ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority") VALUES (' ||
-         |    sk || ', ' || s_cust || ', ''' || replace(s_status, '''', '''''') ||
-         |    ''', ''' || replace(s_prio, '''', '''''') || ''');'
-         |  WHEN sk IS NULL THEN
-         |    'DELETE FROM "orders" WHERE "o_orderkey" = ' || tk || ';'
-         |  WHEN s_status <> t_status THEN
-         |    'UPDATE "orders" SET "o_orderstatus" = ''' || replace(s_status, '''', '''''') ||
-         |    ''' WHERE "o_orderkey" = ' || sk || ';' END AS repair_sql
-         |FROM src FULL OUTER JOIN tgt ON sk = tk
-         |WHERE (CASE WHEN tk IS NULL THEN 1 WHEN sk IS NULL THEN 1
-         |            WHEN s_status <> t_status THEN 1 END) IS NOT NULL
-         |ORDER BY o_orderkey""".stripMargin,
+    "recon_repair" -> repairOracleSql(id => "\"" + id + "\""),
 
-    "recon_report" ->
-      s"""WITH src AS (SELECT o_orderkey AS sk, o_orderstatus AS s_status FROM orders),
-         |tgt AS (SELECT o_orderkey AS tk, o_orderstatus AS t_status FROM ($TargetSql) x),
-         |d AS (
-         |  SELECT CASE WHEN tk IS NULL THEN 'MISSING'
-         |              WHEN sk IS NULL THEN 'EXTRA'
-         |              WHEN s_status <> t_status THEN 'MODIFIED' END AS discrepancy_type
-         |  FROM src FULL OUTER JOIN tgt ON sk = tk),
-         |tot AS (SELECT COUNT(*) AS total FROM orders)
-         |SELECT discrepancy_type, COUNT(*) AS n,
-         |  CASE WHEN COUNT(*) * 100 > MAX(total) * 5 THEN 'CRITICAL'
-         |       WHEN COUNT(*) * 100 > MAX(total) THEN 'HIGH'
-         |       WHEN COUNT(*) * 1000 > MAX(total) THEN 'MEDIUM'
-         |       ELSE 'LOW' END AS severity
-         |FROM d, tot WHERE discrepancy_type IS NOT NULL
-         |GROUP BY discrepancy_type
-         |ORDER BY discrepancy_type""".stripMargin,
+    "recon_repair_sqlserver" -> repairOracleSql(id => s"[$id]"),
+
+    "recon_incremental_stateful" ->
+      s"""WITH w AS (SELECT max(o_orderdate) - INTERVAL 180 DAY AS wm FROM orders),
+         |sp AS (SELECT ${ckSql(orowSql)} AS ck, COUNT(*) AS n
+         |       FROM orders, w WHERE o_orderdate <= wm),
+         |sd AS (SELECT ${ckSql(orowSql)} AS ck, COUNT(*) AS n
+         |       FROM orders, w WHERE o_orderdate > wm),
+         |tp AS (SELECT ${ckSql(orowSql)} AS ck, COUNT(*) AS n
+         |       FROM ($TargetSql) x, w WHERE o_orderdate <= wm),
+         |td AS (SELECT ${ckSql(orowSql)} AS ck, COUNT(*) AS n
+         |       FROM ($TargetSql) x, w WHERE o_orderdate > wm)
+         |SELECT 'orders' AS table_name, w.wm AS watermark,
+         |  sd.n AS delta_rows, sp.n + sd.n AS total_rows,
+         |  CAST((sp.ck + sd.ck) % 1152921504606846976 AS BIGINT) AS source_checksum,
+         |  CAST((tp.ck + td.ck) % 1152921504606846976 AS BIGINT) AS target_checksum,
+         |  CASE WHEN (sp.ck + sd.ck) % 1152921504606846976 =
+         |            (tp.ck + td.ck) % 1152921504606846976
+         |       THEN 'MATCH' ELSE 'MISMATCH' END AS status
+         |FROM w, sp, sd, tp, td""".stripMargin,
+
+    "recon_report" -> ReportSql,
+
+    "recon_report_export" ->
+      s"""WITH d AS ($ReportSql)
+         |SELECT format, (SELECT COUNT(*) FROM d) AS n_rows, 'OK' AS status
+         |FROM (VALUES ('csv'), ('json')) t(format)
+         |ORDER BY format""".stripMargin,
+
+    "recon_rowcount_fast" ->
+      "SELECT 'orders' AS table_name, COUNT(*) AS row_count, 'METADATA' AS method FROM orders",
 
     "recon_schema" ->
       """SELECT column_name,

@@ -1,0 +1,37 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+/** Scratch storage root for operators that stage intermediate files
+  * (format roundtrips, snapshot backups, stream landing zones,
+  * reconciliation state).
+  *
+  * On a real cluster a bare `Files.createTempDirectory` path is
+  * driver-local — executors on other nodes can't read it — so the root
+  * must be a shared filesystem (HDFS/S3/NFS). `SPARK_GRAFT_TMP` makes
+  * that contract explicit: point it at a shared path in cluster mode;
+  * unset, it falls back to the local java temp dir, which is correct for
+  * local[*] and tests.
+  */
+object Scratch {
+
+  private def root: String =
+    sys.env.get("SPARK_GRAFT_TMP").getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** A fresh unique scratch directory under the configured root. */
+  def dir(prefix: String): String = {
+    val base = Paths.get(root)
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix + "_").toString
+  }
+
+  /** A STABLE path under the root (no unique suffix) — for state that
+    * must survive across runs, e.g. the incremental-checksum tracker.
+    * Caller owns overwrite semantics.
+    */
+  def stable(name: String): String = {
+    val p = Paths.get(root, name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+}

@@ -1,12 +1,11 @@
 package graft.streaming
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.operators.CdcSuite
-import graft.sources.Tables
+import graft.sources.{Scratch, Tables}
 
 /** §2 F — Structured Streaming re-expression of the reference pipeline's
   * continuous path (Debezium topic → sink upsert). The batch suites prove
@@ -42,7 +41,7 @@ object CdcStream {
     */
   def applyLatest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft_cdc_stream").toString
+    val tmp = Scratch.dir("graft_cdc_stream")
     // Land the log as several files so AvailableNow exercises multi-batch
     // incremental processing, with a key's events split across batches.
     CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(tmp)
@@ -70,7 +69,7 @@ object CdcStream {
     * (matches the batch group-by oracle).
     */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_evt_stream").toString
+    val tmp = Scratch.dir("graft_evt_stream")
     Tables.events(spark, dir).select("ts", "event_type").repartition(4)
       .write.mode("overwrite").parquet(tmp)
     val schema = spark.read.parquet(tmp).schema
@@ -101,7 +100,7 @@ object CdcStream {
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft_dedup_stream").toString
+    val tmp = Scratch.dir("graft_dedup_stream")
     graft.operators.DedupSuite.corpusWithDups(spark, dir)
       .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"), col("doc_id"))
       .repartition(4).write.mode("overwrite").parquet(tmp)

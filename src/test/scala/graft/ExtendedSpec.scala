@@ -47,6 +47,16 @@ class ExtendedSpec extends SparkSpecBase {
     assert(rows(("plan", "codegen_stages")).toInt >= 1)
   }
 
+  test("plan advisor emits a recommendation per finding and layout DDL where derivable") {
+    val rows = graft.operators.OpsSuite.queries("plan_advisor")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("recommendation").nonEmpty, s"no recommendation: $r")
+    }
+    // q3's scans have pushed filters → at least one partition-layout DDL
+    assert(rows.exists(_.getAs[String]("ddl").startsWith("CREATE TABLE")),
+      "expected at least one derivable layout DDL")
+  }
+
   test("snapshot roundtrip preserves the table checksum") {
     val r = graft.operators.OpsSuite.queries("snapshot_roundtrip")(spark, sf).collect().head
     assert(r.getAs[String]("status") == "RESTORED")

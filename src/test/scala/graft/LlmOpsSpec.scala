@@ -4,6 +4,46 @@ import graft.operators.{AnnSuite, DedupSuite, MultimodalSuite, TextSuite}
 
 class LlmOpsSpec extends SparkSpecBase {
 
+  test("ngram-jaccard LSH candidates: perfect precision, bounded recall vs the exact pair set") {
+    // ADVICE r2: the LSH candidate generator can miss true pairs near the
+    // 0.5 threshold (one-band collision ≈ 82% at j=0.5), and the oracle
+    // mirrors the same approximation — so this spec bounds it against the
+    // EXACT all-pairs set (feasible at sf0.001), the way the ann_ivf spec
+    // bounds IVF against brute force.
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("shingles", expr(DedupSuite.ShinglesExpr))
+      .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+    val a = docs.select(col("doc_id").as("da"), col("lang").as("la"),
+      col("source").as("sa"), col("shingles").as("sha"))
+    val b = docs.select(col("doc_id").as("db"), col("lang").as("lb"),
+      col("source").as("sb"), col("shingles").as("shb"))
+    val exact = a.join(b,
+        col("la") === col("lb") && col("sa") === col("sb") && col("da") < col("db"))
+      .withColumn("j", expr("jaccard_sim(sha, shb)"))
+      .filter(col("j") >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupSuite.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // precision 1.0 by construction: candidates are post-verified exactly
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.75, s"recall $recall below bound (exact=${exact.size}, lsh=${lsh.size})")
+    }
+  }
+
+  test("embeddings width is 64 — the ann_ivf oracle's range(1,65) depends on it") {
+    import org.apache.spark.sql.functions._
+    val dims = graft.sources.Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(64),
+      s"embedding dim changed to $dims: update the DuckDB range() bound in AnnSuite's ann_ivf oracle")
+  }
+
   test("exact dedup finds exactly the injected duplicate groups") {
     val rows = DedupSuite.queries("dedup_exact")(spark, sf).collect()
     assert(rows.nonEmpty)

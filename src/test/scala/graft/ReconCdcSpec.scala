@@ -72,6 +72,99 @@ class ReconCdcSpec extends SparkSpecBase {
     assert(stream.sameElements(batch))
   }
 
+  test("stateful incremental recon: state persists, delta-only scan, combined checksum equals full") {
+    import org.apache.spark.sql.functions._
+    val out = ReconSuite.queries("recon_incremental_stateful")(spark, sf).collect().head
+    // state landed on disk and carries the watermark
+    val state = spark.read.parquet(ReconSuite.stateDirFor(sf)).collect().head
+    val wm = state.getAs[java.time.LocalDateTime]("watermark")
+    assert(wm != null)
+    // the incremental phase scanned ONLY the delta
+    val deltaExpected = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") > lit(wm)).count()
+    assert(out.getAs[Long]("delta_rows") == deltaExpected)
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(out.getAs[Long]("total_rows") == total)
+    assert(deltaExpected < total, "watermark must split the table, else nothing is incremental")
+    // combined (stored prefix + delta) checksum == one-shot full checksum
+    val full = ReconSuite.queries("recon_checksum_agg")(spark, sf).collect().head
+    assert(out.getAs[Long]("source_checksum") == full.getAs[Long]("source_checksum"))
+    assert(out.getAs[String]("status") == "MISMATCH", "target is perturbed")
+    // the delta predicate (a literal timestamp) reaches the parquet scan
+    val deltaFrame = graft.sources.Tables.orders(spark, sf).filter(col("o_orderdate") > lit(wm))
+    deltaFrame.collect()
+    val plan = deltaFrame.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_orderdate"),
+      s"watermark filter must push down to the scan:\n$plan")
+  }
+
+  test("before-image envelope: inserts lack before, deletes lack after, updates carry both") {
+    val rows = CdcSuite.queries("cdc_before_image")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      r.getAs[String]("op") match {
+        case "c" =>
+          assert(r.isNullAt(r.fieldIndex("before_status")))
+          assert(!r.isNullAt(r.fieldIndex("after_status")))
+        case "u" =>
+          assert(!r.isNullAt(r.fieldIndex("before_status")))
+          assert(r.getAs[String]("after_status") == "U")
+        case "d" =>
+          assert(!r.isNullAt(r.fieldIndex("before_status")))
+          assert(r.isNullAt(r.fieldIndex("after_status")))
+          // a delete of an updated key carries the post-update image
+          if (r.getAs[Long]("id") % 7 == 0)
+            assert(r.getAs[String]("before_status") == "U")
+      }
+    }
+  }
+
+  test("update diff: every update changed exactly the status column") {
+    val rows = CdcSuite.queries("cdc_update_diff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id") % 7 == 0)
+      // fixture updates rewrite status only; custkey is carried unchanged
+      assert(r.getAs[String]("changed_columns") == "status")
+    }
+  }
+
+  test("repair dialects: postgres quotes with \", sqlserver with brackets; escape path exercised") {
+    val pg = ReconSuite.queries("recon_repair")(spark, sf).collect()
+    val ms = ReconSuite.queries("recon_repair_sqlserver")(spark, sf).collect()
+    assert(pg.length == ms.length && pg.nonEmpty)
+    assert(pg.forall(_.getAs[String]("repair_sql").contains("\"orders\"")))
+    assert(ms.forall(_.getAs[String]("repair_sql").contains("[orders]")))
+    // fixture source carries a literal quote on MISSING keys → INSERTs must ''-escape it
+    val inserts = pg.map(_.getAs[String]("repair_sql")).filter(_.startsWith("INSERT"))
+    assert(inserts.nonEmpty && inserts.forall(_.contains("''Q")))
+    // aside from quoting style, the statements are identical
+    pg.zip(ms).foreach { case (a, b) =>
+      assert(a.getAs[String]("repair_sql").replace("\"", "") ==
+        b.getAs[String]("repair_sql").replace("[", "").replace("]", ""))
+    }
+  }
+
+  test("report export roundtrip: both formats lossless") {
+    val rows = ReconSuite.queries("recon_report_export")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("format")).toSet == Set("csv", "json"))
+    rows.foreach { r =>
+      assert(r.getAs[String]("status") == "OK")
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+  }
+
+  test("metadata rowcount: exact, and reads no data pages") {
+    val df = ReconSuite.queries("recon_rowcount_fast")(spark, sf)
+    val r = df.collect().head
+    val actual = graft.sources.Tables.orders(spark, sf).count()
+    assert(r.getAs[Long]("row_count") == actual)
+    assert(r.getAs[String]("method") == "METADATA")
+    // the plan must not contain a parquet FileScan — counts come from footers
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan parquet"),
+      "fast rowcount must not scan data")
+  }
+
   test("streaming windowed counts equal the batch group-by") {
     val stream = CdcStream.queries("stream_windowed_agg")(spark, sf).collect()
       .map(r => (r.get(0).toString, r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
