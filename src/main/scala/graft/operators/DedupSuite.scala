@@ -29,7 +29,7 @@ object DedupSuite {
     docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
   }
-  private val CorpusSql =
+  private[graft] val CorpusSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.rowHash60
 import graft.sources.Tables
 
 /** §2 E (text) — corpus analysis operators a training-data pipeline runs
@@ -80,6 +82,75 @@ object TextSuite {
         .orderBy("doc_id")
     },
 
+    "text_contamination" -> { (s, d) =>
+      // benchmark-contamination gate (the eval-leakage check every LLM
+      // training pipeline runs before training): flag corpus docs sharing
+      // any word-13-gram with a benchmark/eval set. Each 13-gram is
+      // hashed to 60 bits up front, so the shuffle/join carries 8-byte
+      // keys — never text — and the join keys are near-unique, the
+      // explode→hash-join shape that survives a 100 TB corpus against a
+      // fixed eval set (broadcast when the benchmark side is small).
+      // Fixture: benchmark = original docs with doc_id % 50 == 0; corpus
+      // = corpusWithDups minus those originals, so the injected copies of
+      // benchmark docs are guaranteed contaminated.
+      // the size guard lives INSIDE the expression (not only as a filter):
+      // Spark's sequence(1, n<=0) counts DOWN, and optimizer rewrites can
+      // evaluate projection expressions on rows a sibling filter would
+      // drop — the CASE makes the expression total
+      val grams = DedupSuite.corpusWithDups(s, d)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .filter(size(col("ws")) >= 13)
+        .withColumn("gh", expr(
+          """CASE WHEN size(ws) >= 13 THEN
+            |  array_distinct(transform(sequence(1, size(ws) - 12),
+            |    i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i, 13))), 1, 15), 16, 10) AS BIGINT)))
+            |ELSE array() END""".stripMargin))
+        .select(col("doc_id"), explode(col("gh")).as("h"))
+      val corpus = grams.filter(col("doc_id") % 50 =!= 0 || col("doc_id") >= 1000000L)
+      val bench = grams.filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      corpus.join(bench, "h")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id", "bench_id")
+    },
+
+    "text_sample_stratified" -> { (s, d) =>
+      // deterministic stratified downsampling (corpus mixing): the
+      // dominant language keeps 10%, the rest 30%. Selection is by
+      // doc_id hash, so both engines — and any rerun at any parallelism
+      // — pick the identical sample. Narrow filterless scan + one tiny
+      // aggregate; the kept rows never shuffle.
+      val rate = when(col("lang") === "en", lit(10)).otherwise(lit(30))
+      Tables.documents(s, d)
+        .withColumn("keep", (rowHash60(col("doc_id").cast("string")) % 100) < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    },
+
+    "text_length_percentiles" -> { (s, d) =>
+      // exact per-language token-length percentiles via the rank
+      // formulation (percentile_disc semantics: value at
+      // rn = ceil(p·n)) — engine-exact, no interpolation. Exact
+      // percentiles need a per-language sort; at 100 TB the same query
+      // swaps in approx_percentile's t-digest — this is the
+      // oracle-checkable exact variant that validates it.
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_words"), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .groupBy(col("lang"))
+        .agg(max(col("cnt")).as("n_docs"),
+          max(when(col("rn") === ceil(col("cnt") * 0.5), col("n_words"))).as("p50"),
+          max(when(col("rn") === ceil(col("cnt") * 0.9), col("n_words"))).as("p90"),
+          max(when(col("rn") === ceil(col("cnt") * 0.99), col("n_words"))).as("p99"))
+        .orderBy("lang")
+    },
+
     "text_fingerprint" -> { (s, d) =>
       // three portable fingerprints: 60-bit content hash, bag-of-words
       // hash (whitespace/order-insensitive), and a 1-permutation MinHash
@@ -142,6 +213,42 @@ object TextSuite {
          |  $pred AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    "text_contamination" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(ghs) AS h FROM (
+         |    SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 11),
+         |      i -> ('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 15))::BIGINT)) AS ghs
+         |    FROM (SELECT doc_id, str_split(lower(text), ' ') AS ws
+         |          FROM (${DedupSuite.CorpusSql}) c0) t
+         |    WHERE len(ws) >= 13) t2),
+         |corpus AS (SELECT * FROM g WHERE doc_id % 50 <> 0 OR doc_id >= 1000000),
+         |bench AS (SELECT doc_id AS bench_id, h FROM g
+         |          WHERE doc_id % 50 = 0 AND doc_id < 1000000)
+         |SELECT corpus.doc_id AS doc_id, bench_id, COUNT(*) AS n_shared
+         |FROM corpus JOIN bench ON corpus.h = bench.h
+         |GROUP BY 1, 2
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "text_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+        |    (CASE WHEN lang = 'en' THEN 10 ELSE 30 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(str_split(text, ' ')) AS n_words FROM documents),
+        |r AS (
+        |  SELECT lang, n_words,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_words, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM t)
+        |SELECT lang, MAX(cnt) AS n_docs,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN n_words END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN n_words END) AS p90,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.99) THEN n_words END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (

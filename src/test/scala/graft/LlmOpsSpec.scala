@@ -44,6 +44,53 @@ class LlmOpsSpec extends SparkSpecBase {
       s"embedding dim changed to $dims: update the DuckDB range() bound in AnnSuite's ann_ivf oracle")
   }
 
+  test("contamination: every injected copy of a benchmark doc is flagged against its original") {
+    import org.apache.spark.sql.functions._
+    val flagged = TextSuite.queries("text_contamination")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"), r.getAs[Long]("n_shared")))
+    // expected: copies (id+1000000) of benchmark docs (id%50==0) with >=13 words
+    val expectedCopies = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0 && size(split(lower(col("text")), " ")) >= 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expectedCopies.nonEmpty, "fixture needs at least one long benchmark doc")
+    expectedCopies.foreach { id =>
+      assert(flagged.exists(f => f._1 == id + 1000000L && f._2 == id && f._3 > 0),
+        s"copy of benchmark doc $id not flagged")
+    }
+    flagged.foreach { case (_, bench, n) => assert(bench % 50 == 0 && n > 0) }
+  }
+
+  test("stratified sample: deterministic, bounded, and en downsampled harder") {
+    val rows = TextSuite.queries("text_sample_stratified")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))).toMap
+    rows.foreach { case (_, (total, sampled)) =>
+      assert(sampled >= 0 && sampled <= total)
+    }
+    // hash selection is deterministic: a second run is identical
+    val again = TextSuite.queries("text_sample_stratified")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))).toMap
+    assert(rows == again)
+    // en keeps ~10%, others ~30% — with enough docs the rates separate
+    val (enT, enS) = rows("en")
+    if (enT >= 100) assert(enS.toDouble / enT < 0.25, s"en sampled $enS/$enT")
+  }
+
+  test("length percentiles: ordered, and p50 matches a driver-side exact computation") {
+    import org.apache.spark.sql.functions._
+    val rows = TextSuite.queries("text_length_percentiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("p50") <= r.getAs[Int]("p90"))
+      assert(r.getAs[Int]("p90") <= r.getAs[Int]("p99"))
+    }
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    val lens = graft.sources.Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(size(split(col("text"), " "))).collect().map(_.getInt(0)).sorted
+    val p50 = lens((math.ceil(lens.length * 0.5) - 1).toInt)
+    assert(en.getAs[Int]("p50") == p50)
+    assert(en.getAs[Long]("n_docs") == lens.length)
+  }
+
   test("exact dedup finds exactly the injected duplicate groups") {
     val rows = DedupSuite.queries("dedup_exact")(spark, sf).collect()
     assert(rows.nonEmpty)
