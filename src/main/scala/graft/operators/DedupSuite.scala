@@ -82,19 +82,18 @@ object DedupSuite {
       // verification join) and bands twice (self-join); persisting keeps
       // each branch a cache read instead of a full text→shingle→md5
       // recompute. Both are small relative to the corpus (ids + hashes).
+      org.apache.spark.sql.graft.Bridge.register(s)
       val sh = corpusWithDups(s, d)
         .withColumn("ws", split(lower(col("text")), " "))
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", expr(ShinglesExpr))
         .select(col("doc_id"), col("shingles"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // native fused signature (md5-60 + all perm minima in one codegen'd
+      // pass — the composed transform/array_min HOF pipeline is
+      // CodegenFallback and was this query's hot spot)
       val sigs = sh
-        .withColumn("hs", expr(
-          "transform(shingles, sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT))"))
-        .withColumn("sig", expr(
-          s"""transform(sequence(0, ${NumPerm - 1}), p ->
-             |  array_min(transform(hs, h ->
-             |    ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789)))""".stripMargin))
+        .withColumn("sig", expr(s"minhash_sigs(shingles, $NumPerm)"))
       val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             s"""transform(sequence(0, ${NumPerm / BandRows - 1}), b ->
@@ -152,19 +151,16 @@ object DedupSuite {
       // post-filter on candidates, NOT the candidate generator, so no
       // bucket ever degenerates into an all-pairs join when one
       // (lang, source) dominates the corpus.
+      org.apache.spark.sql.graft.Bridge.register(s)
       val docs = Tables.documents(s, d)
         .withColumn("ws", split(lower(col("text")), " "))
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", expr(ShinglesExpr))
         .select("doc_id", "lang", "source", "shingles")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // native fused signature — see dedup_minhash_lsh
       val sigs = docs
-        .withColumn("hs", expr(
-          "transform(shingles, sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT))"))
-        .withColumn("sig", expr(
-          s"""transform(sequence(0, ${NumPerm - 1}), p ->
-             |  array_min(transform(hs, h ->
-             |    ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789)))""".stripMargin))
+        .withColumn("sig", expr(s"minhash_sigs(shingles, $NumPerm)"))
       val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             s"""transform(sequence(0, ${NumPerm / NgramBandRows - 1}), b ->

@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName.replace("JaccardSimilarity", "SimHash60"), "simhash60"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.SimHash60(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.MinHashSigs(
+        exprs(0), exprs(1).eval().asInstanceOf[Int])))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
   }

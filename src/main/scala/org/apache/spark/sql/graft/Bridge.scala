@@ -34,5 +34,10 @@ object Bridge {
       "simhash60",
       (exprs: Seq[Expression]) => SimHash60(exprs(0)),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      (exprs: Seq[Expression]) =>
+        MinHashSigs(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

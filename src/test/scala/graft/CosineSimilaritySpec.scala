@@ -90,6 +90,29 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(docs.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("minhash_sigs equals the composed transform/array_min pipeline") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf).limit(100)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("shingles", expr(graft.operators.DedupSuite.ShinglesExpr))
+      .withColumn("native", expr("minhash_sigs(shingles, 12)"))
+      .withColumn("composed", expr(
+        """transform(sequence(0, 11), p ->
+          |  array_min(transform(
+          |    transform(shingles, sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)),
+          |    h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789)))""".stripMargin))
+    assert(docs.filter(col("native") =!= col("composed")).count() == 0,
+      "native signature must reproduce the composed pipeline exactly")
+    // and it must run inside whole-stage codegen (the point of fusing) —
+    // materialize first so the AQE plan finalizes and stage markers appear
+    val sel = docs.select("native")
+    sel.collect()
+    val plan = sel.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"minhash_sigs fell out of codegen:\n$plan")
+  }
+
   test("cosine_sim handles nulls and self-similarity") {
     org.apache.spark.sql.graft.Bridge.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf).limit(5)
