@@ -41,6 +41,28 @@ object ExtendedSuite {
         .orderBy("user_id", "purchase_id")
     },
 
+    "q_asof_join_native" -> { (s, d) =>
+      // The same as-of semantics through graft's custom whole-operator
+      // plan (AsofJoin logical node → AsofJoinStrategy → AsofJoinExec
+      // merge; org.apache.spark.sql.graft.AsofJoin) instead of the
+      // union+window formulation: Catalyst places one hash-cluster
+      // exchange + sort per side, then a per-partition O(1)-state merge
+      // joins each purchase to the latest at-or-before view. Shares the
+      // DuckDB ASOF LEFT JOIN oracle with q_asof_join.
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("purchase_tus"))
+      val views = Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), unix_micros(col("ts")).as("view_tus"))
+      org.apache.spark.sql.graft.GraftAsof
+        .asofJoin(purchases, views, "user_id", "v_user_id", "purchase_tus", "view_tus")
+        .select(col("user_id"), col("purchase_id"), col("purchase_tus"),
+          col("view_tus").as("last_view_tus"))
+        .orderBy("user_id", "purchase_id")
+    },
+
     "q_grouping_sets" -> { (s, d) =>
       // cube = all grouping sets over (returnflag, linestatus)
       Tables.lineitem(s, d)
@@ -302,18 +324,23 @@ object ExtendedSuite {
     }
   )
 
+  /** Shared by the composed and native as-of formulations. */
+  private val AsofOracleSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_tus
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts) AS view_tus FROM events WHERE event_type = 'view')
+      |SELECT p.user_id AS user_id, purchase_id, purchase_tus,
+      |  v.view_tus AS last_view_tus
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.view_tus <= p.purchase_tus
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q_asof_join" ->
-      """WITH p AS (
-        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_tus
-        |  FROM events WHERE event_type = 'purchase'),
-        |v AS (
-        |  SELECT user_id, epoch_us(ts) AS view_tus FROM events WHERE event_type = 'view')
-        |SELECT p.user_id AS user_id, purchase_id, purchase_tus,
-        |  v.view_tus AS last_view_tus
-        |FROM p ASOF LEFT JOIN v
-        |  ON p.user_id = v.user_id AND v.view_tus <= p.purchase_tus
-        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q_asof_join" -> AsofOracleSql,
+
+    "q_asof_join_native" -> AsofOracleSql,
 
     "q_grouping_sets" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,

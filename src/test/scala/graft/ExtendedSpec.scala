@@ -47,6 +47,22 @@ class ExtendedSpec extends SparkSpecBase {
     assert(rows(("plan", "codegen_stages")).toInt >= 1)
   }
 
+  test("native as-of join equals the union+window formulation exactly") {
+    val composed = ExtendedSuite.queries("q_asof_join")(spark, sf).collect().map(_.toSeq)
+    val native = ExtendedSuite.queries("q_asof_join_native")(spark, sf).collect().map(_.toSeq)
+    assert(native.length == composed.length && native.nonEmpty)
+    assert(native.sameElements(composed))
+  }
+
+  test("native as-of join plan: one exchange+sort per side feeding AsofJoinExec") {
+    val df = ExtendedSuite.queries("q_asof_join_native")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"), s"custom operator missing from plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort ")) >= 2,
+      "both sides must sort by (key, time)")
+  }
+
   test("plan advisor emits a recommendation per finding and layout DDL where derivable") {
     val rows = graft.operators.OpsSuite.queries("plan_advisor")(spark, sf).collect()
     rows.foreach { r =>
