@@ -63,6 +63,26 @@ object ExtendedSuite {
         .orderBy("user_id", "purchase_id")
     },
 
+    "q_interval_join" -> { (s, d) =>
+      // Range/interval join — the other relational operator Spark lacks
+      // a dedicated node for: views within the 30 minutes BEFORE each
+      // purchase by the same user. The scalable formulation keys the
+      // join on user_id (equality → shuffle/sort-merge) with the time
+      // band as a residual predicate — never a time×time pair explosion,
+      // because the equality key carries the join. 30 min = 1.8e9 µs.
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("ptus"))
+      val v = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("vuser"), unix_micros(col("ts")).as("vtus"))
+      p.join(v, col("vuser") === col("user_id") &&
+          col("vtus") > col("ptus") - lit(1800000000L) && col("vtus") <= col("ptus"),
+          "left")
+        .groupBy(col("user_id"), col("purchase_id"), col("ptus"))
+        .agg(count(col("vtus")).as("n_views_30m"))
+        .orderBy("user_id", "purchase_id")
+    },
+
     "q_grouping_sets" -> { (s, d) =>
       // cube = all grouping sets over (returnflag, linestatus)
       Tables.lineitem(s, d)
@@ -324,6 +344,20 @@ object ExtendedSuite {
     }
   )
 
+  /** Shared by the batch session_window op and its streaming twin.
+    * Gap-equality note: session_window ends are exclusive, so a gap of
+    * exactly 30 min starts a NEW session → '>=' here (vs '>' in
+    * q_events_sessionize's convention).
+    */
+  private[graft] val SessionOracleSql =
+    """WITH m AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Shared by the composed and native as-of formulations. */
   private val AsofOracleSql =
     """WITH p AS (
@@ -341,6 +375,19 @@ object ExtendedSuite {
     "q_asof_join" -> AsofOracleSql,
 
     "q_asof_join_native" -> AsofOracleSql,
+
+    "q_interval_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ptus
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS vuser, epoch_us(ts) AS vtus FROM events WHERE event_type = 'view')
+        |SELECT user_id, purchase_id, ptus, COUNT(vtus) AS n_views_30m
+        |FROM p LEFT JOIN v
+        |  ON vuser = user_id AND vtus > ptus - 1800000000 AND vtus <= ptus
+        |GROUP BY user_id, purchase_id, ptus
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
 
     "q_grouping_sets" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
@@ -383,17 +430,7 @@ object ExtendedSuite {
         |FROM orders
         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 16 = 0""".stripMargin,
 
-    "q_session_window" ->
-      // gap-equality note: session_window ends are exclusive, so a gap of
-      // exactly 30 min starts a NEW session → '>=' here (vs '>' in
-      // q_events_sessionize's convention).
-      """WITH m AS (
-        |  SELECT user_id, epoch_us(ts) AS tus,
-        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
-        |  FROM events)
-        |SELECT user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_session_window" -> SessionOracleSql,
 
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey,

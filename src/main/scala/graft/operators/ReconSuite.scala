@@ -369,6 +369,39 @@ object ReconSuite {
         .orderBy("column_name")
     },
 
+    "recon_schema_drift" -> { (s, d) =>
+      // Schema-drift report: live source schema (from the parquet footer)
+      // vs the declared target schema with an engineered drift —
+      // o_orderpriority dropped, o_totalprice retyped to text, o_region
+      // added. Classifies MATCH / TYPE_CHANGED / MISSING_IN_TARGET /
+      // EXTRA_IN_TARGET (ref: the pipeline's automatic schema sync —
+      // utils/database_types.py; schema work is metadata-side by nature).
+      import s.implicits._
+      def canonical(t: org.apache.spark.sql.types.DataType): String = t.simpleString match {
+        case "bigint" | "int" => "integer"
+        case "double" | "float" => "floating"
+        case "string" => "text"
+        case x if x.startsWith("timestamp") => "timestamp"
+        case x => x
+      }
+      val src = Tables.orders(s, d).schema.fields.toSeq
+        .map(f => f.name -> canonical(f.dataType)).toMap
+      val tgt = (src - "o_orderpriority")
+        .updated("o_totalprice", "text") + ("o_region" -> "text")
+      (src.keySet ++ tgt.keySet).toSeq.sorted.map { name =>
+        val st = src.get(name)
+        val tt = tgt.get(name)
+        val status = (st, tt) match {
+          case (Some(a), Some(b)) if a == b => "MATCH"
+          case (Some(_), Some(_)) => "TYPE_CHANGED"
+          case (Some(_), None) => "MISSING_IN_TARGET"
+          case _ => "EXTRA_IN_TARGET"
+        }
+        (name, st.getOrElse(""), tt.getOrElse(""), status)
+      }.toDF("column_name", "source_type", "target_type", "status")
+        .orderBy("column_name")
+    },
+
     "recon_multi_table" -> { (s, d) =>
       // ref: parallel/reconciler.py:36 ParallelReconciler — the reference thread-pools one
       // connection per table; in Spark the per-table plans just union
@@ -545,6 +578,31 @@ object ReconSuite {
         |       ELSE lower(column_type) END AS canonical_type,
         |  'MATCH' AS status
         |FROM (DESCRIBE orders)
+        |ORDER BY column_name""".stripMargin,
+
+    "recon_schema_drift" ->
+      """WITH src AS (
+        |  SELECT column_name,
+        |    CASE WHEN column_type IN ('BIGINT', 'INTEGER') THEN 'integer'
+        |         WHEN column_type IN ('DOUBLE', 'FLOAT') THEN 'floating'
+        |         WHEN column_type = 'VARCHAR' THEN 'text'
+        |         WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+        |         ELSE lower(column_type) END AS src_type
+        |  FROM (DESCRIBE orders)),
+        |tgt AS (
+        |  SELECT * FROM (VALUES
+        |    ('o_orderkey', 'integer'), ('o_custkey', 'integer'),
+        |    ('o_orderstatus', 'text'), ('o_totalprice', 'text'),
+        |    ('o_orderdate', 'timestamp'), ('o_region', 'text'))
+        |    t(column_name, tgt_type))
+        |SELECT COALESCE(src.column_name, tgt.column_name) AS column_name,
+        |  COALESCE(src_type, '') AS source_type,
+        |  COALESCE(tgt_type, '') AS target_type,
+        |  CASE WHEN src_type IS NOT NULL AND tgt_type IS NOT NULL AND src_type = tgt_type THEN 'MATCH'
+        |       WHEN src_type IS NOT NULL AND tgt_type IS NOT NULL THEN 'TYPE_CHANGED'
+        |       WHEN src_type IS NOT NULL THEN 'MISSING_IN_TARGET'
+        |       ELSE 'EXTRA_IN_TARGET' END AS status
+        |FROM src FULL OUTER JOIN tgt ON src.column_name = tgt.column_name
         |ORDER BY column_name""".stripMargin,
 
     "recon_multi_table" ->

@@ -129,10 +129,56 @@ object CdcStream {
       .orderBy("keep_id")
   }
 
+  /** Streaming gap-based sessionization with per-user state across
+    * micro-batches: each trigger folds the user's new event times into
+    * state and re-emits (n_events, n_sessions); the latest emission per
+    * key (the one with the most events — counts are monotone) is the
+    * complete answer, equal to batch q_session_window, so its oracle
+    * applies. NoTimeout because the replay is finite; a live 100 TB feed
+    * would use EventTimeTimeout to purge sessions the watermark has
+    * closed instead of retaining every timestamp. (The native
+    * session_window operator only supports append mode in streaming,
+    * which holds back tail sessions until the watermark passes them —
+    * unusable for a finite replay.)
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Scratch.dir("graft_sess_stream")
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp).as[(Long, Long)]
+    val qname = "sess_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Seq[Long]]) =>
+          val tus = state.getOption.getOrElse(Seq.empty) ++ rows.map(_._2)
+          state.update(tus)
+          val sorted = tus.sorted
+          val sessions = 1 + sorted.iterator.zip(sorted.iterator.drop(1))
+            .count { case (a, b) => b - a >= 1800000000L }
+          Iterator((uid, tus.size.toLong, sessions.toLong))
+      }
+      .toDF("user_id", "n_events", "n_sessions")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest (= most-events) emission per key is the complete rollup
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("n_events"))
+    spark.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("n_sessions"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
     "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
-    "stream_dedup_exact" -> ((s, d) => dedupExact(s, d))
+    "stream_dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "stream_sessionize" -> ((s, d) => sessionize(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -143,6 +189,7 @@ object CdcStream {
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "stream_dedup_exact" -> graft.operators.DedupSuite.oracles("dedup_exact")
+    "stream_dedup_exact" -> graft.operators.DedupSuite.oracles("dedup_exact"),
+    "stream_sessionize" -> graft.operators.ExtendedSuite.SessionOracleSql
   )
 }

@@ -47,6 +47,22 @@ class ExtendedSpec extends SparkSpecBase {
     assert(rows(("plan", "codegen_stages")).toInt >= 1)
   }
 
+  test("interval join: per-purchase view counts match a driver-side recount") {
+    import org.apache.spark.sql.functions._
+    val rows = ExtendedSuite.queries("q_interval_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = events.filter(_._2 == "view").groupBy(_._1)
+    rows.take(50).foreach { r =>
+      val u = r.getAs[Long]("user_id"); val pt = r.getAs[Long]("ptus")
+      val expected = views.getOrElse(u, Array.empty)
+        .count(v => v._3 > pt - 1800000000L && v._3 <= pt)
+      assert(r.getAs[Long]("n_views_30m") == expected, s"user $u purchase at $pt")
+    }
+  }
+
   test("native as-of join equals the union+window formulation exactly") {
     val composed = ExtendedSuite.queries("q_asof_join")(spark, sf).collect().map(_.toSeq)
     val native = ExtendedSuite.queries("q_asof_join_native")(spark, sf).collect().map(_.toSeq)

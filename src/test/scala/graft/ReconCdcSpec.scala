@@ -165,6 +165,22 @@ class ReconCdcSpec extends SparkSpecBase {
       "fast rowcount must not scan data")
   }
 
+  test("streaming sessionize equals the batch session_window rollup exactly") {
+    val batch = graft.operators.ExtendedSuite.queries("q_session_window")(spark, sf)
+      .collect().map(_.toSeq)
+    val stream = CdcStream.queries("stream_sessionize")(spark, sf).collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
+  test("schema drift report classifies the engineered drift") {
+    val rows = ReconSuite.queries("recon_schema_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[String]("status")).toMap
+    assert(rows("o_orderkey") == "MATCH")
+    assert(rows("o_totalprice") == "TYPE_CHANGED")
+    assert(rows("o_orderpriority") == "MISSING_IN_TARGET")
+    assert(rows("o_region") == "EXTRA_IN_TARGET")
+  }
+
   test("streaming windowed counts equal the batch group-by") {
     val stream = CdcStream.queries("stream_windowed_agg")(spark, sf).collect()
       .map(r => (r.get(0).toString, r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
