@@ -14,7 +14,9 @@ object Bench {
     "q_window_rank", "q_events_tumbling", "q_events_sessionize",
     "recon_checksum_agg", "recon_rowlevel", "cdc_apply_latest",
     "pii_pipeline", "dedup_exact", "dedup_minhash_lsh",
-    "text_quality", "text_fingerprint", "ann_bruteforce")
+    "text_quality", "text_fingerprint", "ann_bruteforce",
+    "q_asof_join_native", "q_interval_join", "text_contamination",
+    "recon_incremental_stateful")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

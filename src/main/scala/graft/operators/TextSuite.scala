@@ -93,18 +93,16 @@ object TextSuite {
       // Fixture: benchmark = original docs with doc_id % 50 == 0; corpus
       // = corpusWithDups minus those originals, so the injected copies of
       // benchmark docs are guaranteed contaminated.
-      // the size guard lives INSIDE the expression (not only as a filter):
-      // Spark's sequence(1, n<=0) counts DOWN, and optimizer rewrites can
-      // evaluate projection expressions on rows a sibling filter would
-      // drop — the CASE makes the expression total
+      // gram build + md5 fused in the native gram_hashes60 expression
+      // (returns null below 13 words; the coalesce keeps the expression
+      // total even if an optimizer rewrite evaluates it on rows the
+      // sibling filter would drop)
+      org.apache.spark.sql.graft.Bridge.register(s)
       val grams = DedupSuite.corpusWithDups(s, d)
         .withColumn("ws", split(lower(col("text")), " "))
         .filter(size(col("ws")) >= 13)
         .withColumn("gh", expr(
-          """CASE WHEN size(ws) >= 13 THEN
-            |  array_distinct(transform(sequence(1, size(ws) - 12),
-            |    i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i, 13))), 1, 15), 16, 10) AS BIGINT)))
-            |ELSE array() END""".stripMargin))
+          "coalesce(array_distinct(gram_hashes60(ws, 13)), array())"))
         .select(col("doc_id"), explode(col("gh")).as("h"))
       val corpus = grams.filter(col("doc_id") % 50 =!= 0 || col("doc_id") >= 1000000L)
       val bench = grams.filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
@@ -154,7 +152,10 @@ object TextSuite {
     "text_fingerprint" -> { (s, d) =>
       // three portable fingerprints: 60-bit content hash, bag-of-words
       // hash (whitespace/order-insensitive), and a 1-permutation MinHash
-      // over 3-word shingles (the rolling-hash family).
+      // over 3-word shingles (the rolling-hash family). The md5-min loop
+      // runs through the native hash60_min expression (the composed
+      // array_min∘transform form is CodegenFallback).
+      org.apache.spark.sql.graft.Bridge.register(s)
       Tables.documents(s, d)
         .withColumn("norm", lower(col("text")))
         .withColumn("ws", split(col("norm"), " "))
@@ -162,10 +163,9 @@ object TextSuite {
           expr("CAST(conv(substr(md5(norm), 1, 15), 16, 10) AS BIGINT)").as("fp_content"),
           md5(concat_ws(" ", array_sort(array_distinct(col("ws"))))).as("fp_bow"),
           expr(
-            """CASE WHEN size(ws) >= 3 THEN array_min(transform(
+            """CASE WHEN size(ws) >= 3 THEN hash60_min(
               |  transform(sequence(1, size(ws) - 2),
-              |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))),
-              |  sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)))
+              |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))
               |ELSE CAST(NULL AS BIGINT) END""".stripMargin)
             .as("fp_minhash1"))
         .orderBy("doc_id")

@@ -29,6 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.graft.MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.MinHashSigs(
         exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("hash60_min"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.Hash60Min].getName, "hash60_min"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Hash60Min(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("gram_hashes60"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.GramHashes60].getName, "gram_hashes60"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.GramHashes60(
+        exprs(0), exprs(1).eval().asInstanceOf[Int])))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
   }

@@ -39,5 +39,14 @@ object Bridge {
       (exprs: Seq[Expression]) =>
         MinHashSigs(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash60_min",
+      (exprs: Seq[Expression]) => Hash60Min(exprs(0)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_hashes60",
+      (exprs: Seq[Expression]) =>
+        GramHashes60(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

@@ -33,6 +33,8 @@ case class MinHashSigs(child: Expression, numPerm: Int)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null on an empty shingle set even when the input is non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
   override protected def nullSafeEval(input: Any): Any = {

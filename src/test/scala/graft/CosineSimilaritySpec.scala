@@ -113,6 +113,32 @@ class CosineSimilaritySpec extends SparkSpecBase {
       s"minhash_sigs fell out of codegen:\n$plan")
   }
 
+  test("hash60_min equals the composed array_min of md5-60 hashes") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf).limit(100)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("native", expr("hash60_min(ws)"))
+      .withColumn("composed",
+        expr("array_min(transform(ws, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)))"))
+    assert(docs.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("gram_hashes60 equals the composed slice/concat_ws/md5 pipeline") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf).limit(100)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= 13)
+      .withColumn("native", expr("gram_hashes60(ws, 13)"))
+      .withColumn("composed", expr(
+        """transform(sequence(1, size(ws) - 12),
+          |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i, 13))), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+    assert(docs.filter(col("native") =!= col("composed")).count() == 0)
+    // short input → null (callers guard with coalesce/CASE)
+    val short = spark.sql("SELECT gram_hashes60(array('a','b'), 13) AS g")
+    assert(short.collect().head.isNullAt(0))
+  }
+
   test("cosine_sim handles nulls and self-similarity") {
     org.apache.spark.sql.graft.Bridge.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf).limit(5)
