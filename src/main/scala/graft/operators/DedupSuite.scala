@@ -193,17 +193,31 @@ object DedupSuite {
       // pairs per label. The only shuffle keys on (band, bucket) — no
       // label-bucket all-pairs join, so a dominant label can't go
       // quadratic at scale.
+      //
+      // The coefficients are ROW-INDEPENDENT, so they're derived once on
+      // the driver (same md5-parity formula the oracle evaluates in SQL)
+      // and shipped as a 16×64 literal matrix: the r2 form recomputed
+      // 16×64 md5s per row — ~0.7 ms/row, prohibitive at a billion rows.
+      // ±1.0 multiplies and the fold order are unchanged, so the bits
+      // are bit-identical.
       org.apache.spark.sql.graft.Bridge.register(s)
+      val signs: Seq[Seq[Double]] = (0 until EmbPlanes).map { h =>
+        (1 to 64).map { i =>
+          if (org.apache.spark.sql.graft.MinHashSigs.hash60(
+              s"$h,$i".getBytes("UTF-8")) % 2 == 1) 1.0 else -1.0
+        }
+      }
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("sgn", typedLit(signs))
         .withColumn("bits", expr(
           s"""transform(sequence(0, ${EmbPlanes - 1}), h ->
              |  CASE WHEN floor(aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
              |    (acc, i) -> acc +
-             |      (CASE WHEN CAST(conv(substr(md5(CAST(concat(CAST(h AS STRING), ',', CAST(i AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2 = 1
-             |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+             |      element_at(element_at(sgn, h + 1), i)
              |        * CAST(element_at(embedding, i) AS DOUBLE)) * 1e6 + 0.5) > 0
              |  THEN 1 ELSE 0 END)""".stripMargin))
+        .drop("sgn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = e.select(col("vec_id"),
           posexplode(expr(

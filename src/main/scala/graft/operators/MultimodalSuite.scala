@@ -70,6 +70,20 @@ object MultimodalSuite {
         .orderBy("doc_id")
     },
 
+    "mm_dedup" -> { (s, d) =>
+      // exact binary-payload dedup: md5 over the raw bytes — media
+      // payloads dedup byte-exact, no text normalization. Same
+      // one-shuffle hash-groupBy shape as dedup_exact; the 32-char hash
+      // is the only thing shuffled, never the payload.
+      DedupSuite.corpusWithDups(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .groupBy(md5(col("payload")).as("payload_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+
     "mm_extract" -> { (s, d) =>
       import s.implicits._
       // text → utf-8 bytes stands in for an image payload; the column IS
@@ -105,6 +119,14 @@ object MultimodalSuite {
         |              THEN ascii(substr(text, CAST(p AS INT), 1)) ELSE 0 END)) AS BIGINT)
         |    AS frame_checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_dedup" ->
+      // DuckDB's md5 takes VARCHAR only; it hashes the string's UTF-8
+      // bytes, which are exactly the Spark side's payload bytes
+      s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM (SELECT doc_id, md5(text) AS h FROM (${DedupSuite.CorpusSql}) c) t
+         |GROUP BY h HAVING COUNT(*) > 1
+         |ORDER BY keep_id""".stripMargin,
 
     "mm_extract" ->
       """SELECT doc_id,

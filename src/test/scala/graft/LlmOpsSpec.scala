@@ -91,6 +91,22 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(en.getAs[Long]("n_docs") == lens.length)
   }
 
+  test("mm_dedup: every injected binary copy groups with its original") {
+    val groups = MultimodalSuite.queries("mm_dedup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    val originals = graft.sources.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(originals.nonEmpty)
+    // every %10 doc was copied, so its byte-exact group must exist with
+    // the original as survivor (unless another doc shares its bytes —
+    // then the survivor is the smaller id, still present as a key <= id)
+    originals.foreach { id =>
+      assert(groups.exists { case (k, n) => k <= id && n >= 2 },
+        s"no dedup group for copied doc $id")
+    }
+  }
+
   test("exact dedup finds exactly the injected duplicate groups") {
     val rows = DedupSuite.queries("dedup_exact")(spark, sf).collect()
     assert(rows.nonEmpty)
