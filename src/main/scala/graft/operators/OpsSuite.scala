@@ -107,6 +107,30 @@ object OpsSuite {
         .orderBy("format")
     },
 
+    "q_bucketed_join" -> { (s, d) =>
+      // The §5 co-location claim, executed: both fact tables written
+      // bucketed on the join key (8 buckets, sorted), then joined —
+      // Spark matches the bucket partitioning on both sides, so the join
+      // runs with ZERO exchanges (spec-asserted). At 100 TB this is the
+      // difference between re-shuffling two fact tables per query and
+      // paying the layout cost once at ingest.
+      import graft.functions.Portable.dsum
+      val root = Scratch.dir("graft_bucketed")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders_b").saveAsTable("graft_orders_b")
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem_b").saveAsTable("graft_lineitem_b")
+      s.table("graft_orders_b")
+        .join(s.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     "snapshot_roundtrip" -> { (s, d) =>
       // backup/restore as parquet snapshot + checksum verification
       // (ref: scripts/bash/backup-databases.sh / restore-databases.sh).
@@ -131,6 +155,13 @@ object OpsSuite {
       """SELECT * FROM (VALUES ('csv', 'OK'), ('json', 'OK'), ('parquet', 'OK'))
         |  t(format, status)
         |ORDER BY format""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "snapshot_roundtrip" ->
       """WITH ck AS (

@@ -89,6 +89,26 @@ class ExtendedSpec extends SparkSpecBase {
       "expected at least one derivable layout DDL")
   }
 
+  test("bucketed join runs with zero exchanges between scan and join") {
+    // force sort-merge (a broadcast would make the no-exchange assertion
+    // vacuous — at real scale neither fact side broadcasts)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = graft.operators.OpsSuite.queries("q_bucketed_join")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      // no repartitioning below the join: the bucketed layout IS the
+      // distribution; the only hash exchange allowed is above the agg
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join must not reshuffle its inputs:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scans must be bucketed:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
+
   test("snapshot roundtrip preserves the table checksum") {
     val r = graft.operators.OpsSuite.queries("snapshot_roundtrip")(spark, sf).collect().head
     assert(r.getAs[String]("status") == "RESTORED")
