@@ -1,0 +1,181 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** The user-facing library surface: every kernel the fixture-bound
+  * `SparkEntry.queries` registry exercises, parameterized for arbitrary
+  * DataFrames. A user of the reference pipeline calls these against
+  * their own tables; the oracle-checked registry entries are these same
+  * shapes pinned to the test lake.
+  *
+  * Everything is DataFrame/Column-level (codegen'd, shuffle-aware —
+  * see SURVEY §5); native expressions register on first use via
+  * [[org.apache.spark.sql.graft.Bridge.register]].
+  */
+object Graft {
+
+  /** Register graft's native expressions (cosine_sim, jaccard_sim,
+    * simhash60, minhash_sigs, hash60_min, gram_hashes60) on a session.
+    * Idempotent; cluster-wide alternative:
+    * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+    */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.Bridge.register(spark)
+
+  // ---- CDC -----------------------------------------------------------
+
+  /** Materialize current state from a change log with last-write-wins
+    * per key: keep each key's row with the greatest ordering tuple, drop
+    * rows whose `op` equals `deleteOp` (ref: JDBC sink upsert+delete).
+    */
+  def cdcApplyLatest(log: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], opCol: String = "op",
+      deleteOp: String = "d"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
+  // ---- Reconciliation ------------------------------------------------
+
+  /** Order-insensitive 60-bit table checksum over a canonical row string
+    * of the given columns (int/string columns only — see Portable).
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.agg(Portable.checksumAgg(Portable.rowStr(cols: _*)).as("checksum"),
+      count(lit(1)).as("row_count"))
+
+  /** Row-level diff on a primary key: MISSING (in source only), EXTRA
+    * (in target only), MODIFIED (any compared column differs).
+    */
+  def rowLevelDiff(source: DataFrame, target: DataFrame, pk: String,
+      compareCols: Seq[String]): DataFrame = {
+    val s = source.select((pk +: compareCols).map(c => col(c).as("s_" + c)): _*)
+    val t = target.select((pk +: compareCols).map(c => col(c).as("t_" + c)): _*)
+    val modified = compareCols.map(c => !(col("s_" + c) <=> col("t_" + c)))
+      .reduce(_ || _)
+    s.join(t, col("s_" + pk) === col("t_" + pk), "full_outer")
+      .withColumn("discrepancy_type",
+        when(col("t_" + pk).isNull, lit("MISSING"))
+          .when(col("s_" + pk).isNull, lit("EXTRA"))
+          .when(modified, lit("MODIFIED")))
+      .filter(col("discrepancy_type").isNotNull)
+      .withColumn(pk, coalesce(col("s_" + pk), col("t_" + pk)))
+      .withColumn("modified_columns", concat_ws(",",
+        compareCols.map(c =>
+          when(!(col("s_" + c) <=> col("t_" + c)), lit(c))): _*))
+  }
+
+  // ---- PII masks (codegen'd Column functions) ------------------------
+
+  /** `u***@domain` (ref: pii.py::_mask_email). */
+  def maskEmail(c: Column): Column = {
+    val at = instr(c, "@") // 1-based position of '@'
+    concat(substring(c, 1, 1),
+      array_join(array_repeat(lit("*"), (at - lit(2)).cast("int")), ""),
+      c.substr(at, length(c)))
+  }
+
+  /** Keep the last 4 digits of a phone/card-like string, mask other
+    * digits (ref: pii.py::_mask_phone / _mask_credit_card).
+    */
+  def maskKeepLast4(c: Column): Column = {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    concat(
+      array_join(array_repeat(lit("*"),
+        greatest(length(digits) - 4, lit(0)).cast("int")), ""),
+      substring(digits, -4, 4))
+  }
+
+  /** Salted 60-bit hash pseudonymization (ref: pii.py::HashingTransformer). */
+  def pseudonymize(c: Column, salt: String): Column =
+    Portable.rowHash60(concat(lit(salt), lit("|"), c.cast("string")))
+
+  // ---- Dedup ---------------------------------------------------------
+
+  /** Exact dedup groups over a normalized text column: one hash-groupBy
+    * shuffle, survivors = min id (ref-style keep-first).
+    */
+  def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
+      .groupBy(md5(col("__norm")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** MinHash-LSH near-duplicate pairs: word-3-gram shingles → fused
+    * native signature → (band, bucket) join → exact-Jaccard verify at
+    * `threshold`. Only candidate pairs ever join; shuffles carry
+    * (id, band, bucket) — the 100 TB shape.
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 12, bandRows: Int = 3, threshold: Double = 0.7): DataFrame = {
+    register(df.sparkSession)
+    val sh = df
+      .withColumn("__ws", split(lower(col(textCol)), " "))
+      .filter(size(col("__ws")) >= 3)
+      .withColumn("__sh", expr(
+        """array_distinct(transform(sequence(1, size(__ws) - 2),
+          |  i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i+1), element_at(__ws, i+2))))""".stripMargin))
+      .select(col(idCol).as("__id"), col("__sh"))
+      .persist()
+    val bands = sh
+      .withColumn("__sig", expr(s"minhash_sigs(__sh, $numPerm)"))
+      .select(col("__id"), posexplode(expr(
+        s"""transform(sequence(0, ${numPerm / bandRows - 1}), b ->
+           |  md5(concat_ws(',', slice(__sig, b * $bandRows + 1, $bandRows))))""".stripMargin)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard", expr("jaccard_sim(__sh_a, __sh_b)"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- Joins ---------------------------------------------------------
+
+  /** AS-OF LEFT JOIN through the custom physical operator
+    * (org.apache.spark.sql.graft.AsofJoin): each left row matched to the
+    * right row with the greatest rightTime <= leftTime for its key.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame =
+    org.apache.spark.sql.graft.GraftAsof
+      .asofJoin(left, right, leftKey, rightKey, leftTime, rightTime)
+
+  // ---- Text / training-data ops --------------------------------------
+
+  /** Benchmark-contamination pairs: corpus docs sharing ≥1 word-`n`-gram
+    * with `benchmark`. Grams are 60-bit hashes (8-byte join keys).
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    register(corpus.sparkSession)
+    def grams(df: DataFrame, as: String) = df
+      .withColumn("__ws", split(lower(col(textCol)), " "))
+      .filter(size(col("__ws")) >= n)
+      .withColumn("__gh", expr(s"coalesce(array_distinct(gram_hashes60(__ws, $n)), array())"))
+      .select(col(idCol).as(as), explode(col("__gh")).as("__h"))
+    grams(corpus, "doc_id").join(grams(benchmark, "bench_id"), "__h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic hash-based sampling: keeps a row iff
+    * hash60(id) % 100 < ratePercent — identical across engines, reruns
+    * and parallelism.
+    */
+  def hashSample(df: DataFrame, idCol: String, ratePercent: Column): DataFrame =
+    df.filter(Portable.rowHash60(col(idCol).cast("string")) % 100 < ratePercent)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+
+/** The public library surface exercised on AD-HOC frames (not the test
+  * lake) — proving the kernels are parameterized, not fixture-bound.
+  */
+class GraftApiSpec extends SparkSpecBase {
+  import SparkTestSession.spark.implicits._
+
+  test("cdcApplyLatest: last write wins, deletes drop") {
+    val log = Seq(
+      (1L, "a", "c", 1L), (1L, "b", "u", 2L),
+      (2L, "x", "c", 1L), (2L, "x", "d", 2L),
+      (3L, "z", "c", 1L)
+    ).toDF("id", "v", "op", "seq")
+    val out = Graft.cdcApplyLatest(log, Seq("id"), Seq("seq")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1L -> "b", 3L -> "z"))
+  }
+
+  test("rowLevelDiff classifies arbitrary frames") {
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val tgt = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val out = Graft.rowLevelDiff(src, tgt, "k", Seq("v")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("discrepancy_type")).toMap
+    assert(out == Map(2L -> "MODIFIED", 3L -> "MISSING", 4L -> "EXTRA"))
+  }
+
+  test("tableChecksum: equal content equal checksum, order-independent") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((2L, "y"), (1L, "x")).toDF("k", "v")
+    val ca = Graft.tableChecksum(a, Seq(col("k"), col("v"))).collect().head
+    val cb = Graft.tableChecksum(b, Seq(col("k"), col("v"))).collect().head
+    assert(ca.getLong(0) == cb.getLong(0) && ca.getLong(1) == 2L)
+  }
+
+  test("masks: email keeps first char + domain; keepLast4 masks the rest") {
+    val df = Seq(("john.doe@example.com", "(415) 555-2671"))
+      .toDF("email", "phone")
+      .select(Graft.maskEmail(col("email")).as("m"),
+        Graft.maskKeepLast4(col("phone")).as("p"))
+    val r = df.collect().head
+    assert(r.getString(0) == "j*******@example.com")
+    assert(r.getString(1) == "******2671")
+  }
+
+  test("exactDedupGroups + minhashDupPairs on an ad-hoc corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "an entirely different document about spark physical planning"),
+      (4L, "the quick brown fox jumps over the lazy cat again and again")
+    ).toDF("id", "text")
+    val exact = Graft.exactDedupGroups(docs, "id", "text").collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("keep_id") == 1L
+      && exact.head.getAs[Long]("n_copies") == 2L)
+    val pairs = Graft.minhashDupPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair must surface: $pairs")
+  }
+
+  test("asofJoin on ad-hoc frames matches hand computation") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 5L, 50.0))
+      .toDF("qsym", "qts", "px")
+    val trades = Seq((1L, 15L), (1L, 25L), (2L, 4L), (3L, 9L))
+      .toDF("sym", "tts")
+    val out = Graft.asofJoin(trades, quotes, "sym", "qsym", "tts", "qts")
+      .select(col("sym"), col("tts"), col("px")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(out((1L, 15L)) == Some(100.0))
+    assert(out((1L, 25L)) == Some(101.0))
+    assert(out((2L, 4L)) == None)   // no quote at-or-before
+    assert(out((3L, 9L)) == None)   // key absent on the right
+  }
+
+  test("contaminationPairs flags shared 5-grams across ad-hoc sets") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "completely unrelated words with no overlap at all here")
+    ).toDF("id", "text")
+    val bench = Seq(
+      (90L, "prefix words then alpha beta gamma delta epsilon and more")
+    ).toDF("id", "text")
+    val out = Graft.contaminationPairs(corpus, bench, "id", "text", n = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id")))
+    assert(out.toSeq == Seq((10L, 90L)))
+  }
+
+  test("hashSample is deterministic and rate-bounded") {
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    val s1 = Graft.hashSample(df, "id", lit(20)).collect().map(_.getLong(0)).toSet
+    val s2 = Graft.hashSample(df, "id", lit(20)).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(s1.size > 100 && s1.size < 300, s"~20% of 1000 expected, got ${s1.size}")
+  }
+}
