@@ -66,9 +66,13 @@ object Graft {
           .when(modified, lit("MODIFIED")))
       .filter(col("discrepancy_type").isNotNull)
       .withColumn(pk, coalesce(col("s_" + pk), col("t_" + pk)))
-      .withColumn("modified_columns", concat_ws(",",
-        compareCols.map(c =>
-          when(!(col("s_" + c) <=> col("t_" + c)), lit(c))): _*))
+      // column names are only meaningful when the row exists on BOTH
+      // sides; MISSING/EXTRA rows get an empty list, not "every column"
+      .withColumn("modified_columns",
+        when(col("s_" + pk).isNotNull && col("t_" + pk).isNotNull,
+          concat_ws(",", compareCols.map(c =>
+            when(!(col("s_" + c) <=> col("t_" + c)), lit(c))): _*))
+        .otherwise(lit("")))
   }
 
   // ---- PII masks (codegen'd Column functions) ------------------------

@@ -164,11 +164,9 @@ object CdcSuite {
     "cdc_apply_latest" -> { (s, d) =>
       // Materialize current state: last-write-wins per key by (seq, ts),
       // deletes drop the key (ref: JDBC sink upsert+delete mode). One
-      // shuffle on the key; max_by-style window keeps partial state small.
-      val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("ts_ms"))
-      changeLog(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") =!= "d")
+      // shuffle on the key; max_by-style window keeps partial state
+      // small. Delegates to the public kernel (graft.api.Graft).
+      graft.api.Graft.cdcApplyLatest(changeLog(s, d), Seq("id"), Seq("seq", "ts_ms"))
         .select(col("id"), col("custkey"), col("status"))
         .orderBy("id")
     },

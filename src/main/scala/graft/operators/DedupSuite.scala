@@ -58,11 +58,9 @@ object DedupSuite {
     "dedup_exact" -> { (s, d) =>
       // hash-groupBy on normalized text; keep the smallest doc_id
       // (one shuffle on the 60-char hash key; map-side partial agg).
-      corpusWithDups(s, d)
-        .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
-        .groupBy(md5(col("norm")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .filter(col("n_copies") > 1)
+      // Delegates to the public kernel — the registry entry is the
+      // lake-pinned, oracle-checked instance of graft.api.Graft.
+      graft.api.Graft.exactDedupGroups(corpusWithDups(s, d), "doc_id", "text")
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     },

@@ -201,26 +201,14 @@ object ReconSuite {
     },
 
     "recon_rowlevel" -> { (s, d) =>
-      // ref: row_level/reconciler.py:78 RowLevelReconciler — full outer join on pk, classify
-      // MISSING/EXTRA/MODIFIED, name the differing columns.
-      val src = Tables.orders(s, d).select(
-        col("o_orderkey").as("sk"), col("o_custkey").as("s_cust"),
-        col("o_orderstatus").as("s_status"), col("o_orderpriority").as("s_prio"))
-      val tgt = target(s, d).select(
-        col("o_orderkey").as("tk"), col("o_custkey").as("t_cust"),
-        col("o_orderstatus").as("t_status"), col("o_orderpriority").as("t_prio"))
-      src.join(tgt, col("sk") === col("tk"), "full_outer")
-        .withColumn("discrepancy_type",
-          when(col("tk").isNull, lit("MISSING"))
-            .when(col("sk").isNull, lit("EXTRA"))
-            .when(col("s_cust") =!= col("t_cust") || col("s_status") =!= col("t_status") ||
-                  col("s_prio") =!= col("t_prio"), lit("MODIFIED")))
-        .filter(col("discrepancy_type").isNotNull)
-        .select(coalesce(col("sk"), col("tk")).as("o_orderkey"), col("discrepancy_type"),
-          concat_ws(",",
-            when(col("s_cust") =!= col("t_cust"), lit("o_custkey")),
-            when(col("s_status") =!= col("t_status"), lit("o_orderstatus")),
-            when(col("s_prio") =!= col("t_prio"), lit("o_orderpriority"))).as("modified_columns"))
+      // ref: row_level/reconciler.py:78 RowLevelReconciler — full outer
+      // join on pk, classify MISSING/EXTRA/MODIFIED, name the differing
+      // columns. Delegates to the public kernel (graft.api.Graft) —
+      // this entry is its lake-pinned, oracle-checked instance.
+      graft.api.Graft.rowLevelDiff(
+          Tables.orders(s, d), target(s, d), "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .select("o_orderkey", "discrepancy_type", "modified_columns")
         .orderBy("o_orderkey")
     },
 
