@@ -96,6 +96,11 @@ class ReconCdcSpec extends SparkSpecBase {
     val plan = deltaFrame.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_orderdate"),
       s"watermark filter must push down to the scan:\n$plan")
+    // a second scheduled run re-reads the persisted state and reproduces
+    // the identical result (deterministic watermark, idempotent state
+    // overwrite)
+    val again = ReconSuite.queries("recon_incremental_stateful")(spark, sf).collect().head
+    assert(again.toSeq == out.toSeq)
   }
 
   test("before-image envelope: inserts lack before, deletes lack after, updates carry both") {
