@@ -174,11 +174,49 @@ object CdcStream {
       .orderBy("user_id")
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * views within the 30 minutes before each purchase, both sides
+    * unbounded streams. The watermarks + the time-range join condition
+    * BOUND the join state — Spark purges view rows once the purchase
+    * watermark passes their 30-minute window, which is what makes a
+    * stream-stream join feasible on an infinite 100 TB/day feed. Single
+    * batch for the finite replay (inner-join matches emit during
+    * processing; the watermark only governs state purge).
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir("graft_ivj_stream")
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .repartition(2).write.mode("overwrite").parquet(tmp + "/p")
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuser"), col("ts").as("vts"))
+      .repartition(2).write.mode("overwrite").parquet(tmp + "/v")
+    val pSchema = spark.read.parquet(tmp + "/p").schema
+    val vSchema = spark.read.parquet(tmp + "/v").schema
+    val p = spark.readStream.schema(pSchema).parquet(tmp + "/p")
+      .withWatermark("pts", "1 hour")
+    val v = spark.readStream.schema(vSchema).parquet(tmp + "/v")
+      .withWatermark("vts", "1 hour")
+    val qname = "ivj_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = p.join(v, expr(
+        "vuser = user_id AND vts > pts - INTERVAL 30 MINUTES AND vts <= pts"))
+      .select(col("user_id"), col("purchase_id"), unix_micros(col("pts")).as("ptus"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+      .groupBy(col("user_id"), col("purchase_id"), col("ptus"))
+      .agg(count(lit(1)).as("n_views_30m"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
     "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
     "stream_dedup_exact" -> ((s, d) => dedupExact(s, d)),
-    "stream_sessionize" -> ((s, d) => sessionize(s, d))
+    "stream_sessionize" -> ((s, d) => sessionize(s, d)),
+    "stream_interval_join" -> ((s, d) => intervalJoin(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -190,6 +228,19 @@ object CdcStream {
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_exact" -> graft.operators.DedupSuite.oracles("dedup_exact"),
-    "stream_sessionize" -> graft.operators.ExtendedSuite.SessionOracleSql
+    "stream_sessionize" -> graft.operators.ExtendedSuite.SessionOracleSql,
+    // inner variant of the batch interval join: only purchases with >=1
+    // matched view appear (append-mode stream emits matches only)
+    "stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ptus
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS vuser, epoch_us(ts) AS vtus FROM events WHERE event_type = 'view')
+        |SELECT user_id, purchase_id, ptus, COUNT(*) AS n_views_30m
+        |FROM p JOIN v
+        |  ON vuser = user_id AND vtus > ptus - 1800000000 AND vtus <= ptus
+        |GROUP BY user_id, purchase_id, ptus
+        |ORDER BY user_id, purchase_id""".stripMargin
   )
 }

@@ -186,6 +186,14 @@ class ReconCdcSpec extends SparkSpecBase {
     assert(rows("o_region") == "EXTRA_IN_TARGET")
   }
 
+  test("stream-stream interval join equals the batch inner formulation") {
+    import org.apache.spark.sql.functions._
+    val stream = CdcStream.queries("stream_interval_join")(spark, sf).collect().map(_.toSeq)
+    val batch = graft.operators.ExtendedSuite.queries("q_interval_join")(spark, sf)
+      .filter(col("n_views_30m") > 0).collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("streaming windowed counts equal the batch group-by") {
     val stream = CdcStream.queries("stream_windowed_agg")(spark, sf).collect()
       .map(r => (r.get(0).toString, r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
