@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0), exprs(1).eval().asInstanceOf[Int])))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
+    // composed array_min(transform(xs, md5-60)) → fused Hash60Min
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedHash60)
   }
 }

@@ -76,6 +76,28 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(stream.sameElements(batch))
   }
 
+  test("optimizer rule fuses the composed md5-60 min pattern") {
+    import org.apache.spark.sql.graft.RewriteComposedHash60
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      classic.experimental.extraOptimizations :+ RewriteComposedHash60
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .withColumn("composed",
+          expr("array_min(transform(ws, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)))"))
+      val plan = docs.queryExecution.optimizedPlan.toString
+      assert(plan.contains("hash60_min"), s"rule did not fire:\n$plan")
+      // rewritten values equal the native expression's
+      org.apache.spark.sql.graft.Bridge.register(spark)
+      val check = docs.withColumn("native", expr("hash60_min(ws)"))
+      assert(check.filter(col("composed") =!= col("native")).count() == 0)
+    } finally {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations.filterNot(_ == RewriteComposedHash60)
+    }
+  }
+
   test("simhash60 equals the composed nested-aggregate form") {
     org.apache.spark.sql.graft.Bridge.register(spark)
     val docs = graft.sources.Tables.documents(spark, sf).limit(50)
