@@ -96,6 +96,14 @@ object Graft {
       substring(digits, -4, 4))
   }
 
+  /** `***-**-6789` (ref: pii.py::_mask_ssn). */
+  def maskSsn(c: Column): Column =
+    concat(lit("***-**-"), substring(c, -4, 4))
+
+  /** Keep the /16 prefix, mask the host octets (ref: pii.py::_mask_ip_address). */
+  def maskIp(c: Column): Column =
+    regexp_replace(c, "^(\\d+\\.\\d+)\\.\\d+\\.\\d+$", "$1.*.*")
+
   /** Salted 60-bit hash pseudonymization (ref: pii.py::HashingTransformer). */
   def pseudonymize(c: Column, salt: String): Column =
     Portable.rowHash60(concat(lit(salt), lit("|"), c.cast("string")))

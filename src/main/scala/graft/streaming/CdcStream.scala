@@ -53,6 +53,9 @@ object CdcStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents)
       .toDF("id", "custkey", "status", "op", "seq")
       .writeStream.format("memory").queryName(qname)
+      // checkpoint under the shared scratch root — the default temp
+      // checkpoint is driver-local, which silently breaks multi-node
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     // Latest emission per key wins; tombstoned keys drop (hard-delete mode).
@@ -85,6 +88,9 @@ object CdcStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
       .writeStream.format("memory").queryName(qname)
+      // checkpoint under the shared scratch root — the default temp
+      // checkpoint is driver-local, which silently breaks multi-node
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(qname)
@@ -118,6 +124,9 @@ object CdcStream {
       }
       .toDF("h", "keep_id", "n_copies")
       .writeStream.format("memory").queryName(qname)
+      // checkpoint under the shared scratch root — the default temp
+      // checkpoint is driver-local, which silently breaks multi-node
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     // final emission per key: count is monotone, min-id non-increasing
@@ -163,6 +172,9 @@ object CdcStream {
       }
       .toDF("user_id", "n_events", "n_sessions")
       .writeStream.format("memory").queryName(qname)
+      // checkpoint under the shared scratch root — the default temp
+      // checkpoint is driver-local, which silently breaks multi-node
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     // latest (= most-events) emission per key is the complete rollup
@@ -203,6 +215,9 @@ object CdcStream {
         "vuser = user_id AND vts > pts - INTERVAL 30 MINUTES AND vts <= pts"))
       .select(col("user_id"), col("purchase_id"), unix_micros(col("pts")).as("ptus"))
       .writeStream.format("memory").queryName(qname)
+      // checkpoint under the shared scratch root — the default temp
+      // checkpoint is driver-local, which silently breaks multi-node
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(qname)

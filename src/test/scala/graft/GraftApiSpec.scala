@@ -37,13 +37,17 @@ class GraftApiSpec extends SparkSpecBase {
   }
 
   test("masks: email keeps first char + domain; keepLast4 masks the rest") {
-    val df = Seq(("john.doe@example.com", "(415) 555-2671"))
-      .toDF("email", "phone")
+    val df = Seq(("john.doe@example.com", "(415) 555-2671", "123-45-6789", "10.20.30.40"))
+      .toDF("email", "phone", "ssn", "ip")
       .select(Graft.maskEmail(col("email")).as("m"),
-        Graft.maskKeepLast4(col("phone")).as("p"))
+        Graft.maskKeepLast4(col("phone")).as("p"),
+        Graft.maskSsn(col("ssn")).as("s"),
+        Graft.maskIp(col("ip")).as("i"))
     val r = df.collect().head
     assert(r.getString(0) == "j*******@example.com")
     assert(r.getString(1) == "******2671")
+    assert(r.getString(2) == "***-**-6789")
+    assert(r.getString(3) == "10.20.*.*")
   }
 
   test("exactDedupGroups + minhashDupPairs on an ad-hoc corpus") {
