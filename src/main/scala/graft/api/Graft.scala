@@ -154,6 +154,25 @@ object Graft {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact top-k cosine neighbors: broadcast the (small) query set over
+    * one scan of the corpus — the corpus never shuffles (the only viable
+    * layout when queries ≪ corpus). Uses the native codegen'd
+    * cosine_sim expression.
+    */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int = 5): DataFrame = {
+    register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(embCol).as("__ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", expr("cosine_sim(__qe, __ce)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "cand_id", "cos", "rk")
+  }
+
   // ---- Joins ---------------------------------------------------------
 
   /** AS-OF LEFT JOIN through the custom physical operator

@@ -92,6 +92,16 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((10L, 90L)))
   }
 
+  test("annBruteForce ranks an ad-hoc corpus by cosine") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("id", "emb")
+    val out = Graft.annBruteForce(corpus, corpus.filter(col("id") === 1L), "id", "emb", k = 2)
+      .collect().map(r => (r.getAs[Long]("cand_id"), r.getAs[Int]("rk")))
+    assert(out.toSeq == Seq((2L, 1), (3L, 2)), s"got ${out.toSeq}")
+  }
+
   test("hashSample is deterministic and rate-bounded") {
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
     val s1 = Graft.hashSample(df, "id", lit(20)).collect().map(_.getLong(0)).toSet
