@@ -123,6 +123,11 @@ object Graft {
     * native signature → (band, bucket) join → exact-Jaccard verify at
     * `threshold`. Only candidate pairs ever join; shuffles carry
     * (id, band, bucket) — the 100 TB shape.
+    *
+    * Persists the (id, shingles) projection for the duration of the
+    * returned plan (it feeds the signature pass and both verify-join
+    * sides); call `spark.catalog.clearCache()` after consuming the
+    * result to release it.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 12, bandRows: Int = 3, threshold: Double = 0.7): DataFrame = {
