@@ -178,6 +178,17 @@ object Graft {
       .select("query_id", "cand_id", "cos", "rk")
   }
 
+  /** IVF approximate-nearest-neighbor: a deterministic coarse quantizer
+    * (hash-sampled seeds + one fixed-point Lloyd step) partitions the
+    * corpus; each query probes only `nprobe` cells, pruning the scanned
+    * fraction to ~nprobe/k. Fully reproducible — the registry's lake
+    * instance is oracle-checked end-to-end, index build included.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String,
+      k: Int = 10, nprobe: Int = 2, topK: Int = 3): DataFrame =
+    graft.operators.AnnSuite.ivfSearch(corpus, queries, idCol, embCol, k, nprobe, topK)
+
   // ---- Joins ---------------------------------------------------------
 
   /** AS-OF LEFT JOIN through the custom physical operator

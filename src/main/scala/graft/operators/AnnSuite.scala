@@ -40,14 +40,19 @@ object AnnSuite {
       |  aggregate(zip_with(embedding, c.ce, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v),
       |  'cid', c.cid))""".stripMargin
 
-  /** IVF index build + probe, parameterized by centroid count and probe
-    * width. Assignment is a narrow per-row argmin expression over the
-    * broadcast centroid array: no n·k row explosion, no window exchange —
-    * the shape that survives 100 TB (each executor scans its rows once).
+  /** IVF index build + probe over ARBITRARY frames, parameterized by
+    * centroid count / probe width / result depth. Assignment is a narrow
+    * per-row argmin expression over the broadcast centroid array: no n·k
+    * row explosion, no window exchange — the shape that survives 100 TB
+    * (each executor scans its rows once). This is the generic kernel the
+    * public API (graft.api.Graft.annIvf) exposes; the registry's
+    * `ann_ivf` pins it to the lake.
     */
-  private[graft] def ivf(k: Int, nprobe: Int): (SparkSession, String) => DataFrame = { (s, d) =>
+  private[graft] def ivfSearch(corpus: DataFrame, queriesDf0: DataFrame,
+      idCol: String, embCol: String,
+      k: Int, nprobe: Int, topK: Int): DataFrame = {
     import graft.functions.Portable.rowHash60
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
 
     // deterministic hash-ordered sample: the k vectors with the smallest
     // 60-bit hash of vec_id — an unbiased pseudo-random seed set (the
@@ -88,10 +93,10 @@ object AnnSuite {
       .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
     val assign1 = assign(e, refined)
       .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
-        col("label"), col("embedding").as("ce2"))
+        col("embedding").as("ce2"))
 
-    val queriesDf = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding"))
+    val queriesDf = queriesDf0
+      .select(col(idCol).as("query_id"), col(embCol).as("embedding"))
     // nprobe nearest cells per query, ranked inside one array expression
     // (sort k structs per query row — no window, no shuffle)
     val probes = queriesDf.crossJoin(broadcast(centArray(refined)))
@@ -108,9 +113,15 @@ object AnnSuite {
           (expr(normExpr("qe")) * expr(normExpr("ce2"))) * 1e6 + 0.5) / 1e6)
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= topK)
       .select("query_id", "cand_id", "cell", "cos", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  /** Lake-pinned registry instance of [[ivfSearch]]. */
+  private[graft] def ivf(k: Int, nprobe: Int): (SparkSession, String) => DataFrame = { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    ivfSearch(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k, nprobe, 3)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
