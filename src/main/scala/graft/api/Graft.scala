@@ -77,12 +77,16 @@ object Graft {
 
   // ---- PII masks (codegen'd Column functions) ------------------------
 
-  /** `u***@domain` (ref: pii.py::_mask_email). */
+  /** `u***@domain`; a value with no '@' passes through unchanged rather
+    * than leaking a garbled copy of itself (ref: pii.py::_mask_email
+    * returns the input untouched when it isn't email-shaped).
+    */
   def maskEmail(c: Column): Column = {
-    val at = instr(c, "@") // 1-based position of '@'
-    concat(substring(c, 1, 1),
+    val at = instr(c, "@") // 1-based position of '@'; 0 = absent
+    val masked = concat(substring(c, 1, 1),
       array_join(array_repeat(lit("*"), (at - lit(2)).cast("int")), ""),
       c.substr(at, length(c)))
+    when(at === 0, c).otherwise(masked)
   }
 
   /** Keep the last 4 digits of a phone/card-like string, mask other

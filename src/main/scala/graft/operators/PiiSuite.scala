@@ -51,9 +51,7 @@ object PiiSuite {
     "pii_mask_email" -> { (s, d) =>
       withPii(Tables.customer(s, d))
         .select(col("c_custkey"), col("email"),
-          concat(substring(col("email"), 1, 1),
-            expr("repeat('*', instr(email, '@') - 2)"),
-            expr("substr(email, instr(email, '@'))")).as("masked_email"))
+          graft.api.Graft.maskEmail(col("email")).as("masked_email"))
         .orderBy("c_custkey")
     },
 
@@ -110,9 +108,7 @@ object PiiSuite {
       // mask email+phone, hash the name, drop raw identifiers.
       withPii(Tables.customer(s, d))
         .select(col("c_custkey"),
-          concat(substring(col("email"), 1, 1),
-            expr("repeat('*', instr(email, '@') - 2)"),
-            expr("substr(email, instr(email, '@'))")).as("email"),
+          graft.api.Graft.maskEmail(col("email")).as("email"),
           concat(lit("(***) ***-"), substring(col("phone"), 11, 4)).as("phone"),
           sha2(concat(lit("graft-salt:"), col("c_name")), 256).as("name_hash"),
           col("c_mktsegment"))
@@ -145,16 +141,18 @@ object PiiSuite {
             .when(col("c_acctbal") > 5000, lit("HIGH"))
             .otherwise(lit("NORMAL")).as("balance_tier"),
           when(col("c_mktsegment") === "BUILDING",
-            concat(substring(col("email"), 1, 1),
-              expr("repeat('*', instr(email, '@') - 2)"),
-              expr("substr(email, instr(email, '@'))")))
+            graft.api.Graft.maskEmail(col("email")))
             .otherwise(col("email")).as("email_out"))
         .orderBy("c_custkey")
     }
   )
 
+  // no-'@' values pass through unchanged, mirroring Graft.maskEmail
+  // (and the reference's _mask_email non-email passthrough)
   private val maskEmailSql =
-    "substr(email, 1, 1) || repeat('*', instr(email, '@') - 2) || substr(email, instr(email, '@'))"
+    """CASE WHEN instr(email, '@') = 0 THEN email
+      | ELSE substr(email, 1, 1) || repeat('*', instr(email, '@') - 2)
+      |   || substr(email, instr(email, '@')) END""".stripMargin.replace("\n", " ")
 
   def oracles: Map[String, String] = Map(
     "pii_mask_email" ->

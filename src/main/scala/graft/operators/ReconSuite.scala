@@ -318,12 +318,16 @@ object ReconSuite {
           fs.listStatus(path).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
             .map(_.getPath.toString).toSeq
         else Seq(path.toString)
+      // ship the session's Hadoop conf (spark.hadoop.* — object-store
+      // credentials, FS settings) to the executors; a bare Configuration
+      // would only resolve against the local FS
+      val confBc = s.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration))
       s.createDataset(files)
         .repartition(math.min(files.size, 32))
         .mapPartitions { it =>
-          // executor-local conf: footer paths resolve against the default
-          // FS, same as the driver listing above
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confBc.value.value
           it.map { pstr =>
             val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -84,8 +84,19 @@ case class AsofJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val rightWidth = right.output.length
 
+    // Bind against `output` (right side forced nullable), NOT the raw
+    // child attributes: an unmatched left row carries a null-padded right
+    // side, and a projection bound to a non-nullable child attr would
+    // read garbage (0.0/"") from those slots instead of null.
+    val outAttrs = output
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      new Iterator[InternalRow] {
+      // Parents (exchanges, sorts, writes) require UnsafeRow: project the
+      // merged JoinedRow through an UnsafeProjection per partition. This
+      // also ends the shared-JoinedRow mutation hazard — each next() call
+      // serializes into the projection's buffer before the row escapes.
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      val merged = new Iterator[InternalRow] {
         private val rBuf = rIter.buffered
         private val joined = new JoinedRow
         private val nullRight = new GenericInternalRow(rightWidth)
@@ -124,6 +135,7 @@ case class AsofJoinExec(
           else joined(l, nullRight)
         }
       }
+      merged.map(toUnsafe)
     }
   }
 
@@ -155,8 +167,18 @@ object GraftAsof {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asofJoin: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    val (lkA, rkA) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (ltA, rtA) = (attr(lp, leftTime), attr(rp, rightTime))
+    // Mismatched key types would hash equal values to different partitions
+    // (silent non-matches) or blow up the interpreted ordering at runtime;
+    // mismatched time types break the merge comparison the same way.
+    require(lkA.dataType == rkA.dataType,
+      s"asofJoin: key type mismatch — '$leftKey' is ${lkA.dataType.sql}, " +
+        s"'$rightKey' is ${rkA.dataType.sql}; cast one side first")
+    require(ltA.dataType == rtA.dataType,
+      s"asofJoin: time type mismatch — '$leftTime' is ${ltA.dataType.sql}, " +
+        s"'$rightTime' is ${rtA.dataType.sql}; cast one side first")
     org.apache.spark.sql.classic.Dataset.ofRows(session,
-      AsofJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+      AsofJoin(lp, rp, lkA, rkA, ltA, rtA))
   }
 }

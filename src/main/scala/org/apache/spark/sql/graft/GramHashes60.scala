@@ -55,7 +55,12 @@ object Gram60 {
     var i = 0
     while (i <= len - n) {
       var j = 0
-      while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+      while (j < n) {
+        // a null word stays null: concatWs skips null inputs, exactly
+        // like the composed concat_ws(' ', slice(ws, i, n)) form
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
       val gram = UTF8String.concatWs(Space, window: _*)
       out(i) = MinHashSigs.hash60(gram.getBytes)
       i += 1

@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * (and its DuckDB mirror) in one codegen'd loop — the composed
   * higher-order-function form is CodegenFallback and allocates an
   * intermediate hash array per row. Returns null on an empty array
-  * (matching array_min of an empty transform).
+  * (matching array_min of an empty transform). Null elements are
+  * SKIPPED — md5(NULL) is null and array_min ignores nulls in the
+  * composed form, so an all-null array also yields null.
   */
 case class Hash60Min(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
@@ -25,15 +27,18 @@ case class Hash60Min(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    if (n == 0) return null
     var min = Long.MaxValue
+    var seen = false
     var i = 0
     while (i < n) {
-      val h = MinHashSigs.hash60(xs.getUTF8String(i).getBytes)
-      if (h < min) min = h
+      if (!xs.isNullAt(i)) {
+        val h = MinHashSigs.hash60(xs.getUTF8String(i).getBytes)
+        if (h < min) min = h
+        seen = true
+      }
       i += 1
     }
-    min
+    if (seen) min else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,18 +47,23 @@ case class Hash60Min(child: Expression)
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
       val min = ctx.freshName("min")
+      val seen = ctx.freshName("seen")
       s"""
          |int $n = $x.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $min = Long.MAX_VALUE;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |long $min = Long.MAX_VALUE;
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
          |    long $h = org.apache.spark.sql.graft.MinHashSigs.hash60(
          |      $x.getUTF8String($i).getBytes());
          |    if ($h < $min) $min = $h;
+         |    $seen = true;
          |  }
+         |}
+         |if ($seen) {
          |  ${ev.value} = $min;
+         |} else {
+         |  ${ev.isNull} = true;
          |}
        """.stripMargin
     })

@@ -33,28 +33,35 @@ case class MinHashSigs(child: Expression, numPerm: Int)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  // null on an empty shingle set even when the input is non-nullable
+  // null on an empty (or all-null-element) shingle set even when the
+  // input is non-nullable
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
   override protected def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
-    if (n == 0) return null
     val mins = Array.fill[Long](numPerm)(Long.MaxValue)
     val P = MinHashSigs.P
+    var seen = false
     var i = 0
     while (i < n) {
-      val h = MinHashSigs.hash60(shingles.getUTF8String(i).getBytes)
-      val hm = h % P
-      var p = 0
-      while (p < numPerm) {
-        val v = (hm * ((40503L * (p + 1)) % P) + p) % P
-        if (v < mins(p)) mins(p) = v
-        p += 1
+      // null shingles are skipped, matching the composed form where
+      // md5(NULL) is null and array_min ignores nulls
+      if (!shingles.isNullAt(i)) {
+        val h = MinHashSigs.hash60(shingles.getUTF8String(i).getBytes)
+        val hm = h % P
+        var p = 0
+        while (p < numPerm) {
+          val v = (hm * ((40503L * (p + 1)) % P) + p) % P
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        seen = true
       }
       i += 1
     }
+    if (!seen) return null
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
@@ -67,15 +74,15 @@ case class MinHashSigs(child: Expression, numPerm: Int)
       val h = ctx.freshName("h")
       val hm = ctx.freshName("hm")
       val v = ctx.freshName("v")
+      val seen = ctx.freshName("seen")
       val P = MinHashSigs.P
       s"""
          |int $n = $x.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $mins = new long[$numPerm];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
+         |long[] $mins = new long[$numPerm];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
          |    long $h = org.apache.spark.sql.graft.MinHashSigs.hash60(
          |      $x.getUTF8String($i).getBytes());
          |    long $hm = $h % ${P}L;
@@ -83,9 +90,14 @@ case class MinHashSigs(child: Expression, numPerm: Int)
          |      long $v = ($hm * ((40503L * ($p + 1)) % ${P}L) + $p) % ${P}L;
          |      if ($v < $mins[$p]) $mins[$p] = $v;
          |    }
+         |    $seen = true;
          |  }
+         |}
+         |if ($seen) {
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |    .fromPrimitiveArray($mins);
+         |} else {
+         |  ${ev.isNull} = true;
          |}
        """.stripMargin
     })

@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * 1-perm MinHash idiom (CLAUDE.md's engine-portability contract), so
   * SQL users writing it longhand silently get the codegen'd
   * no-allocation loop instead of a CodegenFallback higher-order
-  * function. Semantics-preserving: identical per-element arithmetic,
-  * null elements impossible from md5-of-string, and the empty array
-  * yields null either way.
+  * function. Semantics-preserving: identical per-element arithmetic;
+  * null elements are skipped on both sides (md5(NULL) is null and
+  * array_min ignores nulls; Hash60Min skips isNullAt slots); an empty
+  * or all-null array yields null either way.
   *
   * Registered via graft.plans.GraftExtensions (injectOptimizerRule).
   */

@@ -161,6 +161,45 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(short.collect().head.isNullAt(0))
   }
 
+  test("null array elements are skipped exactly like the composed forms") {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    import SparkTestSession.spark.implicits._
+    // containsNull=true arrays through a real scan, so both the codegen
+    // and eval paths see nullable slots (ADVICE r3: natives used to hash
+    // every slot — empty-string min on unsafe arrays, NPE on generic)
+    val df = Seq(
+      Seq("alpha", null, "beta", "gamma"),
+      Seq[String](null, null),          // all-null → null, like array_min
+      Seq("solo"),
+      Seq(null, "tail")
+    ).toDF("ws")
+    val checked = df
+      .withColumn("hm_native", expr("hash60_min(ws)"))
+      .withColumn("hm_composed",
+        expr("array_min(transform(ws, w -> CAST(conv(substr(md5(w),1,15),16,10) AS BIGINT)))"))
+      .withColumn("ms_native", expr("minhash_sigs(ws, 4)"))
+      .withColumn("ms_composed", expr(
+        """CASE WHEN size(filter(ws, w -> w IS NOT NULL)) = 0 THEN NULL
+          | ELSE transform(sequence(0, 3), p -> array_min(transform(
+          |   transform(ws, sh -> CAST(conv(substr(md5(sh),1,15),16,10) AS BIGINT)),
+          |   h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789)))
+          | END""".stripMargin))
+      .withColumn("gh_native", expr("gram_hashes60(ws, 2)"))
+      .withColumn("gh_composed", expr(
+        """CASE WHEN size(ws) < 2 THEN NULL
+          | ELSE transform(sequence(1, size(ws) - 1), i ->
+          |   CAST(conv(substr(md5(concat_ws(' ', slice(ws, i, 2))),1,15),16,10) AS BIGINT))
+          | END""".stripMargin))
+    assert(checked.filter(!(col("hm_native") <=> col("hm_composed"))).count() == 0)
+    assert(checked.filter(!(col("ms_native") <=> col("ms_composed"))).count() == 0)
+    assert(checked.filter(!(col("gh_native") <=> col("gh_composed"))).count() == 0)
+    // all-null input yields null signatures, not a MAX_VALUE row
+    val allNull = checked.filter(size(filter(col("ws"), w => w.isNull)) === size(col("ws")))
+    assert(allNull.count() == 1)
+    assert(allNull.select("hm_native", "ms_native").collect()
+      .forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("cosine_sim handles nulls and self-similarity") {
     org.apache.spark.sql.graft.Bridge.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf).limit(5)

@@ -79,6 +79,48 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out((3L, 9L)) == None)   // key absent on the right
   }
 
+  test("asofJoin output feeds UnsafeRow-requiring parents directly") {
+    // ADVICE r3: doExecute used to emit a reused JoinedRow — an orderBy
+    // (SortExec) or exchange directly on top threw ClassCastException;
+    // only an intervening select saved the old tests.
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 5L, 50.0))
+      .toDF("qsym", "qts", "px")
+    val trades = Seq((1L, 15L), (1L, 25L), (2L, 4L), (3L, 9L))
+      .toDF("sym", "tts")
+    val sorted = Graft.asofJoin(trades, quotes, "sym", "qsym", "tts", "qts")
+      .orderBy(col("px").desc_nulls_last).collect()
+    assert(sorted.length == 4)
+    assert(Option(sorted.head.getAs[Any]("px")) == Some(101.0))
+    // and rows must not alias one shared buffer
+    val pxs = sorted.map(r => Option(r.getAs[Any]("px")))
+    assert(pxs.toSeq == Seq(Some(101.0), Some(100.0), None, None))
+  }
+
+  test("asofJoin rejects mismatched key/time types loudly") {
+    val l = Seq((1, 10L)).toDF("k", "t")          // INT key
+    val r = Seq((1L, 5L, "x")).toDF("rk", "rt", "v") // BIGINT key
+    val ex = intercept[IllegalArgumentException] {
+      Graft.asofJoin(l, r, "k", "rk", "t", "rt")
+    }
+    assert(ex.getMessage.contains("key type mismatch"))
+    val l2 = Seq((1L, 10)).toDF("k", "t")         // INT time
+    val ex2 = intercept[IllegalArgumentException] {
+      Graft.asofJoin(l2, r, "k", "rk", "t", "rt")
+    }
+    assert(ex2.getMessage.contains("time type mismatch"))
+  }
+
+  test("maskEmail passes non-email values through unmasked-but-unleaked") {
+    // ADVICE r3: instr=0 used to emit first char + the whole raw value
+    val r = Seq(("not-an-email", "a@b.c"))
+      .toDF("bad", "good")
+      .select(Graft.maskEmail(col("bad")).as("b"),
+        Graft.maskEmail(col("good")).as("g"))
+      .collect().head
+    assert(r.getString(0) == "not-an-email") // reference passthrough
+    assert(r.getString(1) == "a@b.c")        // 1-char local part: a + 0 stars
+  }
+
   test("contaminationPairs flags shared 5-grams across ad-hoc sets") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"),
