@@ -138,17 +138,57 @@ object CdcStream {
       .orderBy("keep_id")
   }
 
+  /** Session-gap threshold: 30 minutes in microseconds (shared by the
+    * interval merge and the batch oracle).
+    */
+  final val SessionGapUs = 1800000000L
+
+  /** Fold one event time into a user's merged session-interval state.
+    * Intervals are disjoint, sorted, and separated by >= gap; an event
+    * within gap of a neighbour extends it, an event bridging two
+    * intervals fuses them, anything else opens a new one. Order of
+    * arrival does not matter — the merged result is the same for any
+    * permutation of the events, which is what makes this safe for an
+    * out-of-order stream. State size is O(sessions kept), NOT O(events):
+    * the per-event timestamps never need to be retained.
+    */
+  def mergeSessionInterval(
+      ivs: Vector[(Long, Long, Long)], t: Long, gapUs: Long): Vector[(Long, Long, Long)] = {
+    // neighbours it could touch: last interval starting <= t, first after
+    val i = ivs.lastIndexWhere(_._1 <= t)
+    val joinPrev = i >= 0 && t - ivs(i)._2 < gapUs          // touches left (or inside)
+    val joinNext = i + 1 < ivs.size && ivs(i + 1)._1 - t < gapUs // touches right
+    (joinPrev, joinNext) match {
+      case (true, true) => // bridges two intervals into one
+        val (s1, _, n1) = ivs(i); val (_, e2, n2) = ivs(i + 1)
+        (ivs.take(i) :+ (s1, e2, n1 + n2 + 1)) ++ ivs.drop(i + 2)
+      case (true, false) =>
+        val (s1, e1, n1) = ivs(i)
+        ivs.updated(i, (s1, math.max(e1, t), n1 + 1))
+      case (false, true) =>
+        val (s2, e2, n2) = ivs(i + 1)
+        ivs.updated(i + 1, (t, e2, n2 + 1))
+      case (false, false) =>
+        (ivs.take(i + 1) :+ (t, t, 1L)) ++ ivs.drop(i + 1)
+    }
+  }
+
   /** Streaming gap-based sessionization with per-user state across
-    * micro-batches: each trigger folds the user's new event times into
-    * state and re-emits (n_events, n_sessions); the latest emission per
-    * key (the one with the most events — counts are monotone) is the
-    * complete answer, equal to batch q_session_window, so its oracle
-    * applies. NoTimeout because the replay is finite; a live 100 TB feed
-    * would use EventTimeTimeout to purge sessions the watermark has
-    * closed instead of retaining every timestamp. (The native
-    * session_window operator only supports append mode in streaming,
-    * which holds back tail sessions until the watermark passes them —
-    * unusable for a finite replay.)
+    * micro-batches: each trigger folds the user's new event times into a
+    * merged session-interval list and re-emits (n_events, n_sessions);
+    * the latest emission per key (the one with the most events — counts
+    * are monotone) is the complete answer, equal to batch
+    * q_session_window, so its oracle applies. State is bounded by the
+    * SESSION count, not the event count — a user with a million events
+    * in one session holds one (start, end, n) triple. NoTimeout because
+    * the replay is finite; a live 100 TB feed would use EventTimeTimeout
+    * and, on timeout, fold intervals whose end precedes
+    * (watermark - gap) into a (closed_sessions, closed_events)
+    * accumulator pair — those intervals can never merge with an on-time
+    * future event, so the retained state shrinks to the open tail.
+    * (The native session_window operator only supports append mode in
+    * streaming, which holds back tail sessions until the watermark
+    * passes them — unusable for a finite replay.)
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -162,13 +202,12 @@ object CdcStream {
     val qname = "sess_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = stream.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Seq[Long]]) =>
-          val tus = state.getOption.getOrElse(Seq.empty) ++ rows.map(_._2)
-          state.update(tus)
-          val sorted = tus.sorted
-          val sessions = 1 + sorted.iterator.zip(sorted.iterator.drop(1))
-            .count { case (a, b) => b - a >= 1800000000L }
-          Iterator((uid, tus.size.toLong, sessions.toLong))
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Vector[(Long, Long, Long)]]) =>
+          val ivs = rows.foldLeft(state.getOption.getOrElse(Vector.empty)) {
+            (acc, r) => mergeSessionInterval(acc, r._2, SessionGapUs)
+          }
+          state.update(ivs)
+          Iterator((uid, ivs.map(_._3).sum, ivs.size.toLong))
       }
       .toDF("user_id", "n_events", "n_sessions")
       .writeStream.format("memory").queryName(qname)

@@ -177,6 +177,32 @@ class ReconCdcSpec extends SparkSpecBase {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("session-interval merge is order-independent and matches brute force") {
+    // the bounded-state kernel behind stream_sessionize: folding events
+    // in ANY order yields the same merged intervals, and (n_events,
+    // n_sessions) equals the sorted-timestamps gap count
+    val gap = CdcStream.SessionGapUs
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      // timestamps clustered so bridging/extension/exact-gap all occur
+      val ts = Seq.fill(n)(rnd.nextInt(20).toLong * (gap / 2) + rnd.nextInt(3))
+      val sorted = ts.sorted
+      val expectSessions = 1 + sorted.zip(sorted.tail).count { case (a, b) => b - a >= gap }
+      Seq(ts, ts.reverse, rnd.shuffle(ts)).foreach { perm =>
+        val ivs = perm.foldLeft(Vector.empty[(Long, Long, Long)]) {
+          (acc, t) => CdcStream.mergeSessionInterval(acc, t, gap)
+        }
+        assert(ivs.map(_._3).sum == n.toLong, s"event count lost for $perm")
+        assert(ivs.size == expectSessions, s"sessions ${ivs.size} != $expectSessions for $perm")
+        // invariant: disjoint, sorted, separated by >= gap
+        ivs.zip(ivs.tail).foreach { case ((_, e1, _), (s2, _, _)) =>
+          assert(s2 - e1 >= gap)
+        }
+      }
+    }
+  }
+
   test("schema drift report classifies the engineered drift") {
     val rows = ReconSuite.queries("recon_schema_drift")(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") -> r.getAs[String]("status")).toMap
