@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AnalyticCore.queries ++ PiiSuite.queries ++ ReconSuite.queries ++
+    AnalyticCore.queries ++ AnalyticExtra.queries ++ PiiSuite.queries ++ ReconSuite.queries ++
       CdcSuite.queries ++ graft.streaming.CdcStream.queries ++
       TextSuite.queries ++ DedupSuite.queries ++ AnnSuite.queries ++
       MultimodalSuite.queries ++ ExtendedSuite.queries ++ OpsSuite.queries
@@ -22,7 +22,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AnalyticCore.oracles ++ PiiSuite.oracles ++ ReconSuite.oracles ++
+    AnalyticCore.oracles ++ AnalyticExtra.oracles ++ PiiSuite.oracles ++ ReconSuite.oracles ++
       CdcSuite.oracles ++ graft.streaming.CdcStream.oracles ++
       TextSuite.oracles ++ DedupSuite.oracles ++ AnnSuite.oracles ++
       MultimodalSuite.oracles ++ ExtendedSuite.oracles ++ OpsSuite.oracles
