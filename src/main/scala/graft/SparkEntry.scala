@@ -16,14 +16,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AnalyticCore.queries ++ AnalyticExtra.queries ++ PiiSuite.queries ++ ReconSuite.queries ++
       CdcSuite.queries ++ graft.streaming.CdcStream.queries ++
-      TextSuite.queries ++ DedupSuite.queries ++ AnnSuite.queries ++
-      MultimodalSuite.queries ++ ExtendedSuite.queries ++ OpsSuite.queries
+      TextSuite.queries ++ DedupSuite.queries ++ AnnSuite.queries ++ LlmExtra.queries ++
+      MultimodalSuite.queries ++ ExtendedSuite.queries ++ OpsSuite.queries ++
+      SafetySuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AnalyticCore.oracles ++ AnalyticExtra.oracles ++ PiiSuite.oracles ++ ReconSuite.oracles ++
       CdcSuite.oracles ++ graft.streaming.CdcStream.oracles ++
-      TextSuite.oracles ++ DedupSuite.oracles ++ AnnSuite.oracles ++
-      MultimodalSuite.oracles ++ ExtendedSuite.oracles ++ OpsSuite.oracles
+      TextSuite.oracles ++ DedupSuite.oracles ++ AnnSuite.oracles ++ LlmExtra.oracles ++
+      MultimodalSuite.oracles ++ ExtendedSuite.oracles ++ OpsSuite.oracles ++
+      SafetySuite.oracles
 }

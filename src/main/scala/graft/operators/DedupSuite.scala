@@ -51,8 +51,47 @@ object DedupSuite {
   // threshold, so near-threshold pairs still collide with high odds.
   private val NgramBandRows = 2
   // embedding LSH: 16 sign-bit hyperplanes, banded 4 × 4 bits
-  private val EmbPlanes = 16
-  private val EmbBandBits = 4
+  private[graft] val EmbPlanes = 16
+  private[graft] val EmbBandBits = 4
+
+  /** The 16×64 ±1 hyperplane matrix — coefficient(h, dim) = parity of the
+    * 60-bit md5 of "h,dim". Row-independent, so computed once on the
+    * driver and shipped as a literal (the per-row md5 form cost ~0.7 ms/row).
+    * Shared by dedup_embedding and ann_lsh; the oracle evaluates the same
+    * md5-parity formula in SQL.
+    */
+  private[graft] def signMatrix: Seq[Seq[Double]] = (0 until EmbPlanes).map { h =>
+    (1 to 64).map { i =>
+      if (org.apache.spark.sql.graft.MinHashSigs.hash60(
+          s"$h,$i".getBytes("UTF-8")) % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Adds the 16-element sign-bit column `bits`: bit h = sign of the
+    * fixed-point-rounded projection onto hyperplane h (the rounding makes
+    * both engines branch identically near zero). Narrow projection —
+    * zero shuffle.
+    */
+  private[graft] def withSignBits(df: DataFrame): DataFrame =
+    df.withColumn("sgn", typedLit(signMatrix))
+      .withColumn("bits", expr(
+        s"""transform(sequence(0, ${EmbPlanes - 1}), h ->
+           |  CASE WHEN floor(aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
+           |    (acc, i) -> acc +
+           |      element_at(element_at(sgn, h + 1), i)
+           |        * CAST(element_at(embedding, i) AS DOUBLE)) * 1e6 + 0.5) > 0
+           |  THEN 1 ELSE 0 END)""".stripMargin))
+      .drop("sgn")
+
+  /** Explodes `bits` into (band, bucket) rows — the only shuffle key the
+    * LSH family ever joins on.
+    */
+  private[graft] def signBands(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${EmbPlanes / EmbBandBits - 1}), b ->
+             |  concat_ws(',', slice(bits, b * $EmbBandBits + 1, $EmbBandBits)))""".stripMargin)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
@@ -199,29 +238,10 @@ object DedupSuite {
       // ±1.0 multiplies and the fold order are unchanged, so the bits
       // are bit-identical.
       org.apache.spark.sql.graft.Bridge.register(s)
-      val signs: Seq[Seq[Double]] = (0 until EmbPlanes).map { h =>
-        (1 to 64).map { i =>
-          if (org.apache.spark.sql.graft.MinHashSigs.hash60(
-              s"$h,$i".getBytes("UTF-8")) % 2 == 1) 1.0 else -1.0
-        }
-      }
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
-        .withColumn("sgn", typedLit(signs))
-        .withColumn("bits", expr(
-          s"""transform(sequence(0, ${EmbPlanes - 1}), h ->
-             |  CASE WHEN floor(aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
-             |    (acc, i) -> acc +
-             |      element_at(element_at(sgn, h + 1), i)
-             |        * CAST(element_at(embedding, i) AS DOUBLE)) * 1e6 + 0.5) > 0
-             |  THEN 1 ELSE 0 END)""".stripMargin))
-        .drop("sgn")
+      val e = withSignBits(
+          Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = e.select(col("vec_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, ${EmbPlanes / EmbBandBits - 1}), b ->
-               |  concat_ws(',', slice(bits, b * $EmbBandBits + 1, $EmbBandBits)))""".stripMargin)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val bands = signBands(e)
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))

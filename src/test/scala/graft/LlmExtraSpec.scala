@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnSuite, LlmExtra}
+
+class LlmExtraSpec extends SparkSpecBase {
+
+  test("every LlmExtra query returns rows") {
+    LlmExtra.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("text_repetition fractions are valid and the gate matches them") {
+    LlmExtra.queries("text_repetition")(spark, sf).collect().foreach { r =>
+      val dw = r.getDouble(r.fieldIndex("dup_word_frac"))
+      val tw = r.getDouble(r.fieldIndex("top_word_frac"))
+      val db = r.getDouble(r.fieldIndex("dup_bigram_frac"))
+      assert(dw >= 0.0 && dw < 1.0, s"dup_word_frac=$dw")
+      assert(tw > 0.0 && tw <= 1.0, s"top_word_frac=$tw")
+      assert(db >= 0.0 && db < 1.0, s"dup_bigram_frac=$db")
+      assert(r.getBoolean(r.fieldIndex("repetitive")) ==
+        (dw > 0.55 || tw > 0.12 || db > 0.1))
+    }
+  }
+
+  test("text_repetition is a zero-shuffle projection") {
+    val plan = LlmExtra.queries("text_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation orderBy
+    assert(plan.indexOf("Exchange") == plan.lastIndexOf("Exchange"),
+      s"expected at most one exchange (the output sort):\n$plan")
+  }
+
+  test("text_token_shards conserves tokens and numbers shards contiguously") {
+    val shards = LlmExtra.queries("text_token_shards")(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    shards.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(rs.head.fieldIndex("shard_tokens"))).sum == docs(lang),
+        s"$lang shard tokens must sum to the corpus total")
+      val ids = rs.map(_.getLong(rs.head.fieldIndex("shard_id"))).sorted
+      assert(ids.head == 0L && ids.sameElements(0L until ids.length),
+        s"$lang shard ids must be contiguous from 0: ${ids.toSeq}")
+    }
+  }
+
+  test("emb_quantize stays in int8 range with bounded reconstruction error") {
+    LlmExtra.queries("emb_quantize")(spark, sf).collect().foreach { r =>
+      val qMin = r.getLong(r.fieldIndex("q_min"))
+      val qMax = r.getLong(r.fieldIndex("q_max"))
+      val scale = r.getDouble(r.fieldIndex("scale6"))
+      val err = r.getDouble(r.fieldIndex("max_err6"))
+      assert(qMin >= -127L && qMax <= 127L, s"q range [$qMin,$qMax]")
+      // round-half-up error is at most half a quantization step
+      assert(err <= scale / 127.0 / 2.0 + 1e-6, s"err=$err scale=$scale")
+    }
+  }
+
+  test("ann_lsh returns ranked exact-cosine rows that agree with brute force") {
+    val lsh = LlmExtra.queries("ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(r.fieldIndex("cos")), r.getInt(r.fieldIndex("rk")))).toMap
+    assert(lsh.nonEmpty)
+    // per query: ranks contiguous from 1, cos non-increasing
+    lsh.groupBy(_._1._1).foreach { case (q, m) =>
+      val byRank = m.values.toSeq.sortBy(_._2)
+      assert(byRank.map(_._2) == (1 to byRank.length), s"query $q ranks")
+      assert(byRank.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"query $q cos must be non-increasing")
+    }
+    // the verified cosine for an (query, cand) pair equals brute force's
+    val bf = AnnSuite.queries("ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(r.fieldIndex("cos"))).toMap
+    val overlap = lsh.keys.filter(bf.contains)
+    overlap.foreach(k => assert(lsh(k)._1 == bf(k), s"cos mismatch at $k"))
+    // LSH is a candidate subset: its best hit can never beat brute force
+    lsh.groupBy(_._1._1).foreach { case (q, m) =>
+      val lshBest = m.values.maxBy(_._1)._1
+      val bfBest = bf.collect { case ((bq, _), c) if bq == q => c }.max
+      assert(lshBest <= bfBest, s"query $q: lsh $lshBest beat brute force $bfBest")
+    }
+  }
+}
