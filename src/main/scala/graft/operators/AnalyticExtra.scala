@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable._
 import graft.sources.Tables
@@ -212,6 +213,164 @@ object AnalyticExtra {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_mktsegment")
+    },
+
+    // TPC-H Q2 shape: min-cost supplier per part (the correlated scalar
+    // MIN). No partsupp table in the lake, so the part-supplier price
+    // relation is derived from lineitem: unit_cost(part, supp) =
+    // min(l_extendedprice / l_quantity). Suppliers/nations/parts are all
+    // broadcast; the only big shuffles are the (part, supp) groupBy and
+    // the per-part window min — both keyed on p_partkey.
+    "q2_min_cost_supp" -> { (s, d) =>
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val costs = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+                 col("s_acctbal"), col("n_name"))
+        .agg(r6(min(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
+      val w = Window.partitionBy(col("p_partkey"))
+      costs.withColumn("min_cost", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+                col("p_name"), col("unit_cost"))
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape: product-line profit by supplier nation and order
+    // year. p_retailprice stands in for ps_supplycost (no partsupp):
+    // profit = revenue - 0.1 * retailprice * qty. part and
+    // supplier⋈nation are broadcast; orders joins on the key lineitem
+    // already carries; one groupBy shuffle on the tiny (nation, year) key.
+    "q9_product_profit" -> { (s, d) =>
+      val p = broadcast(Tables.part(s, d).filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val sn = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+                 year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+                  col("p_retailprice") * col("l_quantity") * lit(0.1)).as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    },
+
+    // TPC-H Q11 shape: important stock — parts whose value through
+    // NATION_3 suppliers exceeds a fixed fraction of the total (the
+    // scalar-subquery HAVING). The threshold is a 1-row broadcast; the
+    // value table is computed once per leg exactly like the reference's
+    // scalar subquery re-scan, and both legs push the supplier semi-join
+    // into the scan side.
+    "q11_important_stock" -> { (s, d) =>
+      def vals = {
+        val n3sup = broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+                col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey")))
+        Tables.lineitem(s, d)
+          .join(n3sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(dsum(col("l_extendedprice")).as("value"))
+      }
+      val tot = vals.agg(dsum(col("value")).as("tot"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value") > col("tot") * lit(0.001))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(desc("value"), col("l_partkey"))
+    },
+
+    // TPC-H Q13 shape: customer order-count distribution. LEFT OUTER join
+    // so zero-order customers survive into the c_count=0 bucket; the
+    // priority exclusion stands in for the o_comment NOT LIKE filter.
+    // Two shuffles, each on the key its aggregate needs (custkey, then
+    // the tiny c_count domain).
+    "q13_order_distribution" -> { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q16 shape: supplier count per (brand, type, size) with a
+    // NOT-IN supplier exclusion. The partsupp relation is reconstructed
+    // as DISTINCT (l_partkey, l_suppkey) — one shuffle; the excluded
+    // suppliers and the filtered part dim are broadcast; countDistinct
+    // re-uses the same partkey-clustered layout.
+    "q16_supplier_cnt" -> { (s, d) =>
+      val excl = broadcast(Tables.supplier(s, d)
+        .filter(col("s_name").like("%7")).select(col("s_suppkey")))
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      ps.join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#9" && !col("p_type").like("MEDIUM%") &&
+                    col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    // correlated per-part AVG. The per-part average is an aggregate over
+    // the SAME broadcast-filtered lineitem slice, joined back broadcast
+    // (the filtered part list is tiny); threshold 0.5·avg keeps the
+    // selection non-degenerate on the uniform quantity fixture.
+    "q17_small_qty_revenue" -> { (s, d) =>
+      val p = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+        .select(col("p_partkey")))
+      val li = Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(stats), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("avg_qty") * lit(0.5))
+        .agg(r6(dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+
+    // TPC-H Q20 shape: suppliers who shipped an above-average volume of
+    // 'small%' parts in 1997 (availqty > ½·shipped becomes shipped >
+    // avg-shipped — same nested-aggregate-feeding-a-semi-join plan). The
+    // threshold is a 1-row broadcast; the supplier dim side is broadcast;
+    // lineitem shuffles once on l_suppkey.
+    "q20_ship_heavy_suppliers" -> { (s, d) =>
+      val p = broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))
+        .select(col("p_partkey")))
+      def shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+                col("l_shipdate") <  to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+      val thr = shipped.agg(davg(col("qty")).as("thr"))
+      val heavy = shipped.crossJoin(broadcast(thr)).filter(col("qty") > col("thr"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
     }
   )
 
@@ -326,6 +485,104 @@ object AnalyticExtra {
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH costs AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |    FLOOR(MIN(l_extendedprice/l_quantity) * 1e6 + 0.5)/1e6 AS unit_cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15 AND p_type = 'STANDARD'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |m AS (
+        |  SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM costs)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        |FROM m WHERE unit_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${s4("l_extendedprice*(1-l_discount) - p_retailprice*l_quantity*0.1")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH vals AS (
+         |  SELECT l_partkey, ${s4("l_extendedprice")} AS value
+         |  FROM lineitem
+         |  WHERE EXISTS (
+         |    SELECT 1 FROM supplier
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |    WHERE s_suppkey = l_suppkey AND n_name = 'NATION_3')
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, value FROM vals
+         |WHERE value > (SELECT ${s4("value")} * 0.001 FROM vals)
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |    AND p_brand = 'Brand#3' AND p_type = 'SMALL'),
+         |stats AS (
+         |  SELECT l_partkey AS pk, ${s4("l_quantity")}/COUNT(*) AS avg_qty
+         |  FROM li GROUP BY l_partkey)
+         |SELECT FLOOR(${s4("l_extendedprice")}/7.0 * 1e6 + 0.5)/1e6 AS avg_yearly
+         |FROM li JOIN stats ON l_partkey = pk
+         |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+
+    "q20_ship_heavy_suppliers" ->
+      s"""WITH shipped AS (
+         |  SELECT l_suppkey, ${s4("l_quantity")} AS qty
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE EXISTS (
+         |  SELECT 1 FROM shipped
+         |  WHERE l_suppkey = s_suppkey
+         |    AND qty > (SELECT ${s4("qty")}/COUNT(*) FROM shipped))
+         |ORDER BY s_name""".stripMargin
   )
 }

@@ -77,6 +77,85 @@ class AnalyticExtraSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(r.fieldIndex("numwait")) >= 1))
   }
 
+  test("q2 keeps exactly the per-part minimum-cost suppliers") {
+    val rows = AnalyticExtra.queries("q2_min_cost_supp")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(3)).foreach { case (_, rs) =>
+      val costs = rs.map(r => r.getDouble(r.fieldIndex("unit_cost"))).distinct
+      assert(costs.length == 1, "all surviving rows per part share the min cost")
+    }
+  }
+
+  test("q9 profit plan broadcasts part and supplier-nation dims") {
+    val df = AnalyticExtra.queries("q9_product_profit")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q11 keeps only parts above the fractional threshold of the total") {
+    import org.apache.spark.sql.functions._
+    val rows = AnalyticExtra.queries("q11_important_stock")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val minKept = rows.map(r => r.getDouble(r.fieldIndex("value"))).min
+    // recompute the unfiltered total from the same nation-3 slice
+    val n3 = graft.sources.Tables.supplier(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf)
+        .filter(col("n_name") === "NATION_3"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val tot = graft.sources.Tables.lineitem(spark, sf)
+      .join(n3, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .agg(sum(col("l_extendedprice"))).collect().head.getDouble(0)
+    assert(minKept > tot * 0.001 - 1.0, s"minKept=$minKept vs ${tot * 0.001}")
+  }
+
+  test("q13 distribution covers every customer exactly once") {
+    val rows = AnalyticExtra.queries("q13_order_distribution")(spark, sf).collect()
+    val covered = rows.map(r => r.getLong(r.fieldIndex("custdist"))).sum
+    assert(covered == graft.sources.Tables.customer(spark, sf).count(),
+      "custdist buckets must partition the customer set")
+    // left-outer semantics: the c_count=0 bucket holds exactly the
+    // customers with no qualifying order (may legitimately be empty)
+    import org.apache.spark.sql.functions._
+    val withOrders = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey")).distinct().count()
+    val zeroBucket = rows.find(_.getLong(0) == 0L)
+      .map(r => r.getLong(r.fieldIndex("custdist"))).getOrElse(0L)
+    assert(zeroBucket == covered - withOrders,
+      s"zero bucket $zeroBucket vs ${covered - withOrders} orderless customers")
+  }
+
+  test("q16 never counts an excluded supplier") {
+    import org.apache.spark.sql.functions._
+    val excl = graft.sources.Tables.supplier(spark, sf)
+      .filter(col("s_name").like("%7")).count()
+    assert(excl > 0, "fixture must actually exclude someone")
+    val total = graft.sources.Tables.supplier(spark, sf).count()
+    AnalyticExtra.queries("q16_supplier_cnt")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("supplier_cnt")) <= total - excl)
+    }
+  }
+
+  test("q20 heavy shippers are above the average shipped volume") {
+    import org.apache.spark.sql.functions._
+    val rows = AnalyticExtra.queries("q20_ship_heavy_suppliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val p = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val shipped = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("qty"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val thr = shipped.values.sum / shipped.size
+    rows.foreach { r =>
+      val sk = r.getLong(r.fieldIndex("s_suppkey"))
+      assert(shipped(sk) > thr - 1.0, s"supplier $sk shipped ${shipped(sk)} vs avg $thr")
+    }
+  }
+
   test("q22 idle customers are all above the positive-balance average") {
     import org.apache.spark.sql.functions._
     val thr = graft.sources.Tables.customer(spark, sf)
