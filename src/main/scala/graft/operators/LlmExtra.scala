@@ -21,6 +21,14 @@ object LlmExtra {
   /** Tokens per training shard for text_token_shards. */
   private[graft] val ShardBudget = 2048L
 
+  // PII patterns for the free-text scan (ref analog: the typed-column
+  // masks in pii.py, applied to unstructured text as an LLM-corpus
+  // redaction pass). Plain (non-interpolated) strings so \\d stays \d;
+  // the character classes are identical in Java regex and RE2.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
+  private val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style repetition signals (ref analog: the quality-filter
     // family in Rae et al. 2021 §A1.1, adapted to single-line docs):
@@ -128,6 +136,63 @@ object LlmExtra {
         .filter(col("rk") <= 5)
         .select("query_id", "cand_id", "cos", "rk")
         .orderBy("query_id", "rk")
+    },
+
+    // Free-text PII scan + redaction: the LLM-corpus counterpart of the
+    // typed-column masks in PiiSuite. The corpus carries no PII, so the
+    // scan input is decorated deterministically from doc_id (emails on
+    // every 5th doc, SSNs on every 7th, phones on every 11th) — the same
+    // synthesize-in-query pattern as the CDC envelopes, so the oracle
+    // reproduces the exact input. Detection is regexp_count, redaction a
+    // regexp_replace chain; pure narrow projection, zero shuffle, linear
+    // in corpus bytes at any scale.
+    "text_pii_scan" -> { (s, d) =>
+      val id = col("doc_id")
+      val decorated = Tables.documents(s, d)
+        .withColumn("body", concat(
+          col("text"),
+          when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+          when(id % 7 === 0, concat(lit(" ssn "), (id % 900 + 100).cast("string"),
+            lit("-"), (id % 90 + 10).cast("string"),
+            lit("-"), (id % 9000 + 1000).cast("string"))).otherwise(lit("")),
+          when(id % 11 === 0, concat(lit(" call ("), (id % 900 + 100).cast("string"),
+            lit(") "), (id % 900 + 100).cast("string"),
+            lit("-"), (id % 9000 + 1000).cast("string"))).otherwise(lit(""))))
+      decorated.select(col("doc_id"),
+          regexp_count(col("body"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("body"), lit(SsnRe)).cast("long").as("n_ssns"),
+          regexp_count(col("body"), lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("body"),
+            EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>")
+            .as("redacted"))
+        .withColumn("pii_total", col("n_emails") + col("n_ssns") + col("n_phones"))
+        .orderBy("doc_id")
+    },
+
+    // Z-order layout: multi-dimensional clustering for data skipping —
+    // the write-side layout step that makes BOTH partkey and suppkey
+    // range predicates prunable from file-level min/max stats. The
+    // z-value interleaves the low 16 bits of each key (pure bit
+    // arithmetic, portable); bucketing by the z prefix yields the file
+    // assignment, and the per-bucket min/max rectangle is exactly the
+    // footer stats a scan would prune on. At 100 TB this is a
+    // repartitionByRange(z) before the write — the computation here is
+    // the same narrow projection plus one rollup on the bucket id.
+    "layout_zorder" -> { (s, d) =>
+      val z = expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + shiftleft((l_partkey >> i) & 1, 2 * i)
+          |      + shiftleft((l_suppkey >> i) & 1, 2 * i + 1))""".stripMargin)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .withColumn("zval", z)
+        .withColumn("z_bucket", shiftright(col("zval"), 16).cast("long"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+        .orderBy("z_bucket")
     }
   )
 
@@ -234,6 +299,43 @@ object LlmExtra {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
         |  FROM scored)
         |SELECT query_id, cand_id, cos, rk FROM ranked
-        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "text_pii_scan" ->
+      """WITH dec AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call (' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || ') ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(body, '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(body, '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(body,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+        |    '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(body, '\d{3}-\d{2}-\d{4}')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(body, '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS pii_total
+        |FROM dec ORDER BY doc_id""".stripMargin,
+
+    "layout_zorder" ->
+      """WITH z AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i+1))))
+        |      AS zval
+        |  FROM lineitem)
+        |SELECT CAST(zval >> 16 AS BIGINT) AS z_bucket, COUNT(*) AS n_rows,
+        |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+        |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -59,6 +59,41 @@ class LlmExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("text_pii_scan finds exactly the planted PII and redacts every hit") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ssn = "\\d{3}-\\d{2}-\\d{4}".r
+    val phone = "\\(\\d{3}\\) \\d{3}-\\d{4}".r
+    val rows = LlmExtra.queries("text_pii_scan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(r.fieldIndex("n_emails")) == (if (id % 5 == 0) 1L else 0L))
+      assert(r.getLong(r.fieldIndex("n_ssns")) == (if (id % 7 == 0) 1L else 0L))
+      assert(r.getLong(r.fieldIndex("n_phones")) == (if (id % 11 == 0) 1L else 0L))
+      val red = r.getString(r.fieldIndex("redacted"))
+      assert(email.findFirstIn(red).isEmpty, s"doc $id leaks an email: $red")
+      assert(ssn.findFirstIn(red).isEmpty, s"doc $id leaks an ssn")
+      assert(phone.findFirstIn(red).isEmpty, s"doc $id leaks a phone")
+      assert((id % 5 == 0) == red.contains("<EMAIL>"))
+      assert((id % 7 == 0) == red.contains("<SSN>"))
+      assert((id % 11 == 0) == red.contains("<PHONE>"))
+    }
+  }
+
+  test("layout_zorder buckets partition rows into 256-aligned rectangles") {
+    val rows = LlmExtra.queries("layout_zorder")(spark, sf).collect()
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "buckets must partition the table")
+    // dropping the low 16 interleaved bits pins the top 8 bits of BOTH
+    // dims: every bucket's min/max rectangle fits a 256-aligned tile —
+    // exactly the bounded footer stats that make dual-dimension pruning
+    // work
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("max_part")) - r.getLong(r.fieldIndex("min_part")) < 256L)
+      assert(r.getLong(r.fieldIndex("max_supp")) - r.getLong(r.fieldIndex("min_supp")) < 256L)
+    }
+  }
+
   test("ann_lsh returns ranked exact-cosine rows that agree with brute force") {
     val lsh = LlmExtra.queries("ann_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
