@@ -16,7 +16,10 @@ object Bench {
     "pii_pipeline", "dedup_exact", "dedup_minhash_lsh",
     "text_quality", "text_fingerprint", "ann_bruteforce",
     "q_asof_join_native", "q_interval_join", "text_contamination",
-    "recon_incremental_stateful")
+    "recon_incremental_stateful",
+    // round-4 representatives
+    "q9_product_profit", "q18_large_orders", "text_pii_scan",
+    "layout_zorder", "ann_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -112,6 +112,36 @@ object Graft {
   def pseudonymize(c: Column, salt: String): Column =
     Portable.rowHash60(concat(lit(salt), lit("|"), c.cast("string")))
 
+  /** PII patterns for free-text scanning (the corpus-side counterpart
+    * of the typed-column masks above). Identical semantics in Java
+    * regex and RE2.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
+  val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+
+  /** Redact emails, SSNs and US-style phone numbers inside free text —
+    * the LLM-corpus redaction pass. Pure codegen'd regexp_replace
+    * chain; zero shuffle.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>")
+
+  // ---- Layout --------------------------------------------------------
+
+  /** Interleaved-bit z-value over two non-negative integer keys — the
+    * clustering key for multi-dimensional data skipping. Feed it to
+    * `repartitionByRange(zorderKey(x, y))` before a write so every
+    * output file's min/max footer stats are tight on BOTH dimensions.
+    * Unrolled shift/mask sum (exact integer arithmetic, codegen'd).
+    */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   // ---- Dedup ---------------------------------------------------------
 
   /** Exact dedup groups over a normalized text column: one hash-groupBy

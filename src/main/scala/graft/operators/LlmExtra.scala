@@ -21,13 +21,12 @@ object LlmExtra {
   /** Tokens per training shard for text_token_shards. */
   private[graft] val ShardBudget = 2048L
 
-  // PII patterns for the free-text scan (ref analog: the typed-column
-  // masks in pii.py, applied to unstructured text as an LLM-corpus
-  // redaction pass). Plain (non-interpolated) strings so \\d stays \d;
-  // the character classes are identical in Java regex and RE2.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
-  private val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  // PII patterns shared with the public API (ref analog: the
+  // typed-column masks in pii.py, applied to unstructured text as an
+  // LLM-corpus redaction pass).
+  private val EmailRe = graft.api.Graft.EmailRe
+  private val SsnRe = graft.api.Graft.SsnRe
+  private val PhoneRe = graft.api.Graft.PhoneRe
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style repetition signals (ref analog: the quality-filter
@@ -163,9 +162,7 @@ object LlmExtra {
           regexp_count(col("body"), lit(EmailRe)).cast("long").as("n_emails"),
           regexp_count(col("body"), lit(SsnRe)).cast("long").as("n_ssns"),
           regexp_count(col("body"), lit(PhoneRe)).cast("long").as("n_phones"),
-          regexp_replace(regexp_replace(regexp_replace(col("body"),
-            EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>")
-            .as("redacted"))
+          graft.api.Graft.redactPii(col("body")).as("redacted"))
         .withColumn("pii_total", col("n_emails") + col("n_ssns") + col("n_phones"))
         .orderBy("doc_id")
     },
@@ -180,13 +177,10 @@ object LlmExtra {
     // repartitionByRange(z) before the write — the computation here is
     // the same narrow projection plus one rollup on the bucket id.
     "layout_zorder" -> { (s, d) =>
-      val z = expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
-          |  acc + shiftleft((l_partkey >> i) & 1, 2 * i)
-          |      + shiftleft((l_suppkey >> i) & 1, 2 * i + 1))""".stripMargin)
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"))
-        .withColumn("zval", z)
+        .withColumn("zval",
+          graft.api.Graft.zorderKey(col("l_partkey"), col("l_suppkey")))
         .withColumn("z_bucket", shiftright(col("zval"), 16).cast("long"))
         .groupBy(col("z_bucket"))
         .agg(count(lit(1)).as("n_rows"),

@@ -144,6 +144,34 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)), s"got ${out.toSeq}")
   }
 
+  test("redactPii scrubs mixed PII from ad-hoc text and leaves clean text alone") {
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or (415) 555-1234 ok"),
+      (2L, "ssn is 123-45-6789 thanks"),
+      (3L, "no pii here, just 12-34 and user at example dot com")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), Graft.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "reach me at <EMAIL> or <PHONE> ok")
+    assert(out(2L) == "ssn is <SSN> thanks")
+    assert(out(3L) == "no pii here, just 12-34 and user at example dot com")
+  }
+
+  test("zorderKey interleaves bits exactly") {
+    // x=0b101 (bits 0,2 -> even positions 0,4), y=0b011 (bits 0,1 ->
+    // odd positions 1,3): z = 1 + 16 + 2 + 8 = 27
+    val df = Seq((5L, 3L)).toDF("x", "y")
+    val z = df.select(Graft.zorderKey(col("x"), col("y")).as("z"))
+      .collect().head.getLong(0)
+    assert(z == 27L, s"z=$z")
+    // locality: adjacent x cells under the same y stay within one tile
+    val grid = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)).toDF("x", "y")
+    val zs = grid.select(col("x"), col("y"), Graft.zorderKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zs.values.toSet.size == 64, "z must be a bijection on the grid")
+    assert(zs((7L, 7L)) == 63L, "8x8 grid fills z in [0, 63]")
+  }
+
   test("hashSample is deterministic and rate-bounded") {
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
     val s1 = Graft.hashSample(df, "id", lit(20)).collect().map(_.getLong(0)).toSet
