@@ -128,6 +128,22 @@ object Graft {
     regexp_replace(regexp_replace(regexp_replace(c,
       EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>")
 
+  /** Column-name-regex transformer routing (ref: rules.py:17
+    * create_pii_pipeline — `pipeline.add_transformer(r".*email.*",
+    * masker)` — and types.py TransformationPipeline): every column
+    * whose name fully matches a rule's pattern gets the FIRST matching
+    * transform; unmatched columns pass through. Routing is driver-side
+    * schema metadata; the per-row work stays one narrow codegen'd
+    * projection regardless of how many rules fire.
+    */
+  def rulesPipeline(df: DataFrame, rules: Seq[(String, Column => Column)]): DataFrame =
+    df.select(df.columns.map { name =>
+      rules.find { case (p, _) => name.matches(p) } match {
+        case Some((_, f)) => f(col(name)).as(name)
+        case None         => col(name)
+      }
+    }: _*)
+
   // ---- Layout --------------------------------------------------------
 
   /** Interleaved-bit z-value over two non-negative integer keys — the

@@ -115,6 +115,26 @@ object PiiSuite {
         .orderBy("c_custkey")
     },
 
+    "pii_rules_pipeline" -> { (s, d) =>
+      // name-pattern-routed pipeline (ref: rules.py:17
+      // create_pii_pipeline): transformers are bound to column-NAME
+      // regexes, not hard-coded columns — the first matching rule wins,
+      // unmatched columns pass through. Same mask/hash kernels as the
+      // explicit pipeline above, selected by the router.
+      import graft.api.Graft
+      Graft.rulesPipeline(
+          withPii(Tables.customer(s, d))
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+                    col("email"), col("phone"), col("ssn"), col("card")),
+          Seq(
+            ".*email.*" -> (c => Graft.maskEmail(c)),
+            ".*phone.*" -> (c => Graft.maskKeepLast4(c)),
+            ".*ssn.*"   -> (c => Graft.maskSsn(c)),
+            ".*card.*"  -> (c => Graft.maskKeepLast4(c)),
+            ".*name.*"  -> (c => Graft.pseudonymize(c, "graft-salt"))))
+        .orderBy("c_custkey")
+    },
+
     "type_convert" -> { (s, d) =>
       // cast matrix incl. the bool/int edge the reference special-cases
       // (ref: types.py:28 TypeConversionTransformer BUG-9). Double→int goes
@@ -194,6 +214,17 @@ object PiiSuite {
          |  '(***) ***-' || substr(phone, 11, 4) AS phone,
          |  sha256('graft-salt:' || c_name) AS name_hash,
          |  c_mktsegment
+         |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
+
+    "pii_rules_pipeline" ->
+      s"""SELECT c_custkey,
+         |  ('0x' || substr(md5('graft-salt|' || c_name), 1, 15))::BIGINT AS c_name,
+         |  c_mktsegment,
+         |  $maskEmailSql AS email,
+         |  repeat('*', greatest(length(regexp_replace(phone, '[^0-9]', '', 'g')) - 4, 0))
+         |    || right(regexp_replace(phone, '[^0-9]', '', 'g'), 4) AS phone,
+         |  '***-**-' || right(ssn, 4) AS ssn,
+         |  repeat('*', greatest(length(card) - 4, 0)) || right(card, 4) AS card
          |FROM ($PiiSql) t ORDER BY c_custkey""".stripMargin,
 
     "type_convert" ->

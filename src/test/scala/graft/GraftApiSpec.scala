@@ -144,6 +144,19 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)), s"got ${out.toSeq}")
   }
 
+  test("rulesPipeline routes by column-name regex with first-match precedence") {
+    val df = Seq((1L, "jo@x.org", "jo@y.org", "keep me"))
+      .toDF("id", "user_email_addr", "email_name", "notes")
+    val out = Graft.rulesPipeline(df, Seq(
+      ".*email.*" -> (c => Graft.maskEmail(c)),
+      ".*name.*" -> (c => upper(c)))).collect().head
+    assert(out.getLong(0) == 1L, "unmatched id passes through")
+    assert(out.getString(1) == "j*@x.org", "email rule fires on name match")
+    // email_name matches BOTH rules; the first match must win
+    assert(out.getString(2) == "j*@y.org", s"first-match precedence: ${out.getString(2)}")
+    assert(out.getString(3) == "keep me", "unmatched column untouched")
+  }
+
   test("redactPii scrubs mixed PII from ad-hoc text and leaves clean text alone") {
     val df = Seq(
       (1L, "reach me at jo.doe+x@mail.example.org or (415) 555-1234 ok"),
