@@ -275,16 +275,18 @@ object AnalyticExtra {
     // scalar subquery re-scan, and both legs push the supplier semi-join
     // into the scan side.
     "q11_important_stock" -> { (s, d) =>
-      def vals = {
-        val n3sup = broadcast(Tables.supplier(s, d)
-          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
-                col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey")))
-        Tables.lineitem(s, d)
-          .join(n3sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
-          .groupBy(col("l_partkey"))
-          .agg(dsum(col("l_extendedprice")).as("value"))
-      }
+      val n3sup = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      // persisted: both the threshold leg and the filter leg read this
+      // per-partkey rollup, so lineitem is scanned ONCE, not once per
+      // leg (Verify/Bench clear caches at pipeline exit)
+      val vals = Tables.lineitem(s, d)
+        .join(n3sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = vals.agg(dsum(col("value")).as("tot"))
       vals.crossJoin(broadcast(tot))
         .filter(col("value") > col("tot") * lit(0.001))
@@ -339,9 +341,12 @@ object AnalyticExtra {
       val p = broadcast(Tables.part(s, d)
         .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
         .select(col("p_partkey")))
+      // persisted: the avg leg and the final filter both read the same
+      // filtered slice — one lineitem scan (caches cleared at exit)
       val li = Tables.lineitem(s, d)
         .join(p, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = li.groupBy(col("l_partkey").as("pk"))
         .agg(davg(col("l_quantity")).as("avg_qty"))
       li.join(broadcast(stats), col("l_partkey") === col("pk"))
@@ -357,12 +362,15 @@ object AnalyticExtra {
     "q20_ship_heavy_suppliers" -> { (s, d) =>
       val p = broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))
         .select(col("p_partkey")))
-      def shipped = Tables.lineitem(s, d)
+      // persisted: the threshold leg and the heavy filter share this
+      // per-suppkey rollup — one lineitem scan (caches cleared at exit)
+      val shipped = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
                 col("l_shipdate") <  to_timestamp(lit("1998-01-01 00:00:00")))
         .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(dsum(col("l_quantity")).as("qty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = shipped.agg(davg(col("qty")).as("thr"))
       val heavy = shipped.crossJoin(broadcast(thr)).filter(col("qty") > col("thr"))
       Tables.supplier(s, d)
