@@ -93,6 +93,31 @@ object DedupSuite {
              |  concat_ws(',', slice(bits, b * $EmbBandBits + 1, $EmbBandBits)))""".stripMargin)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
+  /** (doc_id, shingles) for the MinHash family — the per-document
+    * shingle sets both the batch and streaming dedup verify against.
+    */
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.register(s)
+    corpusWithDups(s, d)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("shingles", expr(ShinglesExpr))
+      .select(col("doc_id"), col("shingles"))
+  }
+
+  /** (doc_id, band, bucket) LSH band rows via the native fused
+    * minhash_sigs signature (md5-60 + all perm minima in one codegen'd
+    * pass — the composed transform/array_min HOF pipeline is
+    * CodegenFallback and was this query's hot spot).
+    */
+  private[graft] def minhashBands(sh: DataFrame): DataFrame =
+    sh.withColumn("sig", expr(s"minhash_sigs(shingles, $NumPerm)"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${NumPerm / BandRows - 1}), b ->
+             |  md5(concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows))))""".stripMargin)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
       // hash-groupBy on normalized text; keep the smallest doc_id
@@ -120,22 +145,9 @@ object DedupSuite {
       // each branch a cache read instead of a full text→shingle→md5
       // recompute. Both are small relative to the corpus (ids + hashes).
       org.apache.spark.sql.graft.Bridge.register(s)
-      val sh = corpusWithDups(s, d)
-        .withColumn("ws", split(lower(col("text")), " "))
-        .filter(size(col("ws")) >= 3)
-        .withColumn("shingles", expr(ShinglesExpr))
-        .select(col("doc_id"), col("shingles"))
+      val sh = shingleSets(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // native fused signature (md5-60 + all perm minima in one codegen'd
-      // pass — the composed transform/array_min HOF pipeline is
-      // CodegenFallback and was this query's hot spot)
-      val sigs = sh
-        .withColumn("sig", expr(s"minhash_sigs(shingles, $NumPerm)"))
-      val bands = sigs.select(col("doc_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, ${NumPerm / BandRows - 1}), b ->
-               |  md5(concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows))))""".stripMargin)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val bands = minhashBands(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -138,6 +138,62 @@ object CdcStream {
       .orderBy("keep_id")
   }
 
+  /** Streaming MinHash near-dup dedup: the continuous-ingest counterpart
+    * of batch `dedup_minhash_lsh`. The narrow signature stage (shingle →
+    * fused minhash_sigs → band rows) runs per arriving document exactly
+    * as in batch; the pairwise memory lives in per-(band, bucket) keyed
+    * state — each key holds the doc ids seen in that bucket, and a new
+    * arrival emits candidate pairs against ONLY its bucket's state,
+    * never the corpus. Emitted candidates are then verified with the
+    * exact fused Jaccard, so the final result equals the batch pipeline
+    * and shares its oracle. State is O(bucket occupancy) — the honest
+    * lower bound for dedup-against-everything-seen — and at 100 TB the
+    * state store shards by the same (band, bucket) key the batch shuffle
+    * uses. A live feed would add a TTL timeout to age out buckets
+    * untouched for the dedup horizon.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val tmp = Scratch.dir("graft_mh_stream")
+    // persisted: the verification join reads both sides from this cache
+    // (cleared by Verify/Bench at pipeline exit)
+    val sh = graft.operators.DedupSuite.shingleSets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.DedupSuite.minhashBands(sh)
+      .select(concat_ws("|", col("band"), col("bucket")).as("k"), col("doc_id"))
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp).as[(String, Long)]
+    val qname = "mh_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Vector[Long]]) =>
+          val seen = state.getOption.getOrElse(Vector.empty)
+          val newIds = rows.map(_._2).toVector.distinct.filterNot(seen.contains)
+          val pairs =
+            (for (n <- newIds; o <- seen) yield (math.min(n, o), math.max(n, o))) ++
+              (for (i <- newIds.indices; j <- (i + 1) until newIds.size)
+                yield (math.min(newIds(i), newIds(j)), math.max(newIds(i), newIds(j))))
+          state.update(seen ++ newIds)
+          pairs.iterator
+      }
+      .toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val cands = spark.table(qname).dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .withColumn("jaccard", expr("jaccard_sim(sh_a, sh_b)"))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Session-gap threshold: 30 minutes in microseconds (shared by the
     * interval merge and the batch oracle).
     */
@@ -269,6 +325,7 @@ object CdcStream {
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
     "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
     "stream_dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "stream_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_interval_join" -> ((s, d) => intervalJoin(s, d))
   )
@@ -282,6 +339,7 @@ object CdcStream {
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_exact" -> graft.operators.DedupSuite.oracles("dedup_exact"),
+    "stream_dedup_minhash" -> graft.operators.DedupSuite.oracles("dedup_minhash_lsh"),
     "stream_sessionize" -> graft.operators.ExtendedSuite.SessionOracleSql,
     // inner variant of the batch interval join: only purchases with >=1
     // matched view appear (append-mode stream emits matches only)

@@ -76,6 +76,15 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(stream.sameElements(batch))
   }
 
+  test("streaming minhash dedup equals the batch LSH pipeline") {
+    val stream = graft.streaming.CdcStream.queries("stream_dedup_minhash")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.DedupSuite.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.sameElements(batch))
+    spark.catalog.clearCache()
+  }
+
   test("optimizer rule fuses the composed md5-60 min pattern") {
     import org.apache.spark.sql.graft.RewriteComposedHash60
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
