@@ -137,6 +137,36 @@ object LlmExtra {
         .orderBy("query_id", "rk")
     },
 
+    // Corpus-statistics quality scoring: per-document rare-word fraction
+    // against the corpus's own unigram table (the Gopher/C4-style "words
+    // the corpus itself barely uses" gate). A word is rare when its
+    // count is under a tenth of the per-word mean — pure integer
+    // arithmetic (wc < total div (vocab·10), divided on the 1-row side
+    // so nothing can overflow BIGINT at any corpus size), no
+    // transcendentals, portable, and scale-free. Two
+    // shuffles, both necessary: the unigram count (keyed on word,
+    // map-side combined) and the per-doc rollup (keyed on doc_id); the
+    // frequency table is vocabulary-sized, so it broadcasts back onto
+    // the exploded tokens together with the 1-row corpus totals.
+    "text_rare_words" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val stats = freq.agg(
+        floor(sum(col("wc")).cast("double") / (count(lit(1)) * 10))
+          .cast("long").as("rare_thr"))
+      toks.join(broadcast(freq), "w")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("wc") < col("rare_thr"), 1L).otherwise(0L)).as("n_rare"),
+          min(col("wc")).as("min_word_freq"))
+        .withColumn("rare_frac",
+          r6(col("n_rare").cast("double") / col("n_tokens")))
+        .withColumn("has_rare_words", col("n_rare") > 0)
+        .orderBy("doc_id")
+    },
+
     // Free-text PII scan + redaction: the LLM-corpus counterpart of the
     // typed-column masks in PiiSuite. The corpus carries no PII, so the
     // scan input is decorated deterministically from doc_id (emails on
@@ -294,6 +324,26 @@ object LlmExtra {
         |  FROM scored)
         |SELECT query_id, cand_id, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "text_rare_words" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents),
+        |freq AS (
+        |  SELECT w, COUNT(*) AS wc FROM toks GROUP BY w),
+        |stats AS (
+        |  SELECT CAST(FLOOR(CAST(SUM(wc) AS DOUBLE) / (COUNT(*) * 10)) AS BIGINT)
+        |    AS rare_thr
+        |  FROM freq),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN wc < rare_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |    MIN(wc) AS min_word_freq
+        |  FROM toks JOIN freq USING (w) CROSS JOIN stats
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_rare, min_word_freq,
+        |  FLOOR(CAST(n_rare AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS rare_frac,
+        |  n_rare > 0 AS has_rare_words
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
 
     "text_pii_scan" ->
       """WITH dec AS (

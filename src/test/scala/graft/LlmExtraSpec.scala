@@ -59,6 +59,28 @@ class LlmExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("text_rare_words flags exactly the docs holding below-threshold words") {
+    val rows = LlmExtra.queries("text_rare_words")(spark, sf).collect()
+    assert(rows.length > 0)
+    val flagged = rows.filter(_.getBoolean(rows.head.fieldIndex("has_rare_words")))
+      .map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "the corpus-relative gate must fire on this corpus")
+    // recompute the expected set: words under a tenth of the mean count
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+    val freq = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = freq.values.sum / (freq.size * 10)
+    val expected = toks.collect()
+      .filter(r => freq(r.getString(1)) < thr).map(_.getLong(0)).toSet
+    assert(flagged == expected, s"flagged=$flagged expected=$expected")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_rare")) <= r.getLong(r.fieldIndex("n_tokens")))
+      assert(r.getLong(r.fieldIndex("min_word_freq")) >= 1L)
+    }
+  }
+
   test("text_pii_scan finds exactly the planted PII and redacts every hit") {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
     val ssn = "\\d{3}-\\d{2}-\\d{4}".r
