@@ -84,6 +84,48 @@ object MultimodalSuite {
         .orderBy("keep_id")
     },
 
+    "mm_phash" -> { (s, d) =>
+      import s.implicits._
+      // perceptual-hash-style near-dup signature: the payload splits
+      // into 16 equal byte blocks; bit b is set when block b's mean byte
+      // exceeds the payload's global mean. The comparison is the integer
+      // cross-multiply block_sum·n > total·block_count — no division, no
+      // floats, overflow-safe to multi-GB payloads. A real pHash swaps
+      // the byte means for DCT coefficients at this exact seam (the
+      // mapPartitions codec boundary); everything after — the 16-bit
+      // signature group-by — shuffles 2 bytes per doc, never payloads.
+      val media = DedupSuite.corpusWithDups(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val sigs = media.mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length
+          val blocks = 16
+          val bsize = math.max(1L, (n + blocks - 1L) / blocks)
+          val sums = new Array[Long](blocks)
+          val cnts = new Array[Long](blocks)
+          var i = 0
+          while (i < n) {
+            val b = math.min((i / bsize).toInt, blocks - 1)
+            sums(b) += payload(i) & 0xff; cnts(b) += 1; i += 1
+          }
+          val total = sums.sum
+          var sig = 0L
+          var bit = 0
+          while (bit < blocks) {
+            if (cnts(bit) > 0 && sums(bit) * n > total * cnts(bit)) sig |= (1L << bit)
+            bit += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "phash")
+      sigs.groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_similar"))
+        .filter(col("n_similar") > 1)
+        .select("phash", "keep_id", "n_similar")
+        .orderBy("keep_id")
+    },
+
     "mm_extract" -> { (s, d) =>
       import s.implicits._
       // text → utf-8 bytes stands in for an image payload; the column IS
@@ -126,6 +168,34 @@ object MultimodalSuite {
       s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM (SELECT doc_id, md5(text) AS h FROM (${DedupSuite.CorpusSql}) c) t
          |GROUP BY h HAVING COUNT(*) > 1
+         |ORDER BY keep_id""".stripMargin,
+
+    "mm_phash" ->
+      // same 16-block mean-bit signature over ascii(char k) = byte k;
+      // the bit test is the identical integer cross-multiply
+      s"""WITH c AS (${DedupSuite.CorpusSql}),
+         |m AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    GREATEST(1, (CAST(length(text) AS BIGINT) + 15) // 16) AS bsize
+         |  FROM c),
+         |s AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, 16), blk ->
+         |      coalesce(list_sum(list_transform(
+         |        range(blk * bsize + 1, LEAST(n, (blk + 1) * bsize) + 1),
+         |        p -> ascii(substr(text, CAST(p AS INT), 1)))), 0)) AS bs,
+         |    list_transform(range(0, 16), blk ->
+         |      GREATEST(0, LEAST(n, (blk + 1) * bsize) - blk * bsize)) AS bc
+         |  FROM m),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 16), blk ->
+         |      CASE WHEN bc[blk + 1] > 0
+         |                AND bs[blk + 1] * n > list_sum(bs) * bc[blk + 1]
+         |           THEN (1 << blk) ELSE 0 END)) AS BIGINT) AS phash
+         |  FROM s)
+         |SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_similar
+         |FROM sig GROUP BY phash HAVING COUNT(*) > 1
          |ORDER BY keep_id""".stripMargin,
 
     "mm_extract" ->

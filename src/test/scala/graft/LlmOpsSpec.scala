@@ -107,6 +107,24 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_phash groups subsume the byte-exact groups") {
+    val phash = MultimodalSuite.queries("mm_phash")(spark, sf).collect()
+    assert(phash.nonEmpty, "identical payloads must share a perceptual signature")
+    phash.foreach { r =>
+      val sig = r.getAs[Long]("phash")
+      assert(sig >= 0L && sig < (1L << 16), s"signature $sig must be 16-bit")
+      assert(r.getAs[Long]("n_similar") >= 2L)
+    }
+    // byte-identical payloads hash identically, so perceptual grouping
+    // can only merge exact groups, never split them: the perceptual
+    // member count must cover at least the exact-dup member count
+    val exactMembers = MultimodalSuite.queries("mm_dedup")(spark, sf).collect()
+      .map(_.getAs[Long]("n_copies")).sum
+    val phashMembers = phash.map(_.getAs[Long]("n_similar")).sum
+    assert(phashMembers >= exactMembers,
+      s"perceptual members $phashMembers < exact members $exactMembers")
+  }
+
   test("exact dedup finds exactly the injected duplicate groups") {
     val rows = DedupSuite.queries("dedup_exact")(spark, sf).collect()
     assert(rows.nonEmpty)
