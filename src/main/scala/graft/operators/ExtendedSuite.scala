@@ -250,6 +250,31 @@ object ExtendedSuite {
         .orderBy("day")
     },
 
+    "events_anomaly" -> { (s, d) =>
+      // rate-spike detection on the event feed: a (type, day) cell is
+      // anomalous when its count exceeds 1.5× the type's mean daily
+      // count. The test is the integer cross-multiply
+      // 2·n·active_days > 3·total — no division, no floats, portable,
+      // overflow-safe (day counts × day cardinality stay far under
+      // 2^62). Two aggregate shuffles (cell, then per-type rollup) and
+      // a broadcast of the tiny per-type stats back onto the cells —
+      // the same monitoring rollup shape at any feed size.
+      // persisted: the stats rollup and the final join both read the
+      // (type, day) cells — one events scan (caches cleared at exit)
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = cells.groupBy(col("event_type").as("et"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("active_days"))
+      cells.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("is_spike",
+          col("n") * 2 * col("active_days") > col("total") * 3)
+        .select(col("event_type"), col("day"), col("n"), col("active_days"),
+          col("total"), col("is_spike"))
+        .orderBy("event_type", "day")
+    },
+
     "q_correlated_subquery" -> { (s, d) =>
       // correlated-aggregate shape: customers whose balance beats their
       // segment average — window-average formulation (one shuffle on the
@@ -472,6 +497,20 @@ object ExtendedSuite {
         |  FROM docs WHERE len(ws) >= 2)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type AS et, CAST(SUM(n) AS BIGINT) AS total,
+        |    COUNT(*) AS active_days
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type, day, n, active_days, total,
+        |  n * 2 * active_days > total * 3 AS is_spike
+        |FROM cells JOIN stats ON event_type = et
+        |ORDER BY event_type, day""".stripMargin,
 
     "events_retention" ->
       """WITH ud AS (

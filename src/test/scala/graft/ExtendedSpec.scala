@@ -138,4 +138,21 @@ class ExtendedSpec extends SparkSpecBase {
         s"customer $cust: cumulative $maxTotal vs direct sum ${expected(cust)}")
     }
   }
+
+  test("events_anomaly cells roll up consistently and the spike gate is exact") {
+    val rows = graft.operators.ExtendedSuite.queries("events_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val total = rs.head.getLong(rs.head.fieldIndex("total"))
+      val days = rs.head.getLong(rs.head.fieldIndex("active_days"))
+      assert(rs.map(_.getLong(rs.head.fieldIndex("n"))).sum == total,
+        s"$et: cell counts must sum to the type total")
+      assert(rs.length.toLong == days, s"$et: one row per active day")
+      rs.foreach { r =>
+        val n = r.getLong(r.fieldIndex("n"))
+        assert(r.getBoolean(r.fieldIndex("is_spike")) == (n * 2 * days > total * 3))
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
