@@ -119,6 +119,21 @@ object ExtendedSuite {
         .orderBy("day")
     },
 
+    "q_unpivot" -> { (s, d) =>
+      // the inverse reshape: the wide daily matrix melts back to
+      // (day, event_type, n) rows via stack — a zero-shuffle projection
+      // over the pivoted input (the only exchanges are the pivot's own
+      // aggregate and the output sort); dropping the zero-filled cells
+      // restores the sparse long form exactly.
+      queries("q_pivot")(s, d)
+        .select(col("day"), expr(
+          """stack(5, 'view', view, 'click', click, 'purchase', purchase,
+            |         'signup', signup, 'error', error)
+            |  AS (event_type, n)""".stripMargin))
+        .filter(col("n") > 0)
+        .orderBy("day", "event_type")
+    },
+
     "q_histogram" -> { (s, d) =>
       // fixed-width histogram of order totals: integer bucket arithmetic,
       // map-side combinable.
@@ -440,6 +455,14 @@ object ExtendedSuite {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
 
     "q_histogram" ->
       s"""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,

@@ -139,6 +139,19 @@ class ExtendedSpec extends SparkSpecBase {
     }
   }
 
+  test("q_unpivot restores the sparse long form exactly") {
+    import org.apache.spark.sql.functions._
+    val unpiv = graft.operators.ExtendedSuite.queries("q_unpivot")(spark, sf).collect()
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .count().collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(unpiv.length == direct.size, "melted rows must match the long form")
+    unpiv.foreach { r =>
+      assert(direct((r.get(0), r.getString(1))) == r.getLong(2))
+    }
+  }
+
   test("events_anomaly cells roll up consistently and the spike gate is exact") {
     val rows = graft.operators.ExtendedSuite.queries("events_anomaly")(spark, sf).collect()
     assert(rows.nonEmpty)
