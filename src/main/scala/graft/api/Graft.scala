@@ -239,6 +239,22 @@ object Graft {
       k: Int = 10, nprobe: Int = 2, topK: Int = 3): DataFrame =
     graft.operators.AnnSuite.ivfSearch(corpus, queries, idCol, embCol, k, nprobe, topK)
 
+  /** Build the IVF index once — the returned pair of DataFrames
+    * (cell-assigned corpus, refined centroids) is persistable/writable,
+    * so many query batches amortize one build. Deterministic: a rebuild
+    * is bit-identical.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int = 10): graft.operators.AnnSuite.IvfIndex =
+    graft.operators.AnnSuite.ivfBuild(corpus, idCol, embCol, k)
+
+  /** Serve a query batch against a built [[ivfBuild]] index: probe the
+    * `nprobe` nearest cells, exact-cosine re-rank inside them only.
+    */
+  def ivfQuery(index: graft.operators.AnnSuite.IvfIndex, queries: DataFrame,
+      idCol: String, embCol: String, nprobe: Int = 2, topK: Int = 3): DataFrame =
+    graft.operators.AnnSuite.ivfQuery(index, queries, idCol, embCol, nprobe, topK)
+
   // ---- Joins ---------------------------------------------------------
 
   /** AS-OF LEFT JOIN through the custom physical operator

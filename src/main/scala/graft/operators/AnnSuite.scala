@@ -48,9 +48,23 @@ object AnnSuite {
     * public API (graft.api.Graft.annIvf) exposes; the registry's
     * `ann_ivf` pins it to the lake.
     */
+  /** A built IVF index: the corpus assigned to cells plus the refined
+    * centroids. Both are plain DataFrames — persist or write them once
+    * and serve many query batches through [[ivfQuery]].
+    */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
   private[graft] def ivfSearch(corpus: DataFrame, queriesDf0: DataFrame,
       idCol: String, embCol: String,
-      k: Int, nprobe: Int, topK: Int): DataFrame = {
+      k: Int, nprobe: Int, topK: Int): DataFrame =
+    ivfQuery(ivfBuild(corpus, idCol, embCol, k), queriesDf0, idCol, embCol, nprobe, topK)
+
+  /** Build phase: seeds → assign → one fixed-point Lloyd step →
+    * reassign. Everything deterministic, so a rebuilt index is
+    * bit-identical.
+    */
+  private[graft] def ivfBuild(corpus: DataFrame,
+      idCol: String, embCol: String, k: Int): IvfIndex = {
     import graft.functions.Portable.rowHash60
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
 
@@ -62,10 +76,6 @@ object AnnSuite {
       .orderBy(rowHash60(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-
-    // single-row cid-ascending centroid array, broadcast to every task
-    def centArray(cents: DataFrame): DataFrame =
-      cents.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 
     // argmin by sequential scan with strict '<' over the cid-ascending
     // array: ties keep the lowest cid, identical to ORDER BY dist, cid
@@ -94,19 +104,30 @@ object AnnSuite {
     val assign1 = assign(e, refined)
       .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
         col("embedding").as("ce2"))
+    IvfIndex(assign1, refined)
+  }
 
+  /** Single-row cid-ascending centroid array, broadcast to every task. */
+  private def centArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+
+  /** Query phase against a built index: probe `nprobe` nearest cells,
+    * exact-cosine re-rank inside them only. The index never rebuilds.
+    */
+  private[graft] def ivfQuery(idx: IvfIndex, queriesDf0: DataFrame,
+      idCol: String, embCol: String, nprobe: Int, topK: Int): DataFrame = {
     val queriesDf = queriesDf0
       .select(col(idCol).as("query_id"), col(embCol).as("embedding"))
     // nprobe nearest cells per query, ranked inside one array expression
     // (sort k structs per query row — no window, no shuffle)
-    val probes = queriesDf.crossJoin(broadcast(centArray(refined)))
+    val probes = queriesDf.crossJoin(broadcast(centArray(idx.centroids)))
       .withColumn("dists", expr(DistsExpr))
       .select(col("query_id"), col("embedding").as("qe"),
         explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
       .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
 
     // search only the probed cells
-    val scored = assign1.join(broadcast(probes), Seq("cell"))
+    val scored = idx.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", floor(
         expr("aggregate(zip_with(qe, ce2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /

@@ -185,6 +185,23 @@ class GraftApiSpec extends SparkSpecBase {
     assert(zs((7L, 7L)) == 63L, "8x8 grid fills z in [0, 63]")
   }
 
+  test("ivfBuild/ivfQuery split reproduces the fused annIvf search") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val fused = Graft.annIvf(e, q, "vec_id", "embedding").collect().map(_.toSeq)
+    val idx = Graft.ivfBuild(e, "vec_id", "embedding")
+    // persist the index the way a serving deployment would
+    idx.assigned.persist(); idx.centroids.persist()
+    try {
+      val split = Graft.ivfQuery(idx, q, "vec_id", "embedding").collect().map(_.toSeq)
+      assert(split.sameElements(fused), "split build+query must equal the fused search")
+      // a second batch against the SAME index works without a rebuild
+      val q2 = e.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+      val b2 = Graft.ivfQuery(idx, q2, "vec_id", "embedding").collect()
+      assert(b2.nonEmpty && b2.forall(_.getInt(4) <= 3))
+    } finally { idx.assigned.unpersist(); idx.centroids.unpersist() }
+  }
+
   test("hashSample is deterministic and rate-bounded") {
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
     val s1 = Graft.hashSample(df, "id", lit(20)).collect().map(_.getLong(0)).toSet
