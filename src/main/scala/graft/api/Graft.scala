@@ -267,6 +267,27 @@ object Graft {
     org.apache.spark.sql.graft.GraftAsof
       .asofJoin(left, right, leftKey, rightKey, leftTime, rightTime)
 
+  /** Pure range join (no equality key): points matched to every window
+    * with winStart <= t < winEnd. Spark plans a bare inequality join as
+    * a broadcast-nested-loop — quadratic at scale; this instead explodes
+    * each window into the time bins it overlaps and equality-joins on
+    * the bin, so the shuffle is hash-partitioned and each point meets
+    * only windows near it in time. Pick `binWidth` ≈ the typical window
+    * length: each window then lands in ≤ 2 bins and the residual filter
+    * does the exact bounds. A point's single bin meets each window at
+    * most once, so no dedup is needed. Column names must be disjoint.
+    */
+  def rangeJoinBinned(points: DataFrame, windows: DataFrame,
+      pointTime: String, winStart: String, winEnd: String,
+      binWidth: Long): DataFrame = {
+    val binned = windows.withColumn("__bin",
+      explode(sequence(expr(s"$winStart div $binWidth"), expr(s"$winEnd div $binWidth"))))
+    points.withColumn("__bin", expr(s"$pointTime div $binWidth"))
+      .join(binned, "__bin")
+      .filter(col(pointTime) >= col(winStart) && col(pointTime) < col(winEnd))
+      .drop("__bin")
+  }
+
   // ---- Text / training-data ops --------------------------------------
 
   /** Benchmark-contamination pairs: corpus docs sharing ≥1 word-`n`-gram

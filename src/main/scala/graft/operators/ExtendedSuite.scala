@@ -265,6 +265,27 @@ object ExtendedSuite {
         .orderBy("day")
     },
 
+    "q_range_join_binned" -> { (s, d) =>
+      // PURE range join — no equality key anywhere: purchases falling
+      // inside 10-minute outage windows opened by error events. A bare
+      // inequality join would plan as BroadcastNestedLoopJoin (quadratic
+      // at scale); Graft.rangeJoinBinned explodes each window into the
+      // <= 2 bins it overlaps and equality-joins on the bin, keeping the
+      // shuffle hash-partitioned. Counts per window; inner semantics.
+      val binUs = 600000000L
+      val windows = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id").as("win_id"),
+          unix_micros(col("ts")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(binUs))
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      graft.api.Graft.rangeJoinBinned(purchases, windows,
+          "tus", "w_start", "w_end", binUs)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("win_id")
+    },
+
     "events_anomaly" -> { (s, d) =>
       // rate-spike detection on the event feed: a (type, day) cell is
       // anomalous when its count exceeds 1.5× the type's mean daily
@@ -520,6 +541,18 @@ object ExtendedSuite {
         |  FROM docs WHERE len(ws) >= 2)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "q_range_join_binned" ->
+      """WITH w AS (
+        |  SELECT event_id AS win_id, epoch_us(ts) AS w_start,
+        |    epoch_us(ts) + 600000000 AS w_end
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT win_id, COUNT(*) AS n_in_window
+        |FROM w JOIN p ON tus >= w_start AND tus < w_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     "events_anomaly" ->
       """WITH cells AS (

@@ -185,6 +185,27 @@ class GraftApiSpec extends SparkSpecBase {
     assert(zs((7L, 7L)) == 63L, "8x8 grid fills z in [0, 63]")
   }
 
+  test("rangeJoinBinned equals the naive inequality join without nested loops") {
+    // windows longer than the bin (multi-bin), overlapping, zero-match
+    val wins = Seq((1L, 100L, 250L), (2L, 240L, 900L), (3L, 5000L, 5100L))
+      .toDF("win_id", "w_start", "w_end")
+    val pts = Seq((10L, 99L), (11L, 100L), (12L, 249L), (13L, 250L),
+      (14L, 500L), (15L, 899L), (16L, 900L)).toDF("pt_id", "t")
+    val got = Graft.rangeJoinBinned(pts, wins, "t", "w_start", "w_end", 200L)
+      .select("win_id", "pt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(wins)
+      .filter(col("t") >= col("w_start") && col("t") < col("w_end"))
+      .select("win_id", "pt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got $got vs naive $naive")
+    assert(naive == Set((1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L), (2L, 14L), (2L, 15L)))
+    // the point of the construction: an equality-keyed join, not a
+    // broadcast nested loop
+    val plan = Graft.rangeJoinBinned(pts, wins, "t", "w_start", "w_end", 200L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay equality-keyed:\n$plan")
+  }
+
   test("ivfBuild/ivfQuery split reproduces the fused annIvf search") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
