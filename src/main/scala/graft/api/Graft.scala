@@ -90,23 +90,69 @@ object Graft {
   }
 
   /** Keep the last 4 digits of a phone/card-like string, mask other
-    * digits (ref: pii.py::_mask_phone / _mask_credit_card).
+    * digits. Under 4 digits the value is not a plausible phone/card, so
+    * it passes through unchanged rather than pretending to be masked
+    * (ref: pii.py:131 _mask_phone's short-input rule).
     */
   def maskKeepLast4(c: Column): Column = {
     val digits = regexp_replace(c, "[^0-9]", "")
-    concat(
-      array_join(array_repeat(lit("*"),
-        greatest(length(digits) - 4, lit(0)).cast("int")), ""),
-      substring(digits, -4, 4))
+    when(length(digits) < 4, c).otherwise(concat(
+      array_join(array_repeat(lit("*"), (length(digits) - 4).cast("int")), ""),
+      substring(digits, -4, 4)))
   }
 
-  /** `***-**-6789` (ref: pii.py::_mask_ssn). */
-  def maskSsn(c: Column): Column =
-    concat(lit("***-**-"), substring(c, -4, 4))
+  /** SSN mask (ref: pii.py:150 _mask_ssn): a value that doesn't hold
+    * exactly 9 digits is masked ENTIRELY (never leak a malformed ssn);
+    * a dashed ssn keeps the `***-**-6789` shape, an undashed one
+    * becomes `*****6789`.
+    */
+  def maskSsn(c: Column): Column = {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    when(length(digits) =!= 9, regexp_replace(c, ".", "*"))
+      .when(c.contains("-"), concat(lit("***-**-"), substring(digits, -4, 4)))
+      .otherwise(concat(lit("*****"), substring(digits, -4, 4)))
+  }
 
-  /** Keep the /16 prefix, mask the host octets (ref: pii.py::_mask_ip_address). */
+  /** Keep the /16 prefix, mask the host octets — the lake registry's
+    * IPv4 contract (`pii_mask_ip`). For the reference's full semantics
+    * including IPv6 and the unrecognized-format fallback, use
+    * [[maskIpFull]].
+    */
   def maskIp(c: Column): Column =
     regexp_replace(c, "^(\\d+\\.\\d+)\\.\\d+\\.\\d+$", "$1.*.*")
+
+  /** Reference-faithful IP anonymization (ref: pii.py:209
+    * _mask_ip_address): IPv4 keeps the first octet
+    * (`192.168.1.100 → 192.***.*.***`); IPv6 expands `::` to 8 groups,
+    * keeps the 4-group network prefix and masks the interface id with
+    * `****` groups; anything unrecognized keeps a min(4, len/2) prefix
+    * and masks the rest — the reference masks unknown formats rather
+    * than leaking them.
+    */
+  def maskIpFull(c: Column): Column = {
+    val stars = (n: Column) => array_join(array_repeat(lit("*"), n.cast("int")), "")
+    val v4 = concat(split(c, "\\.").getItem(0), lit(".***.*.***"))
+    // '::' expansion: split once on '::', drop empty fragments, pad the
+    // gap with '0000' groups to 8 total (ref expands before masking)
+    val sp = split(c, "::")
+    val hasDC = size(sp) === 2
+    val beforeArr = filter(split(sp.getItem(0), ":"), x => x =!= "")
+    val afterArr = when(hasDC, filter(split(sp.getItem(1), ":"), x => x =!= ""))
+      .otherwise(array().cast("array<string>"))
+    val parts = when(hasDC,
+        concat(beforeArr,
+          array_repeat(lit("0000"), (lit(8) - size(beforeArr) - size(afterArr)).cast("int")),
+          afterArr))
+      .otherwise(beforeArr)
+    val n = size(parts)
+    val v6 = concat_ws(":",
+      concat(slice(parts, 1, 4), array_repeat(lit("****"), (n - lit(4)).cast("int"))))
+    val prefixLen = least(lit(4), floor(length(c) / 2).cast("int"))
+    val fallback = concat(c.substr(lit(1), prefixLen), stars(length(c) - prefixLen))
+    when(c.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$"), v4)
+      .when(c.contains(":") && n >= 4, v6)
+      .otherwise(fallback)
+  }
 
   /** Salted 60-bit hash pseudonymization (ref: pii.py::HashingTransformer). */
   def pseudonymize(c: Column, salt: String): Column =

@@ -94,6 +94,26 @@ object PiiSuite {
         .orderBy("c_custkey")
     },
 
+    "pii_mask_ip_full" -> { (s, d) =>
+      // the reference's FULL ip anonymization semantics (pii.py:209):
+      // IPv4 first-octet mask, IPv6 ::-expansion + network-prefix keep,
+      // unrecognized-format fallback mask. One generic kernel
+      // (Graft.maskIpFull) handles all four synthesized classes; the
+      // oracle reproduces the expected shape per class.
+      val id = col("c_custkey")
+      Tables.customer(s, d)
+        .withColumn("ip",
+          when(id % 4 === 0, concat(lit("192.168."), (id % 256).cast("string"),
+            lit("."), ((id * 7) % 256).cast("string")))
+          .when(id % 4 === 1, concat(lit("2001:0db8:85a3:"),
+            lpad((id % 9999).cast("string"), 4, "0"), lit(":0000:8a2e:0370:7334")))
+          .when(id % 4 === 2, concat(lit("fe80::"),
+            lpad((id % 9999).cast("string"), 4, "0")))
+          .otherwise(concat(lit("host-"), id.cast("string"))))
+        .select(id, col("ip"), graft.api.Graft.maskIpFull(col("ip")).as("masked_ip"))
+        .orderBy("c_custkey")
+    },
+
     "pii_hash" -> { (s, d) =>
       // salted SHA-256 pseudonymization (ref: pii.py:269 HashingTransformer)
       withPii(Tables.customer(s, d))
@@ -201,6 +221,29 @@ object PiiSuite {
         |    CAST((c_custkey*13) % 256 AS VARCHAR) AS ip,
         |  '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.*.*' AS masked_ip
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "pii_mask_ip_full" ->
+      """WITH x AS (
+        |  SELECT c_custkey,
+        |    CASE c_custkey % 4
+        |      WHEN 0 THEN '192.168.' || CAST(c_custkey % 256 AS VARCHAR)
+        |        || '.' || CAST((c_custkey*7) % 256 AS VARCHAR)
+        |      WHEN 1 THEN '2001:0db8:85a3:'
+        |        || lpad(CAST(c_custkey % 9999 AS VARCHAR), 4, '0')
+        |        || ':0000:8a2e:0370:7334'
+        |      WHEN 2 THEN 'fe80::' || lpad(CAST(c_custkey % 9999 AS VARCHAR), 4, '0')
+        |      ELSE 'host-' || CAST(c_custkey AS VARCHAR) END AS ip
+        |  FROM customer)
+        |SELECT c_custkey, ip,
+        |  CASE c_custkey % 4
+        |    WHEN 0 THEN '192.***.*.***'
+        |    WHEN 1 THEN '2001:0db8:85a3:'
+        |      || lpad(CAST(c_custkey % 9999 AS VARCHAR), 4, '0')
+        |      || ':****:****:****:****'
+        |    WHEN 2 THEN 'fe80:0000:0000:0000:****:****:****:****'
+        |    ELSE substr(ip, 1, LEAST(4, length(ip)//2))
+        |      || repeat('*', length(ip) - LEAST(4, length(ip)//2)) END AS masked_ip
+        |FROM x ORDER BY c_custkey""".stripMargin,
 
     "pii_hash" ->
       s"""SELECT c_custkey,

@@ -144,6 +144,30 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)), s"got ${out.toSeq}")
   }
 
+  test("mask edge cases follow the reference's invalid-input rules") {
+    val df = Seq(
+      ("ssn9d", "123-45-6789"), ("ssn9nod", "123456789"), ("ssnBad", "12345"),
+      ("phoneOk", "(123) 456-7890"), ("phoneShort", "123"),
+      ("ip4", "192.168.1.100"), ("ip6full", "2001:0db8:85a3:0000:0000:8a2e:0370:7334"),
+      ("ip6comp", "fe80::1"), ("ipJunk", "not-an-ip")
+    ).toDF("k", "v")
+    val out = df.select(col("k"),
+        Graft.maskSsn(col("v")).as("ssn"),
+        Graft.maskKeepLast4(col("v")).as("last4"),
+        Graft.maskIpFull(col("v")).as("ip"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("ssn9d").getString(1) == "***-**-6789")
+    assert(out("ssn9nod").getString(1) == "*****6789")
+    assert(out("ssnBad").getString(1) == "*****", "invalid ssn masks entirely")
+    assert(out("phoneOk").getString(2) == "******7890")
+    assert(out("phoneShort").getString(2) == "123", "sub-4-digit value passes through")
+    assert(out("ip4").getString(3) == "192.***.*.***")
+    assert(out("ip6full").getString(3) == "2001:0db8:85a3:0000:****:****:****:****")
+    assert(out("ip6comp").getString(3) == "fe80:0000:0000:0000:****:****:****:****")
+    // unrecognized format: keep min(4, len/2) prefix, mask the rest
+    assert(out("ipJunk").getString(3) == "not-" + "*" * 5)
+  }
+
   test("rulesPipeline routes by column-name regex with first-match precedence") {
     val df = Seq((1L, "jo@x.org", "jo@y.org", "keep me"))
       .toDF("id", "user_email_addr", "email_name", "notes")
