@@ -185,6 +185,37 @@ object ReconSuite {
         .orderBy("chunk")
     },
 
+    "recon_checksum_merkle" -> { (s, d) =>
+      // hierarchical checksum tree — the chunked checksum's natural
+      // 100 TB extension: 32 leaves (pk % 32) → 4 inner nodes
+      // (leaf div 8) → 1 root, per side. Every level is an
+      // order-insensitive hash-sum, so the tree is partition-order
+      // independent; comparing root-first localizes a divergence in
+      // O(log n) checksum reads instead of re-checksumming everything
+      // (ref: compare/checksum.py:180 chunking, extended upward).
+      def tree(df: DataFrame): DataFrame = {
+        val l0 = df.groupBy((col("o_orderkey") % 32).as("node"))
+          .agg(checksumAgg(orowStr).as("ck"))
+        def up(lower: DataFrame, fanIn: Int): DataFrame = lower
+          .select(col("node").as("child"), col("ck"))
+          .groupBy(expr(s"child div $fanIn").as("node"))
+          .agg(checksumAgg(rowStr(col("child"), col("ck"))).as("ck"))
+        val l1 = up(l0, 8)
+        val l2 = up(l1, 4)
+        l0.withColumn("level", lit(0L))
+          .unionByName(l1.withColumn("level", lit(1L)))
+          .unionByName(l2.withColumn("level", lit(2L)))
+      }
+      tree(Tables.orders(s, d))
+        .withColumnRenamed("ck", "source_ck")
+        .join(tree(target(s, d)).withColumnRenamed("ck", "target_ck"),
+          Seq("level", "node"))
+        .select(col("level"), col("node"),
+          when(col("source_ck") === col("target_ck"), lit("MATCH"))
+            .otherwise(lit("MISMATCH")).as("status"))
+        .orderBy(desc("level"), col("node"))
+    },
+
     "recon_incremental" -> { (s, d) =>
       // checksum only rows changed since the watermark — the 10-100x
       // shortcut (ref: incremental/checksum.py:142 _calculate_delta_checksum);
@@ -494,6 +525,30 @@ object ReconSuite {
          |  CASE WHEN sck = tck THEN 'MATCH' ELSE 'MISMATCH' END AS status
          |FROM s JOIN t ON s.chunk = t.chunk
          |ORDER BY chunk""".stripMargin,
+
+    "recon_checksum_merkle" -> {
+      val upCk = ckSql("concat_ws('|', CAST(child AS VARCHAR), CAST(ck AS VARCHAR))")
+      def treeSql(relation: String, p: String) =
+        s"""${p}0 AS (
+           |  SELECT o_orderkey % 32 AS node, ${ckSql(orowSql)} AS ck
+           |  FROM $relation GROUP BY 1),
+           |${p}1 AS (
+           |  SELECT child // 8 AS node, $upCk AS ck
+           |  FROM (SELECT node AS child, ck FROM ${p}0) x GROUP BY 1),
+           |${p}2 AS (
+           |  SELECT child // 4 AS node, $upCk AS ck
+           |  FROM (SELECT node AS child, ck FROM ${p}1) x GROUP BY 1),
+           |$p AS (
+           |  SELECT 0 AS level, node, ck FROM ${p}0
+           |  UNION ALL SELECT 1, node, ck FROM ${p}1
+           |  UNION ALL SELECT 2, node, ck FROM ${p}2)""".stripMargin
+      s"""WITH ${treeSql("orders", "s")},
+         |${treeSql(s"($TargetSql) tgt", "t")}
+         |SELECT CAST(s.level AS BIGINT) AS level, s.node AS node,
+         |  CASE WHEN s.ck = t.ck THEN 'MATCH' ELSE 'MISMATCH' END AS status
+         |FROM s JOIN t ON s.level = t.level AND s.node = t.node
+         |ORDER BY s.level DESC, s.node""".stripMargin
+    },
 
     "recon_incremental" ->
       s"""WITH s AS (

@@ -231,4 +231,23 @@ class ReconCdcSpec extends SparkSpecBase {
       .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
     assert(stream == batch)
   }
+
+  test("merkle checksum tree propagates mismatches upward consistently") {
+    val rows = graft.operators.ReconSuite.queries("recon_checksum_merkle")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(rows.count(_._1._1 == 0L) == 32 && rows.count(_._1._1 == 1L) == 4 &&
+      rows.count(_._1._1 == 2L) == 1, "tree shape must be 32/4/1")
+    // a parent mismatches iff at least one child mismatches (the
+    // order-insensitive hash-sum makes upward propagation exact)
+    def children(level: Long, node: Long): Seq[String] = {
+      val fanIn = if (level == 1L) 8L else 4L
+      rows.collect { case ((l, n), st) if l == level - 1 && n / fanIn == node => st }.toSeq
+    }
+    for (level <- Seq(1L, 2L); node <- rows.keys.filter(_._1 == level).map(_._2)) {
+      val anyChildMismatch = children(level, node).contains("MISMATCH")
+      assert((rows((level, node)) == "MISMATCH") == anyChildMismatch,
+        s"level $level node $node inconsistent with its children")
+    }
+  }
 }
