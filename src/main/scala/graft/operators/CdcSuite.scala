@@ -171,6 +171,39 @@ object CdcSuite {
         .orderBy("id")
     },
 
+    "cdc_bootstrap_merge" -> { (s, d) =>
+      // snapshot + streaming tail — the real pipeline's bootstrap
+      // (ref: Debezium initial-snapshot mode feeding the same sink as
+      // the live stream): the initial snapshot materializes as seq=0
+      // creates, the CDC tail (seq >= 1 events for a subset of keys)
+      // unions on top, and ONE apply-latest pass resolves both — no
+      // special bootstrap branch in the merge logic. Late snapshot rows
+      // can never shadow tail events because seq orders them.
+      val snapshot = Tables.orders(s, d)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          lit("c").as("op"), lit(0L).as("seq"),
+          (lit(1700000000000L) + col("o_orderkey")).as("ts_ms"))
+      // the tail: only events past the snapshot point (updates+deletes)
+      val tail = changeLog(s, d).filter(col("seq") >= 2)
+      graft.api.Graft.cdcApplyLatest(snapshot.unionByName(tail),
+          Seq("id"), Seq("seq", "ts_ms"))
+        .select(col("id"), col("custkey"), col("status"))
+        .orderBy("id")
+    },
+
+    "cdc_asof_state" -> { (s, d) =>
+      // point-in-time state: the table as of sequence horizon S = 2 —
+      // deletes at seq 3 have not happened yet, updates at seq 2 have.
+      // Same single apply-latest kernel over the seq-filtered log (the
+      // filter pushes to the scan side of the synthesized log), which
+      // is exactly how a change-log store answers time travel.
+      graft.api.Graft.cdcApplyLatest(changeLog(s, d).filter(col("seq") <= 2),
+          Seq("id"), Seq("seq", "ts_ms"))
+        .select(col("id"), col("custkey"), col("status"))
+        .orderBy("id")
+    },
+
     "cdc_soft_delete" -> { (s, d) =>
       // __deleted flag per event (ref: AddDeletedField.java: DELETE →
       // "true", else "false") — then latest-per-key like the sink's
@@ -284,6 +317,33 @@ object CdcSuite {
       s"""WITH ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
          |  FROM ($LogSql) log)
+         |SELECT id, custkey, status FROM ranked
+         |WHERE rn = 1 AND op <> 'd'
+         |ORDER BY id""".stripMargin,
+
+    "cdc_bootstrap_merge" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS id, o_custkey AS custkey, o_orderstatus AS status,
+        |    'c' AS op, CAST(0 AS BIGINT) AS seq, 1700000000000 + o_orderkey AS ts_ms
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', 'u', 2, 1700000000000 + 2*1000 + o_orderkey
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, 'd', 3,
+        |    1700000000000 + 3*1000 + o_orderkey
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
+        |  FROM log)
+        |SELECT id, custkey, status FROM ranked
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY id""".stripMargin,
+
+    "cdc_asof_state" ->
+      s"""WITH ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
+         |  FROM ($LogSql) log WHERE seq <= 2)
          |SELECT id, custkey, status FROM ranked
          |WHERE rn = 1 AND op <> 'd'
          |ORDER BY id""".stripMargin,

@@ -232,6 +232,19 @@ class ReconCdcSpec extends SparkSpecBase {
     assert(stream == batch)
   }
 
+  test("bootstrap merge equals full-log replay; asof state precedes the deletes") {
+    import graft.operators.CdcSuite
+    val replay = CdcSuite.queries("cdc_apply_latest")(spark, sf).collect().map(_.toSeq)
+    val boot = CdcSuite.queries("cdc_bootstrap_merge")(spark, sf).collect().map(_.toSeq)
+    assert(boot.sameElements(replay),
+      "snapshot + tail must converge to the same state as full replay")
+    val asof = CdcSuite.queries("cdc_asof_state")(spark, sf).collect()
+    assert(asof.length > replay.length, "pre-delete horizon keeps the deleted keys")
+    asof.filter(_.getLong(0) % 7 == 0).foreach { r =>
+      assert(r.getString(2) == "U", "seq-2 updates are inside the horizon")
+    }
+  }
+
   test("merkle checksum tree propagates mismatches upward consistently") {
     val rows = graft.operators.ReconSuite.queries("recon_checksum_merkle")(spark, sf)
       .collect()
