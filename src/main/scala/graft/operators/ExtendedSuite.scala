@@ -311,6 +311,28 @@ object ExtendedSuite {
         .orderBy("event_type", "day")
     },
 
+    "events_anomaly_online" -> { (s, d) =>
+      // ONLINE spike detection: a (type, day) cell compares against the
+      // running mean of STRICTLY PRIOR days only — the causal variant a
+      // live monitor computes (no future data). Integer-free-of-floats:
+      // the window sums counts and days, and the gate is the cross-
+      // multiply 2·n·prior_days > 3·prior_total. The first day of each
+      // type has no history and is never flagged. One cell shuffle +
+      // one per-type window sort — monitoring-rollup sized.
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prior_total", sum(col("n")).over(w))
+        .withColumn("prior_days", count(col("n")).over(w))
+        .withColumn("is_spike",
+          col("prior_days") > 0 &&
+            col("n") * 2 * col("prior_days") > col("prior_total") * 3)
+        .na.fill(0L, Seq("prior_total"))
+        .orderBy("event_type", "day")
+    },
+
     "q_correlated_subquery" -> { (s, d) =>
       // correlated-aggregate shape: customers whose balance beats their
       // segment average — window-average formulation (one shuffle on the
@@ -553,6 +575,23 @@ object ExtendedSuite {
         |SELECT win_id, COUNT(*) AS n_in_window
         |FROM w JOIN p ON tus >= w_start AND tus < w_end
         |GROUP BY win_id ORDER BY win_id""".stripMargin,
+
+    "events_anomaly_online" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, n,
+        |    COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_total,
+        |    COALESCE(COUNT(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_days
+        |  FROM cells)
+        |SELECT event_type, day, n, CAST(prior_total AS BIGINT) AS prior_total,
+        |  prior_days,
+        |  (prior_days > 0 AND n * 2 * prior_days > prior_total * 3) AS is_spike
+        |FROM win ORDER BY event_type, day""".stripMargin,
 
     "events_anomaly" ->
       """WITH cells AS (

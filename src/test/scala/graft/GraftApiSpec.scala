@@ -144,6 +144,25 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)), s"got ${out.toSeq}")
   }
 
+  test("checksum properties: determinism, order-insensitivity, sensitivity") {
+    import graft.functions.Portable
+    def ck(rows: Seq[String]) = rows.toDF("v")
+      .agg(Portable.checksumAgg(col("v"))).collect().head.getLong(0)
+    val base = Seq("a|1", "b|2", "c|3")
+    // deterministic across runs (ref property: test_checksum_deterministic)
+    assert(ck(base) == ck(base))
+    // order-insensitive — the distributed-friendly divergence from the
+    // reference's order-dependent chunk checksum, by design (SURVEY §4)
+    assert(ck(base) == ck(base.reverse))
+    // any single-row change moves the checksum (ref:
+    // test_checksum_changes_with_data / avalanche)
+    assert(ck(base) != ck(Seq("a|1", "b|2", "c|4")))
+    assert(ck(base) != ck(base :+ "d|4"))
+    // a one-character flip moves the underlying row hash
+    assert(Seq("a|1").toDF("v").select(Portable.rowHash60(col("v"))).collect().head.getLong(0)
+        != Seq("a|2").toDF("v").select(Portable.rowHash60(col("v"))).collect().head.getLong(0))
+  }
+
   test("mask edge cases follow the reference's invalid-input rules") {
     val df = Seq(
       ("ssn9d", "123-45-6789"), ("ssn9nod", "123456789"), ("ssnBad", "12345"),
