@@ -82,6 +82,27 @@ object LlmExtra {
         .orderBy("lang", "shard_id")
     },
 
+    // Embedding-table health check — the guardrail an embedding
+    // pipeline runs before an index build: dimension consistency, zero/
+    // collapsed vector count, and the squared-norm distribution (norm²
+    // keeps the arithmetic rational — no sqrt near the oracle). One
+    // narrow pass + a 1-row aggregate.
+    "emb_health" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("n2", expr(
+          """aggregate(embedding, CAST(0 AS DOUBLE),
+            |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin))
+        .withColumn("dim", size(col("embedding")).cast("long"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          countDistinct(col("dim")).as("n_distinct_dims"),
+          min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+          sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero_vectors"),
+          r6(min(col("n2"))).as("min_norm2"),
+          r6(max(col("n2"))).as("max_norm2"),
+          r6(graft.functions.Portable.dsum(col("n2")) / count(lit(1))).as("mean_norm2"))
+    },
+
     // Int8 scalar quantization of the embedding column (the storage/
     // serving compression step before an ANN index ships): per-vector
     // absmax scale, round-half-up to [-127, 127], plus the max
@@ -344,6 +365,22 @@ object LlmExtra {
         |  FLOOR(CAST(n_rare AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS rare_frac,
         |  n_rare > 0 AS has_rare_words
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "emb_health" ->
+      """WITH e AS (
+        |  SELECT vec_id, len(embedding) AS dim,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings)
+        |SELECT COUNT(*) AS n_vectors,
+        |  CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+        |  MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+        |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+        |  FLOOR(MIN(n2) * 1e6 + 0.5) / 1e6 AS min_norm2,
+        |  FLOOR(MAX(n2) * 1e6 + 0.5) / 1e6 AS max_norm2,
+        |  FLOOR(CAST(SUM(CAST(FLOOR(n2*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0
+        |        / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_norm2
+        |FROM e""".stripMargin,
 
     "text_pii_scan" ->
       """WITH dec AS (

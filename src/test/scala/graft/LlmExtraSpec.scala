@@ -59,6 +59,19 @@ class LlmExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("emb_health reports a consistent single-width healthy table") {
+    val r = LlmExtra.queries("emb_health")(spark, sf).collect().head
+    assert(r.getLong(r.fieldIndex("n_vectors")) ==
+      graft.sources.Tables.embeddings(spark, sf).count())
+    assert(r.getLong(r.fieldIndex("n_distinct_dims")) == 1L, "one embedding width")
+    assert(r.getLong(r.fieldIndex("min_dim")) == r.getLong(r.fieldIndex("max_dim")))
+    assert(r.getLong(r.fieldIndex("n_zero_vectors")) == 0L)
+    val minN = r.getDouble(r.fieldIndex("min_norm2"))
+    val maxN = r.getDouble(r.fieldIndex("max_norm2"))
+    val mean = r.getDouble(r.fieldIndex("mean_norm2"))
+    assert(minN > 0.0 && minN <= mean && mean <= maxN, s"$minN <= $mean <= $maxN")
+  }
+
   test("text_rare_words flags exactly the docs holding below-threshold words") {
     val rows = LlmExtra.queries("text_rare_words")(spark, sf).collect()
     assert(rows.length > 0)
