@@ -78,22 +78,24 @@ object OpsSuite {
 
     "source_formats" -> { (s, d) =>
       // source/sink format coverage: the same relation written and
-      // re-read through parquet, JSON-lines and CSV must checksum
+      // re-read through parquet, ORC, JSON-lines and CSV must checksum
       // identically (int/string projection — CSV/JSON have no binary
       // float format). One row per format.
       val row = rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       val src = base.agg(checksumAgg(row).as("source_checksum"))
-      val restored = Seq("parquet", "json", "csv").map { fmt =>
+      val restored = Seq("parquet", "orc", "json", "csv").map { fmt =>
         val tmp = Scratch.dir(s"graft_fmt_$fmt")
         fmt match {
           case "parquet" => base.write.mode("overwrite").parquet(tmp)
+          case "orc"     => base.write.mode("overwrite").orc(tmp)
           case "json"    => base.write.mode("overwrite").json(tmp)
           case "csv"     => base.write.mode("overwrite").option("header", "true").csv(tmp)
         }
         val back = fmt match {
           case "parquet" => s.read.parquet(tmp)
+          case "orc"     => s.read.orc(tmp)
           case "json"    => s.read.schema(base.schema).json(tmp)
           case "csv"     => s.read.schema(base.schema).option("header", "true").csv(tmp)
         }
@@ -152,8 +154,8 @@ object OpsSuite {
   def oracles: Map[String, String] = Map(
     // plan_advisor: rows-only (Spark plan introspection has no SQL analog)
     "source_formats" ->
-      """SELECT * FROM (VALUES ('csv', 'OK'), ('json', 'OK'), ('parquet', 'OK'))
-        |  t(format, status)
+      """SELECT * FROM (VALUES ('csv', 'OK'), ('json', 'OK'), ('orc', 'OK'),
+        |  ('parquet', 'OK')) t(format, status)
         |ORDER BY format""".stripMargin,
 
     "q_bucketed_join" ->
