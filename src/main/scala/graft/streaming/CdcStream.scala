@@ -194,6 +194,58 @@ object CdcStream {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Continuously-maintained per-chunk table checksum: every
+    * micro-batch folds its rows' 60-bit hashes into per-chunk keyed
+    * state `(checksum, row_count)` — the additive mod-2^60 sum means
+    * arrival order and batching never change the result, so after any
+    * prefix of the stream the state IS the checksum of the rows seen.
+    * The final state equals the batch chunked checksum, which is the
+    * oracle. This is how a live pipeline keeps reconciliation current
+    * without rescanning: each chunk's state is 16 bytes regardless of
+    * table size, and verification against the other side is a 32-row
+    * compare (ref: compare/checksum.py chunking + the scheduler's
+    * repeated full runs, collapsed into incremental state).
+    */
+  def reconChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Scratch.dir("graft_ck_stream")
+    Tables.orders(spark, dir)
+      .select((col("o_orderkey") % 32).as("chunk"),
+        graft.functions.Portable.rowHash60(graft.functions.Portable.rowStr(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))).as("h"))
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp).as[(Long, Long)]
+    val qname = "ck_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val Mod = graft.functions.Portable.ChecksumMod
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (chunk: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (ck0, n0) = state.getOption.getOrElse((0L, 0L))
+          // additive mod-2^60 fold — hashes are < 2^60, so the running
+          // sum stays in range with one mod per row
+          val (ck, n) = rows.foldLeft((ck0, n0)) {
+            case ((c, k), (_, h)) => ((c + h) % Mod, k + 1)
+          }
+          state.update((ck, n))
+          Iterator((chunk, ck, n))
+      }
+      .toDF("chunk", "source_checksum", "source_rows")
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // final emission per chunk = the emission with the highest count
+    val w = Window.partitionBy(col("chunk")).orderBy(desc("source_rows"))
+    spark.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("chunk"), col("source_checksum"), col("source_rows"))
+      .orderBy("chunk")
+  }
+
   /** Session-gap threshold: 30 minutes in microseconds (shared by the
     * interval merge and the batch oracle).
     */
@@ -326,6 +378,7 @@ object CdcStream {
     "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
     "stream_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "stream_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
+    "stream_recon_checksum" -> ((s, d) => reconChecksum(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_interval_join" -> ((s, d) => intervalJoin(s, d))
   )
@@ -340,6 +393,14 @@ object CdcStream {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_exact" -> graft.operators.DedupSuite.oracles("dedup_exact"),
     "stream_dedup_minhash" -> graft.operators.DedupSuite.oracles("dedup_minhash_lsh"),
+    "stream_recon_checksum" ->
+      """SELECT o_orderkey % 32 AS chunk,
+        |  CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |    o_orderstatus, o_orderpriority)), 1, 15)) AS BIGINT))
+        |    % 1152921504606846976 AS BIGINT) AS source_checksum,
+        |  COUNT(*) AS source_rows
+        |FROM orders GROUP BY 1 ORDER BY chunk""".stripMargin,
     "stream_sessionize" -> graft.operators.ExtendedSuite.SessionOracleSql,
     // inner variant of the batch interval join: only purchases with >=1
     // matched view appear (append-mode stream emits matches only)

@@ -245,6 +245,20 @@ class ReconCdcSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming checksum state equals the batch chunked checksum") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.CdcStream.queries("stream_recon_checksum")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.sources.Tables.orders(spark, sf)
+      .groupBy((col("o_orderkey") % 32).as("chunk"))
+      .agg(graft.functions.Portable.checksumAgg(graft.functions.Portable.rowStr(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))).as("ck"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stream == batch, "incremental state must equal the one-shot checksum")
+  }
+
   test("merkle checksum tree propagates mismatches upward consistently") {
     val rows = graft.operators.ReconSuite.queries("recon_checksum_merkle")(spark, sf)
       .collect()
