@@ -185,6 +185,40 @@ object ReconSuite {
         .orderBy("chunk")
     },
 
+    "recon_profile" -> { (s, d) =>
+      // column-level statistics compare — the profiling tier between
+      // row counts and checksums: per column, non-null count, distinct
+      // count, min and max (stringified into one uniform schema). ONE
+      // pass per side computes every metric (multi-aggregate), then the
+      // wide row unpivots via stack; drift shows as a per-column
+      // MISMATCH with the exact metric visible on both sides.
+      def profile(df: DataFrame): DataFrame = {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(c)).as(s"${c}_n"),
+            countDistinct(col(c)).as(s"${c}_d"),
+            min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max").mkString(", ")
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.length}, $stackArgs) " +
+            "AS (column_name, n_nonnull, n_distinct, min_s, max_s)"))
+      }
+      profile(Tables.orders(s, d)).as("s")
+        .join(profile(target(s, d)).as("t"), Seq("column_name"))
+        .select(col("column_name"),
+          col("s.n_nonnull").as("src_n"), col("t.n_nonnull").as("tgt_n"),
+          col("s.n_distinct").as("src_distinct"), col("t.n_distinct").as("tgt_distinct"),
+          when(col("s.n_nonnull") === col("t.n_nonnull") &&
+               col("s.n_distinct") === col("t.n_distinct") &&
+               col("s.min_s") === col("t.min_s") &&
+               col("s.max_s") === col("t.max_s"), lit("MATCH"))
+            .otherwise(lit("MISMATCH")).as("status"))
+        .orderBy("column_name")
+    },
+
     "recon_checksum_merkle" -> { (s, d) =>
       // hierarchical checksum tree — the chunked checksum's natural
       // 100 TB extension: 32 leaves (pk % 32) → 4 inner nodes
@@ -525,6 +559,26 @@ object ReconSuite {
          |  CASE WHEN sck = tck THEN 'MATCH' ELSE 'MISMATCH' END AS status
          |FROM s JOIN t ON s.chunk = t.chunk
          |ORDER BY chunk""".stripMargin,
+
+    "recon_profile" -> {
+      def side(relation: String) =
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+          s"""SELECT '$c' AS column_name, COUNT($c) AS n_nonnull,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+             |FROM $relation""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH sp AS (${side("orders")}),
+         |tp AS (${side(s"($TargetSql) tgt")})
+         |SELECT sp.column_name AS column_name,
+         |  sp.n_nonnull AS src_n, tp.n_nonnull AS tgt_n,
+         |  sp.n_distinct AS src_distinct, tp.n_distinct AS tgt_distinct,
+         |  CASE WHEN sp.n_nonnull = tp.n_nonnull AND sp.n_distinct = tp.n_distinct
+         |        AND sp.min_s = tp.min_s AND sp.max_s = tp.max_s
+         |       THEN 'MATCH' ELSE 'MISMATCH' END AS status
+         |FROM sp JOIN tp ON sp.column_name = tp.column_name
+         |ORDER BY sp.column_name""".stripMargin
+    },
 
     "recon_checksum_merkle" -> {
       val upCk = ckSql("concat_ws('|', CAST(child AS VARCHAR), CAST(ck AS VARCHAR))")

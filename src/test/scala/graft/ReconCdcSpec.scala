@@ -245,6 +245,20 @@ class ReconCdcSpec extends SparkSpecBase {
     }
   }
 
+  test("recon_profile localizes drift per column with exact counts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.ReconSuite.queries("recon_profile")(spark, sf).collect()
+    assert(rows.length == 4)
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("src_n")) == n, "source side counts every row")
+      // the drift fixture drops %97 keys and adds %101 clones, so every
+      // column's target count differs from source — all mismatch
+      assert(r.getString(r.fieldIndex("status")) == "MISMATCH")
+      assert(r.getLong(r.fieldIndex("tgt_n")) != n)
+    }
+  }
+
   test("streaming checksum state equals the batch chunked checksum") {
     import org.apache.spark.sql.functions._
     val stream = graft.streaming.CdcStream.queries("stream_recon_checksum")(spark, sf)
