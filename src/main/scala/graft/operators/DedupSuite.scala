@@ -193,6 +193,28 @@ object DedupSuite {
         .orderBy("doc_a", "doc_b")
     },
 
+    "dedup_summary" -> { (s, d) =>
+      // the dedup dashboard: one rollup row per method — how many
+      // groups/pairs each found and how many documents are implicated.
+      // Pure composition over the family's outputs (each already
+      // bucketed/oracle-checked), so the summary inherits their scale
+      // shape; the per-method aggregates are 1-row reductions.
+      def pairStats(df: DataFrame, method: String): DataFrame = {
+        val docs = df.select(col("doc_a").as("d")).unionByName(
+          df.select(col("doc_b").as("d")))
+        df.agg(count(lit(1)).as("n_found"))
+          .crossJoin(docs.agg(countDistinct(col("d")).as("n_docs")))
+          .select(lit(method).as("method"), col("n_found"), col("n_docs"))
+      }
+      val exact = queries("dedup_exact")(s, d)
+        .agg(count(lit(1)).as("n_found"), sum(col("n_copies")).as("n_docs"))
+        .select(lit("exact").as("method"), col("n_found"), col("n_docs"))
+      exact
+        .unionByName(pairStats(queries("dedup_minhash_lsh")(s, d), "minhash_lsh"))
+        .unionByName(pairStats(queries("dedup_simhash")(s, d), "simhash"))
+        .orderBy("method")
+    },
+
     "dedup_ngram_jaccard" -> { (s, d) =>
       // exact word-3-gram Jaccard, candidate-generated by MinHash LSH —
       // the same bucketed 100 TB shape as dedup_minhash_lsh (the only
@@ -276,7 +298,27 @@ object DedupSuite {
     }
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = baseOracles +
+    ("dedup_summary" ->
+      s"""WITH ex AS (SELECT * FROM (${baseOracles("dedup_exact")}) q1),
+         |mh AS (SELECT * FROM (${baseOracles("dedup_minhash_lsh")}) q2),
+         |sh AS (SELECT * FROM (${baseOracles("dedup_simhash")}) q3)
+         |SELECT * FROM (
+         |  SELECT 'exact' AS method, COUNT(*) AS n_found,
+         |    CAST(SUM(n_copies) AS BIGINT) AS n_docs FROM ex
+         |  UNION ALL
+         |  SELECT 'minhash_lsh', COUNT(*),
+         |    (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM
+         |      (SELECT doc_a AS d FROM mh UNION ALL SELECT doc_b FROM mh) u)
+         |  FROM mh
+         |  UNION ALL
+         |  SELECT 'simhash', COUNT(*),
+         |    (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM
+         |      (SELECT doc_a AS d FROM sh UNION ALL SELECT doc_b FROM sh) u)
+         |  FROM sh) t
+         |ORDER BY method""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h

@@ -125,6 +125,18 @@ class LlmOpsSpec extends SparkSpecBase {
       s"perceptual members $phashMembers < exact members $exactMembers")
   }
 
+  test("dedup_summary rollup matches the per-method outputs it composes") {
+    val rows = DedupSuite.queries("dedup_summary")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSeq == Seq("exact", "minhash_lsh", "simhash"))
+    val byMethod = rows.map(r => r.getAs[String]("method") ->
+      (r.getAs[Long]("n_found"), r.getAs[Long]("n_docs"))).toMap
+    val exact = DedupSuite.queries("dedup_exact")(spark, sf).collect()
+    assert(byMethod("exact") == ((exact.length.toLong, exact.map(_.getAs[Long]("n_copies")).sum)))
+    val mh = DedupSuite.queries("dedup_minhash_lsh")(spark, sf).collect()
+    val mhDocs = mh.flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct.length
+    assert(byMethod("minhash_lsh") == ((mh.length.toLong, mhDocs.toLong)))
+  }
+
   test("exact dedup finds exactly the injected duplicate groups") {
     val rows = DedupSuite.queries("dedup_exact")(spark, sf).collect()
     assert(rows.nonEmpty)
