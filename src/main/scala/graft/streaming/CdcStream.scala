@@ -149,9 +149,60 @@ object CdcStream {
     * and shares its oracle. State is O(bucket occupancy) — the honest
     * lower bound for dedup-against-everything-seen — and at 100 TB the
     * state store shards by the same (band, bucket) key the batch shuffle
-    * uses. A live feed would add a TTL timeout to age out buckets
-    * untouched for the dedup horizon.
+    * uses. State is bounded by an event-time TTL (see
+    * [[minhashPairsStream]]): buckets idle past the dedup horizon are
+    * evicted by the watermark, so unbounded ingest holds O(active
+    * buckets) state, not O(all history).
     */
+
+  /** Dedup horizon for the registry entry: effectively infinite (100
+    * years), so the finite replay equals the batch pipeline and shares
+    * its oracle. A live deployment would set this to its dedup window.
+    */
+  private val MinhashTtlMs: Long = 100L * 365 * 24 * 3600 * 1000
+
+  /** Pair-emitting MinHash-bucket state fold with idle-key TTL. Each
+    * (band|bucket) key accumulates the doc ids seen in that bucket; a
+    * new arrival pairs against only its bucket's state. A key that
+    * stays idle while the event-time watermark advances past its last
+    * arrival + `ttlMs` is evicted (EventTimeTimeout) — the production
+    * backstop that keeps the state store bounded on an unbounded feed,
+    * trading "dedup against all history" for "dedup within the
+    * horizon", which is the standard contract for streaming near-dup.
+    */
+  def minhashPairsStream(
+      rows: Dataset[(String, Long, java.sql.Timestamp)],
+      ttlMs: Long,
+      allowedLateness: String = "0 seconds"): Dataset[(Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.toDF("k", "doc_id", "ets")
+      .withWatermark("ets", allowedLateness)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Vector[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Vector.empty)
+            val arrived = it.toVector
+            // horizon base: the bucket's own latest event time (the
+            // watermark alone lags a batch and is 0 on the first one)
+            val lastMs = arrived.map(_._3.getTime).max
+            val newIds = arrived.map(_._2).distinct.filterNot(seen.contains)
+            val pairs =
+              (for (n <- newIds; o <- seen) yield (math.min(n, o), math.max(n, o))) ++
+                (for (i <- newIds.indices; j <- (i + 1) until newIds.size)
+                  yield (math.min(newIds(i), newIds(j)), math.max(newIds(i), newIds(j))))
+            state.update(seen ++ newIds)
+            // evict once the watermark passes the bucket's last activity
+            // by the horizon
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs(), lastMs) + ttlMs)
+            pairs.iterator
+          }
+      }
+  }
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     org.apache.spark.sql.graft.Bridge.register(spark)
@@ -161,24 +212,21 @@ object CdcStream {
     val sh = graft.operators.DedupSuite.shingleSets(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.DedupSuite.minhashBands(sh)
-      .select(concat_ws("|", col("band"), col("bucket")).as("k"), col("doc_id"))
+      .select(concat_ws("|", col("band"), col("bucket")).as("k"), col("doc_id"),
+        // constant event time: the replayed corpus is one instant of the
+        // feed, so the TTL horizon never bites and batch equality holds
+        lit("2000-01-01 00:00:00").cast("timestamp").as("ets"))
       .repartition(4).write.mode("overwrite").parquet(tmp)
     val schema = spark.read.parquet(tmp).schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp).as[(String, Long)]
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .as[(String, Long, java.sql.Timestamp)]
     val qname = "mh_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(String, Long)], state: GroupState[Vector[Long]]) =>
-          val seen = state.getOption.getOrElse(Vector.empty)
-          val newIds = rows.map(_._2).toVector.distinct.filterNot(seen.contains)
-          val pairs =
-            (for (n <- newIds; o <- seen) yield (math.min(n, o), math.max(n, o))) ++
-              (for (i <- newIds.indices; j <- (i + 1) until newIds.size)
-                yield (math.min(newIds(i), newIds(j)), math.max(newIds(i), newIds(j))))
-          state.update(seen ++ newIds)
-          pairs.iterator
-      }
+    // 1-minute lateness allowance: the staged replay lands every row at
+    // one constant event time, and stateful ops drop rows AT the
+    // watermark (<=), so batches after the first would otherwise be
+    // discarded as late
+    val q = minhashPairsStream(stream, MinhashTtlMs, "1 minute")
       .toDF("doc_a", "doc_b")
       .writeStream.format("memory").queryName(qname)
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))

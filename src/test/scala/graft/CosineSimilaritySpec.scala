@@ -85,6 +85,34 @@ class CosineSimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("minhash stream state TTL evicts idle buckets at the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2000-01-01 $h%02d:00:00")
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)](s)
+    val qn = "mh_ttl_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = graft.streaming.CdcStream.minhashPairsStream(mem.toDS(), ttlMs = 3600 * 1000L)
+      .toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", graft.sources.Scratch.dir(qn + "_cp"))
+      .outputMode("update").start()
+    try {
+      mem.addData(("b|1", 1L, ts(0)), ("b|2", 5L, ts(0)))
+      q.processAllAvailable()                    // watermark → 00:00
+      mem.addData(("b|2", 6L, ts(2)))            // watermark → 02:00; b|1 idle > 1h TTL
+      q.processAllAvailable()
+      mem.addData(("b|1", 2L, ts(3)), ("b|2", 7L, ts(3)))
+      q.processAllAvailable()
+      val pairs = spark.table(qn).as[(Long, Long)].collect().toSet
+      assert(pairs.contains((5L, 6L)), "pair within the TTL horizon must be found")
+      assert(pairs.contains((6L, 7L)) && pairs.contains((5L, 7L)),
+        "bucket refreshed before its timeout keeps its accumulated state")
+      assert(!pairs.contains((1L, 2L)),
+        "bucket b|1 idle past the TTL must be evicted, so doc 2 finds empty state")
+    } finally q.stop()
+  }
+
   test("optimizer rule fuses the composed md5-60 min pattern") {
     import org.apache.spark.sql.graft.RewriteComposedHash60
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
