@@ -238,8 +238,67 @@ object LlmExtra {
           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
         .orderBy("z_bucket")
+    },
+
+    // Domain-mixture sampling weights (the corpus-mixing table a
+    // training run is launched with): per-source token share, the
+    // uniform share, a 50/50 natural/uniform blend as the target, and
+    // the per-domain over/under-sampling factor. All shares are
+    // integer parts-per-million (DIV keeps both engines exact — no
+    // floats, no pow-based temperature). One shuffle on `source` plus
+    // a broadcast 1-row total: the same shape at any corpus size.
+    "mix_weights" -> { (s, d) =>
+      val per = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+        count(lit(1)).cast("long").as("k"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("natural_ppm", expr("n_tokens * 1000000 DIV tot_tokens"))
+        .withColumn("uniform_ppm", expr("1000000 DIV k"))
+        .withColumn("target_ppm", expr("(natural_ppm + uniform_ppm) DIV 2"))
+        .withColumn("boost_ppm",
+          expr("CASE WHEN natural_ppm > 0 THEN target_ppm * 1000000 DIV natural_ppm END"))
+        .select("source", "n_docs", "n_tokens", "natural_ppm", "uniform_ppm",
+          "target_ppm", "boost_ppm")
+        .orderBy("source")
+    },
+
+    // Leak-proof train/valid/test split: the split key is the 60-bit
+    // hash of NORMALIZED CONTENT, not the doc id, so byte-identical
+    // copies can never straddle train and test — the eval-contamination
+    // guard a real pretraining split needs (dedup_exact's normalization
+    // reused verbatim). Narrow hash projection + one small group-by;
+    // `n_groups` counts distinct contents per cell, so
+    // n_docs - n_groups is the duplicate mass each split carries.
+    "train_split_leakproof" -> { (s, d) =>
+      splitAssignments(s, d)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_groups"),
+          sum(col("n_tok")).as("n_tokens"))
+        .orderBy("split", "lang")
     }
   )
+
+  /** Per-document split assignment for train_split_leakproof (shared
+    * with its spec, which proves injected copies follow their source).
+    */
+  private[graft] def splitAssignments(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
+    corpus
+      .withColumn("h", graft.functions.Portable.rowHash60(
+        regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("split",
+        when(col("h") % 100 < 90, "train")
+          .when(col("h") % 100 < 95, "valid")
+          .otherwise("test"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("h"), col("split"), col("n_tok"))
+  }
 
   def oracles: Map[String, String] = Map(
     "text_repetition" ->
@@ -417,6 +476,42 @@ object LlmExtra {
         |SELECT CAST(zval >> 16 AS BIGINT) AS z_bucket, COUNT(*) AS n_rows,
         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
-        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM per),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens * 1000000 // tot_tokens AS natural_ppm,
+        |    1000000 // k AS uniform_ppm
+        |  FROM per, tot)
+        |SELECT source, n_docs, n_tokens, natural_ppm, uniform_ppm,
+        |  (natural_ppm + uniform_ppm) // 2 AS target_ppm,
+        |  CASE WHEN natural_ppm > 0
+        |    THEN ((natural_ppm + uniform_ppm) // 2) * 1000000 // natural_ppm
+        |  END AS boost_ppm
+        |FROM w ORDER BY source""".stripMargin,
+
+    "train_split_leakproof" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT lang,
+         |    ('0x' || substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS h,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM c)
+         |SELECT CASE WHEN h % 100 < 90 THEN 'train'
+         |            WHEN h % 100 < 95 THEN 'valid' ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_groups,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -129,6 +129,40 @@ class LlmExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("mix_weights blends natural and uniform shares with exact ppm arithmetic") {
+    val rows = LlmExtra.queries("mix_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val natSum = rows.map(_.getAs[Long]("natural_ppm")).sum
+    // floor division loses < 1 ppm per domain
+    assert(natSum <= 1000000L && natSum > 1000000L - rows.length)
+    rows.foreach { r =>
+      val (nat, uni, tgt, boost) = (r.getAs[Long]("natural_ppm"), r.getAs[Long]("uniform_ppm"),
+        r.getAs[Long]("target_ppm"), r.getAs[Long]("boost_ppm"))
+      assert(tgt == (nat + uni) / 2)
+      // blending toward uniform up-samples the under-represented domains
+      if (nat < uni) assert(boost >= 1000000L, s"under-represented domain must boost: $r")
+      if (nat > uni + 1) assert(boost < 1000000L, s"over-represented domain must damp: $r")
+    }
+  }
+
+  test("train_split_leakproof keeps every duplicate group inside one split") {
+    val assigns = LlmExtra.splitAssignments(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val copies = assigns.keys.filter(_ >= 1000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      assert(assigns(id) == assigns(id - 1000000L),
+        s"copy $id split ${assigns(id)} != source split ${assigns(id - 1000000L)}")
+    }
+    val agg = LlmExtra.queries("train_split_leakproof")(spark, sf).collect()
+    assert(agg.map(_.getAs[Long]("n_docs")).sum == assigns.size.toLong)
+    val bySplit = agg.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    // 90/5/5 hash split: train must dominate
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+  }
+
   test("ann_lsh returns ranked exact-cosine rows that agree with brute force") {
     val lsh = LlmExtra.queries("ann_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
