@@ -279,8 +279,64 @@ object LlmExtra {
           countDistinct(col("h")).as("n_groups"),
           sum(col("n_tok")).as("n_tokens"))
         .orderBy("split", "lang")
+    },
+
+    // Vocabulary coverage curve (the tokenizer-budget stat BPE training
+    // starts from): what fraction of corpus tokens the top-K words
+    // cover, for K in {10, 100, 1000}. Explode→count is one shuffle
+    // with map-side combine keyed on the word; the global rank sorts
+    // only the VOCABULARY (distinct words — bounded by language, not
+    // corpus bytes), so the single-partition window is safe at 100 TB.
+    "text_vocab_coverage" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts.withColumn("rk",
+        row_number().over(Window.orderBy(desc("cnt"), col("w"))))
+      val tot = counts.agg(sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("n_vocab"))
+      import s.implicits._
+      val ks = Seq(10L, 100L, 1000L).toDF("k")
+      ks.join(ranked, col("rk") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_top"), sum(col("cnt")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("coverage_ppm", expr("covered_tokens * 1000000 DIV total_tokens"))
+        .select("k", "n_top", "covered_tokens", "total_tokens", "n_vocab", "coverage_ppm")
+        .orderBy("k")
+    },
+
+    // Referential integrity between the document corpus and its
+    // embedding table (the feature-store guard an index build runs
+    // first): matched pairs, docs missing a vector, orphan vectors.
+    // Drift is injected deterministically (ReconSuite's fixture
+    // convention) so every count is exercised. Tag-union + one
+    // group-by on the id — a single shuffle, no join, no skew.
+    "recon_referential" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), lit(1L).as("is_doc"), lit(0L).as("is_vec"))
+      val vecs = embTarget(s, d)
+        .select(col("vec_id").as("id"), lit(0L).as("is_doc"), lit(1L).as("is_vec"))
+      docs.unionByName(vecs)
+        .groupBy(col("id"))
+        .agg(sum(col("is_doc")).as("nd"), sum(col("is_vec")).as("nv"))
+        .agg(sum(col("nd")).as("n_docs"), sum(col("nv")).as("n_vecs"),
+          sum(when(col("nd") > 0 && col("nv") > 0, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("nd") > 0 && col("nv") === 0, 1L).otherwise(0L)).as("n_missing_vec"),
+          sum(when(col("nd") === 0 && col("nv") > 0, 1L).otherwise(0L)).as("n_orphan_vec"))
     }
   )
+
+  /** Deterministically perturbed embedding table for recon_referential:
+    * every 97th vector lost, every 101st duplicated under a phantom id
+    * (same drift convention as ReconSuite's orders target).
+    */
+  private def embTarget(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.filter(col("vec_id") % 97 =!= 0).unionByName(
+      e.filter(col("vec_id") % 101 === 0).withColumn("vec_id", col("vec_id") + 2000000L))
+  }
 
   /** Per-document split assignment for train_split_leakproof (shared
     * with its spec, which proves injected copies follow their source).
@@ -512,6 +568,40 @@ object LlmExtra {
          |            WHEN h % 100 < 95 THEN 'valid' ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_groups,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (
+        |  SELECT w, COUNT(*) AS cnt FROM w WHERE w <> '' GROUP BY w),
+        |r AS (
+        |  SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk FROM c),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_vocab FROM c),
+        |ks AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k)
+        |SELECT k, COUNT(*) AS n_top, CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+        |  total_tokens, n_vocab,
+        |  CAST(SUM(cnt) AS BIGINT) * 1000000 // total_tokens AS coverage_ppm
+        |FROM ks JOIN r ON r.rk <= ks.k, tot
+        |GROUP BY k, total_tokens, n_vocab ORDER BY k""".stripMargin,
+
+    "recon_referential" ->
+      """WITH v AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 FROM embeddings WHERE vec_id % 101 = 0),
+        |t AS (
+        |  SELECT id, SUM(is_doc) AS nd, SUM(is_vec) AS nv FROM (
+        |    SELECT doc_id AS id, 1 AS is_doc, 0 AS is_vec FROM documents
+        |    UNION ALL
+        |    SELECT vec_id, 0, 1 FROM v) u
+        |  GROUP BY id)
+        |SELECT CAST(SUM(nd) AS BIGINT) AS n_docs, CAST(SUM(nv) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN nd > 0 AND nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN nd > 0 AND nv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_vec,
+        |  CAST(SUM(CASE WHEN nd = 0 AND nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_vec
+        |FROM t""".stripMargin
   )
 }

@@ -163,6 +163,33 @@ class LlmExtraSpec extends SparkSpecBase {
     assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
   }
 
+  test("text_vocab_coverage curve is monotone and consistent") {
+    val rows = LlmExtra.queries("text_vocab_coverage")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(10L, 100L, 1000L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_top") == math.min(r.getAs[Long]("k"), r.getAs[Long]("n_vocab")))
+      assert(r.getAs[Long]("coverage_ppm") <= 1000000L)
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens"))
+    }
+    val cov = rows.map(_.getAs[Long]("coverage_ppm"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      "coverage must be non-decreasing in k")
+  }
+
+  test("recon_referential counts the injected embedding drift exactly") {
+    val r = LlmExtra.queries("recon_referential")(spark, sf).collect().head
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val lost = e.filter(col("vec_id") % 97 === 0).count()
+    val phantom = e.filter(col("vec_id") % 101 === 0).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("n_missing_vec") == lost)
+    assert(r.getAs[Long]("n_orphan_vec") == phantom)
+    assert(r.getAs[Long]("n_matched") == nDocs - lost)
+    assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_missing_vec") == nDocs)
+  }
+
   test("ann_lsh returns ranked exact-cosine rows that agree with brute force") {
     val lsh = LlmExtra.queries("ann_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
