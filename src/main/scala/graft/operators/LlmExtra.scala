@@ -248,10 +248,14 @@ object LlmExtra {
     // floats, no pow-based temperature). One shuffle on `source` plus
     // a broadcast 1-row total: the same shape at any corpus size.
     "mix_weights" -> { (s, d) =>
+      // persist the shared per-domain leg: the totals row is derived
+      // from it, so without the cache the corpus is scanned twice
+      // (cleared by Verify/Bench at pipeline exit)
       val per = Tables.documents(s, d)
         .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
         count(lit(1)).cast("long").as("k"))
       per.crossJoin(broadcast(tot))
@@ -288,10 +292,14 @@ object LlmExtra {
     // only the VOCABULARY (distinct words — bounded by language, not
     // corpus bytes), so the single-partition window is safe at 100 TB.
     "text_vocab_coverage" -> { (s, d) =>
+      // persist the vocabulary counts: the rank and the totals row both
+      // derive from them, so without the cache the corpus explodes twice
+      // (cleared by Verify/Bench at pipeline exit)
       val counts = Tables.documents(s, d)
         .select(explode(split(lower(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ranked = counts.withColumn("rk",
         row_number().over(Window.orderBy(desc("cnt"), col("w"))))
       val tot = counts.agg(sum(col("cnt")).as("total_tokens"),
