@@ -36,9 +36,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
-      else Headline.filter(SparkEntry.queries.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) => list.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq
+      case None if sys.env.contains("SPARK_GRAFT_BENCH_ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case None => Headline.filter(SparkEntry.queries.contains)
+    }
 
     // Materialize through the noop sink: count() lets Catalyst prune the
     // projected columns, so narrow ops (pii masks, text scoring) would be
