@@ -248,6 +248,48 @@ object ExtendedSuite {
         .limit(50)
     },
 
+    "q_decile_stats" -> { (s, d) =>
+      // RFM-style customer-spend deciles: aggregate spend per customer,
+      // ntile(10) with a deterministic tiebreak, per-decile rollup.
+      // The global ntile sorts only the CUSTOMER aggregate (dimension-
+      // bounded, far smaller than the fact table); at extreme scale the
+      // same query swaps in approx_percentile boundaries — this is the
+      // oracle-checkable exact variant that validates it (same pattern
+      // as text_length_percentiles).
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val w = Window.orderBy(desc("spend"), col("o_custkey"))
+      spend.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("spend")).as("decile_spend"),
+          min(col("spend")).as("min_spend"), max(col("spend")).as("max_spend"))
+        .orderBy("decile")
+    },
+
+    "events_gap_histogram" -> { (s, d) =>
+      // inter-event-time distribution (the arrival-process health stat a
+      // feed monitor tracks): per-user lag() gap in integer µs, bucketed
+      // into fixed ranges. The window partitions by user — fully
+      // parallel — and the histogram is one small group-by.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .withColumn("bucket_ord",
+          when(col("gap_us") < 10000000L, 0L).when(col("gap_us") < 60000000L, 1L)
+            .when(col("gap_us") < 600000000L, 2L).when(col("gap_us") < 3600000000L, 3L)
+            .otherwise(4L))
+        .withColumn("bucket",
+          when(col("bucket_ord") === 0L, "lt_10s").when(col("bucket_ord") === 1L, "s10_60")
+            .when(col("bucket_ord") === 2L, "m1_10").when(col("bucket_ord") === 3L, "m10_60")
+            .otherwise("ge_1h"))
+        .groupBy(col("bucket_ord"), col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("bucket_ord")
+    },
+
     "events_retention" -> { (s, d) =>
       // day-over-day cohort retention: users active on day D who return
       // on D+1. Distinct (user, day) first, then a self-join on
@@ -606,6 +648,39 @@ object ExtendedSuite {
         |  n * 2 * active_days > total * 3 AS is_spike
         |FROM cells JOIN stats ON event_type = et
         |ORDER BY event_type, day""".stripMargin,
+
+    "q_decile_stats" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0 AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |dt AS (
+        |  SELECT o_custkey, spend,
+        |    CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+        |  FROM sp)
+        |SELECT decile, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(FLOOR(spend*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0 AS decile_spend,
+        |  MIN(spend) AS min_spend, MAX(spend) AS max_spend
+        |FROM dt GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "events_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN gap_us < 10000000 THEN 0 WHEN gap_us < 60000000 THEN 1
+        |         WHEN gap_us < 600000000 THEN 2 WHEN gap_us < 3600000000 THEN 3
+        |         ELSE 4 END AS BIGINT) AS bucket_ord,
+        |    CASE WHEN gap_us < 10000000 THEN 'lt_10s' WHEN gap_us < 60000000 THEN 's10_60'
+        |         WHEN gap_us < 600000000 THEN 'm1_10' WHEN gap_us < 3600000000 THEN 'm10_60'
+        |         ELSE 'ge_1h' END AS bucket
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT bucket_ord, bucket, COUNT(*) AS n_gaps,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM b GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "events_retention" ->
       """WITH ud AS (

@@ -152,6 +152,33 @@ class ExtendedSpec extends SparkSpecBase {
     }
   }
 
+  test("q_decile_stats tiles customers into balanced ordered deciles") {
+    val rows = graft.operators.ExtendedSuite.queries("q_decile_stats")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    val sizes = rows.map(_.getAs[Long]("n_cust"))
+    assert(sizes.sum == nCust)
+    assert(sizes.max - sizes.min <= 1, "ntile buckets differ by at most one")
+    // deciles are ordered by spend: decile 1's floor >= decile 2's ceiling
+    val byDec = rows.map(r => r.getAs[Long]("decile") ->
+      (r.getAs[Double]("min_spend"), r.getAs[Double]("max_spend"))).toMap
+    (1L to 9L).foreach { d =>
+      assert(byDec(d)._1 >= byDec(d + 1)._2,
+        s"decile $d min ${byDec(d)._1} must be >= decile ${d + 1} max ${byDec(d + 1)._2}")
+    }
+  }
+
+  test("events_gap_histogram buckets every consecutive gap exactly once") {
+    val rows = graft.operators.ExtendedSuite.queries("events_gap_histogram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    val nUsers = graft.sources.Tables.events(spark, sf).select("user_id").distinct().count()
+    // every event except each user's first produces exactly one gap
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == nEvents - nUsers)
+    rows.foreach(r => assert(r.getAs[Long]("n_users") <= nUsers))
+  }
+
   test("events_anomaly cells roll up consistently and the spike gate is exact") {
     val rows = graft.operators.ExtendedSuite.queries("events_anomaly")(spark, sf).collect()
     assert(rows.nonEmpty)
