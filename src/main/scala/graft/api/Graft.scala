@@ -358,4 +358,68 @@ object Graft {
     */
   def hashSample(df: DataFrame, idCol: String, ratePercent: Column): DataFrame =
     df.filter(Portable.rowHash60(col(idCol).cast("string")) % 100 < ratePercent)
+
+  /** Domain-mixture sampling weights over any (domain, weight) pair:
+    * per-domain totals, natural and uniform shares, a 50/50 blended
+    * target and the over/under-sampling factor — all integer
+    * parts-per-million (exact on every engine, no pow-based
+    * temperature). One shuffle on the domain + a broadcast totals row.
+    */
+  def mixWeights(df: DataFrame, domainCol: String, weightCol: Column): DataFrame = {
+    val per = df.select(col(domainCol).as("domain"), weightCol.cast("long").as("__w"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__w")).as("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum(col("weight")).as("__tot"), count(lit(1)).cast("long").as("__k"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("natural_ppm", expr("weight * 1000000 DIV __tot"))
+      .withColumn("uniform_ppm", expr("1000000 DIV __k"))
+      .withColumn("target_ppm", expr("(natural_ppm + uniform_ppm) DIV 2"))
+      .withColumn("boost_ppm",
+        expr("CASE WHEN natural_ppm > 0 THEN target_ppm * 1000000 DIV natural_ppm END"))
+      .select("domain", "n_rows", "weight", "natural_ppm", "uniform_ppm",
+        "target_ppm", "boost_ppm")
+  }
+
+  /** Leak-proof train/valid/test assignment: the split key is the
+    * 60-bit hash of the NORMALIZED CONTENT column, so byte-identical
+    * rows always land in the same split — the eval-contamination guard
+    * a pretraining corpus needs. Returns the input plus a `split`
+    * column; pure narrow projection. trainPct/validPct are percentage
+    * points (the remainder is test).
+    */
+  def leakproofSplit(df: DataFrame, contentCol: Column,
+      trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"invalid split percentages: train=$trainPct valid=$validPct")
+    val hm = Portable.rowHash60(
+      regexp_replace(lower(contentCol), "\\s+", " ")) % 100
+    df.withColumn("split",
+      when(hm < trainPct, "train")
+        .when(hm < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Vocabulary coverage curve: fraction of corpus tokens covered by
+    * the top-K whitespace words, for each K (ppm, exact integer
+    * arithmetic). The global rank sorts only the vocabulary (bounded by
+    * language, not corpus bytes).
+    */
+  def vocabCoverage(df: DataFrame, textCol: Column, ks: Seq[Long]): DataFrame = {
+    import df.sparkSession.implicits._
+    val counts = df.select(explode(split(lower(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(desc("cnt"), col("w"))))
+    val tot = counts.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("n_vocab"))
+    ks.toDF("k").join(ranked, col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_top"), sum(col("cnt")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm", expr("covered_tokens * 1000000 DIV total_tokens"))
+      .select("k", "n_top", "covered_tokens", "total_tokens", "n_vocab", "coverage_ppm")
+  }
 }

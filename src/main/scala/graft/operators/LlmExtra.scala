@@ -248,24 +248,14 @@ object LlmExtra {
     // floats, no pow-based temperature). One shuffle on `source` plus
     // a broadcast 1-row total: the same shape at any corpus size.
     "mix_weights" -> { (s, d) =>
-      // persist the shared per-domain leg: the totals row is derived
-      // from it, so without the cache the corpus is scanned twice
-      // (cleared by Verify/Bench at pipeline exit)
-      val per = Tables.documents(s, d)
-        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
-        count(lit(1)).cast("long").as("k"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("natural_ppm", expr("n_tokens * 1000000 DIV tot_tokens"))
-        .withColumn("uniform_ppm", expr("1000000 DIV k"))
-        .withColumn("target_ppm", expr("(natural_ppm + uniform_ppm) DIV 2"))
-        .withColumn("boost_ppm",
-          expr("CASE WHEN natural_ppm > 0 THEN target_ppm * 1000000 DIV natural_ppm END"))
-        .select("source", "n_docs", "n_tokens", "natural_ppm", "uniform_ppm",
-          "target_ppm", "boost_ppm")
+      // fixture binding of Graft.mixWeights (the reusable kernel the
+      // oracle therefore checks); the shared per-domain leg is persisted
+      // inside it (cleared by Verify/Bench at pipeline exit)
+      graft.api.Graft.mixWeights(Tables.documents(s, d), "source",
+          size(split(col("text"), " ")))
+        .select(col("domain").as("source"), col("n_rows").as("n_docs"),
+          col("weight").as("n_tokens"), col("natural_ppm"), col("uniform_ppm"),
+          col("target_ppm"), col("boost_ppm"))
         .orderBy("source")
     },
 
@@ -292,26 +282,10 @@ object LlmExtra {
     // only the VOCABULARY (distinct words — bounded by language, not
     // corpus bytes), so the single-partition window is safe at 100 TB.
     "text_vocab_coverage" -> { (s, d) =>
-      // persist the vocabulary counts: the rank and the totals row both
-      // derive from them, so without the cache the corpus explodes twice
-      // (cleared by Verify/Bench at pipeline exit)
-      val counts = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ranked = counts.withColumn("rk",
-        row_number().over(Window.orderBy(desc("cnt"), col("w"))))
-      val tot = counts.agg(sum(col("cnt")).as("total_tokens"),
-        count(lit(1)).as("n_vocab"))
-      import s.implicits._
-      val ks = Seq(10L, 100L, 1000L).toDF("k")
-      ks.join(ranked, col("rk") <= col("k"))
-        .groupBy(col("k"))
-        .agg(count(lit(1)).as("n_top"), sum(col("cnt")).as("covered_tokens"))
-        .crossJoin(broadcast(tot))
-        .withColumn("coverage_ppm", expr("covered_tokens * 1000000 DIV total_tokens"))
-        .select("k", "n_top", "covered_tokens", "total_tokens", "n_vocab", "coverage_ppm")
+      // fixture binding of Graft.vocabCoverage (the vocabulary-counts
+      // leg is persisted inside it; cleared by Verify/Bench at exit)
+      graft.api.Graft.vocabCoverage(Tables.documents(s, d), col("text"),
+          Seq(10L, 100L, 1000L))
         .orderBy("k")
     },
 
@@ -353,13 +327,11 @@ object LlmExtra {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     val corpus = docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
-    corpus
+    // split column comes from the public kernel; h re-derives the same
+    // content hash for the group-integrity count
+    graft.api.Graft.leakproofSplit(corpus, col("text"))
       .withColumn("h", graft.functions.Portable.rowHash60(
         regexp_replace(lower(col("text")), "\\s+", " ")))
-      .withColumn("split",
-        when(col("h") % 100 < 90, "train")
-          .when(col("h") % 100 < 95, "valid")
-          .otherwise("test"))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .select(col("doc_id"), col("lang"), col("h"), col("split"), col("n_tok"))
   }

@@ -273,4 +273,47 @@ class GraftApiSpec extends SparkSpecBase {
     assert(s1 == s2)
     assert(s1.size > 100 && s1.size < 300, s"~20% of 1000 expected, got ${s1.size}")
   }
+
+  test("mixWeights on an ad-hoc frame: exact ppm algebra") {
+    val df = Seq(("web", 900L), ("web", 50L), ("code", 40L), ("books", 10L))
+      .toDF("domain_name", "w")
+    val out = Graft.mixWeights(df, "domain_name", col("w")).collect()
+      .map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out.keySet == Set("web", "code", "books"))
+    assert(out("web").getAs[Long]("weight") == 950L)
+    assert(out("web").getAs[Long]("natural_ppm") == 950000L)
+    assert(out("books").getAs[Long]("natural_ppm") == 10000L)
+    // uniform = 333333; books target = (10000+333333)/2 = 171666 → boosted ~17×
+    assert(out("books").getAs[Long]("target_ppm") == 171666L)
+    assert(out("books").getAs[Long]("boost_ppm") == 171666L * 1000000L / 10000L)
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("leakproofSplit: identical content always shares a split, pcts respected") {
+    val rows = (1 to 500).map(i => (i.toLong, s"content number ${i % 100}"))
+    val df = rows.toDF("id", "body")
+    val out = Graft.leakproofSplit(df, col("body"), trainPct = 50, validPct = 25)
+      .select("body", "split").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // same content → same split, across all 5 repetitions of each body
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).distinct.length == 1)
+    }
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq("test", "train", "valid"))
+    intercept[IllegalArgumentException] {
+      Graft.leakproofSplit(df, col("body"), trainPct = 80, validPct = 30)
+    }
+  }
+
+  test("vocabCoverage on an ad-hoc frame: exact counts, k beyond vocab") {
+    val df = Seq("a a a b", "a b c", "c a").toDF("t")
+    val out = Graft.vocabCoverage(df, col("t"), Seq(1L, 10L)).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    // counts: a=5, b=2, c=2 → total 9, vocab 3
+    assert(out(1L).getAs[Long]("covered_tokens") == 5L)
+    assert(out(1L).getAs[Long]("coverage_ppm") == 5L * 1000000L / 9L)
+    assert(out(10L).getAs[Long]("n_top") == 3L)
+    assert(out(10L).getAs[Long]("covered_tokens") == 9L)
+    df.sparkSession.catalog.clearCache()
+  }
 }
