@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
     // composed array_min(transform(xs, md5-60)) → fused Hash60Min
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedHash60)
+    // AsofJoin logical node → AsofJoinExec (GraftAsof.asofJoin also
+    // self-registers this per-session for API users without the conf)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
   }
 }
