@@ -133,6 +133,30 @@ object OpsSuite {
         .orderBy("o_orderstatus")
     },
 
+    "layout_partition_write" -> { (s, d) =>
+      // Hive-partitioned lake layout: orders written partitionBy(month),
+      // read back and checksum-verified PER PARTITION — the layout that
+      // turns a time-bounded query into a partition-pruned scan (the
+      // spec asserts a month filter reaches the scan as a
+      // PartitionFilter, reading one directory of N). Counts come from
+      // the restored data; the oracle rebuilds them from the source, so
+      // a lost or corrupted partition fails the row.
+      val tmp = Scratch.dir("graft_partwrite")
+      val row = rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM").as("omonth"))
+      base.write.mode("overwrite").partitionBy("omonth").parquet(tmp)
+      val srcm = base.groupBy(col("omonth"))
+        .agg(checksumAgg(row).as("source_ck"))
+      val backm = s.read.parquet(tmp).groupBy(col("omonth"))
+        .agg(checksumAgg(row).as("restored_ck"), count(lit(1)).as("n_rows"))
+      backm.join(srcm, "omonth")
+        .select(col("omonth"), col("n_rows"),
+          when(col("restored_ck") === col("source_ck"), lit("OK"))
+            .otherwise(lit("CORRUPT")).as("status"))
+        .orderBy("omonth")
+    },
+
     "snapshot_roundtrip" -> { (s, d) =>
       // backup/restore as parquet snapshot + checksum verification
       // (ref: scripts/bash/backup-databases.sh / restore-databases.sh).
@@ -164,6 +188,11 @@ object OpsSuite {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "layout_partition_write" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, COUNT(*) AS n_rows,
+        |  'OK' AS status
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "snapshot_roundtrip" ->
       """WITH ck AS (

@@ -390,6 +390,57 @@ object CdcStream {
     * batch for the finite replay (inner-join matches emit during
     * processing; the watermark only governs state purge).
     */
+  /** Continuously-maintained domain-mixture monitor: each micro-batch
+    * folds its documents' token counts into per-source keyed state
+    * (n_docs, n_tokens), so after any prefix of the feed the state IS
+    * the corpus mixture — a live training-data pipeline reads its
+    * sampling weights without rescanning the lake. State is one
+    * 16-byte pair per domain (cardinality-bounded, NoTimeout is safe);
+    * the ppm algebra runs batch-side on the final k-row state, so the
+    * result equals batch `mix_weights` and shares its oracle.
+    */
+  def mixMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Scratch.dir("graft_mix_stream")
+    Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp).as[(String, Long)]
+    val qname = "mix_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          val s0 = state.getOption.getOrElse((0L, 0L))
+          val s1 = rows.foldLeft(s0) { case ((nd, nt), (_, t)) => (nd + 1, nt + t) }
+          state.update(s1)
+          Iterator((src, s1._1, s1._2))
+      }
+      .toDF("source", "n_docs", "n_tokens")
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // final emission per source (counts are monotone), then the same
+    // exact ppm algebra as Graft.mixWeights over the k-row state
+    val per = spark.table(qname)
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("n_tokens")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).cast("long").as("k"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("natural_ppm", expr("n_tokens * 1000000 DIV tot_tokens"))
+      .withColumn("uniform_ppm", expr("1000000 DIV k"))
+      .withColumn("target_ppm", expr("(natural_ppm + uniform_ppm) DIV 2"))
+      .withColumn("boost_ppm",
+        expr("CASE WHEN natural_ppm > 0 THEN target_ppm * 1000000 DIV natural_ppm END"))
+      .select("source", "n_docs", "n_tokens", "natural_ppm", "uniform_ppm",
+        "target_ppm", "boost_ppm")
+      .orderBy("source")
+  }
+
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Scratch.dir("graft_ivj_stream")
     val ev = Tables.events(spark, dir)
@@ -428,7 +479,8 @@ object CdcStream {
     "stream_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "stream_recon_checksum" -> ((s, d) => reconChecksum(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
-    "stream_interval_join" -> ((s, d) => intervalJoin(s, d))
+    "stream_interval_join" -> ((s, d) => intervalJoin(s, d)),
+    "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -462,6 +514,7 @@ object CdcStream {
         |FROM p JOIN v
         |  ON vuser = user_id AND vtus > ptus - 1800000000 AND vtus <= ptus
         |GROUP BY user_id, purchase_id, ptus
-        |ORDER BY user_id, purchase_id""".stripMargin
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "stream_mix_monitor" -> graft.operators.LlmExtra.oracles("mix_weights")
   )
 }

@@ -85,6 +85,15 @@ class CosineSimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("streaming mixture monitor equals the batch mix_weights table") {
+    val stream = graft.streaming.CdcStream.queries("stream_mix_monitor")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.LlmExtra.queries("mix_weights")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.sameElements(batch))
+    spark.catalog.clearCache()
+  }
+
   test("minhash stream state TTL evicts idle buckets at the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

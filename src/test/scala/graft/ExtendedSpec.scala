@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.ExtendedSuite
+import org.apache.spark.sql.functions.{col, date_format}
 
 class ExtendedSpec extends SparkSpecBase {
 
@@ -87,6 +88,31 @@ class ExtendedSpec extends SparkSpecBase {
     // q3's scans have pushed filters → at least one partition-layout DDL
     assert(rows.exists(_.getAs[String]("ddl").startsWith("CREATE TABLE")),
       "expected at least one derivable layout DDL")
+  }
+
+  test("partitioned layout prunes a month filter to one partition") {
+    // the operator verified checksums; here we prove the LAYOUT works:
+    // a month-filtered read reaches the scan as a PartitionFilter and
+    // touches a single partition directory
+    val result = graft.operators.OpsSuite.queries("layout_partition_write")(spark, sf)
+      .collect()
+    assert(result.nonEmpty && result.forall(_.getAs[String]("status") == "OK"))
+    val months = result.map(_.getAs[String]("omonth"))
+    assert(months.length > 1, "fixture must produce multiple partitions")
+    // re-read the most recent write (stable single location per run):
+    // redo a tiny partitioned write in a known dir for the plan probe
+    val tmp = graft.sources.Scratch.dir("graft_partprobe")
+    graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("omonth"))
+      .write.mode("overwrite").partitionBy("omonth").parquet(tmp)
+    val probe = spark.read.parquet(tmp).filter(col("omonth") === months.head)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("omonth"),
+      s"month filter must prune partitions:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(omonth)"),
+      "omonth must be a partition column, not a data column")
   }
 
   test("bucketed join runs with zero exchanges between scan and join") {
