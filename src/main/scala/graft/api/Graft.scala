@@ -313,6 +313,30 @@ object Graft {
     org.apache.spark.sql.graft.GraftAsof
       .asofJoin(left, right, leftKey, rightKey, leftTime, rightTime)
 
+  /** Forward AS-OF LEFT JOIN: each left row matched to the right row
+    * with the SMALLEST rightTime >= leftTime for its key (next event
+    * at-or-after — conversion attribution, next-quote lookups). Runs
+    * the same native merge with both numeric time columns negated, so
+    * the backward operator's plan shape (one exchange + sort per side,
+    * O(1)-state merge) carries over unchanged.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    def numeric(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asofJoinForward: time column '$c' must be numeric (epoch micros), got ${dt.sql}")
+    }
+    numeric(left, leftTime); numeric(right, rightTime)
+    org.apache.spark.sql.graft.GraftAsof
+      .asofJoin(
+        left.withColumn("__neg_lt", -col(leftTime)),
+        right.withColumn("__neg_rt", -col(rightTime)),
+        leftKey, rightKey, "__neg_lt", "__neg_rt")
+      .drop("__neg_lt", "__neg_rt")
+  }
+
   /** Pure range join (no equality key): points matched to every window
     * with winStart <= t < winEnd. Spark plans a bare inequality join as
     * a broadcast-nested-loop — quadratic at scale; this instead explodes

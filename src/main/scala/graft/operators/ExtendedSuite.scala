@@ -63,6 +63,25 @@ object ExtendedSuite {
         .orderBy("user_id", "purchase_id")
     },
 
+    "q_asof_forward" -> { (s, d) =>
+      // Forward as-of through the same native merge (times negated —
+      // see Graft.asofJoinForward): each view matched to the user's
+      // NEXT purchase at-or-after it (conversion attribution). Shares
+      // the exec's plan shape; oracle is DuckDB's forward ASOF (>=).
+      val views = Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("view_tus"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), unix_micros(col("ts")).as("purchase_tus"))
+      graft.api.Graft
+        .asofJoinForward(views, purchases, "user_id", "p_user_id", "view_tus", "purchase_tus")
+        .select(col("user_id"), col("view_id"), col("view_tus"),
+          col("purchase_tus").as("next_purchase_tus"))
+        .orderBy("user_id", "view_id")
+    },
+
     "q_interval_join" -> { (s, d) =>
       // Range/interval join — the other relational operator Spark lacks
       // a dedicated node for: views within the 30 minutes BEFORE each
@@ -500,6 +519,19 @@ object ExtendedSuite {
     "q_asof_join" -> AsofOracleSql,
 
     "q_asof_join_native" -> AsofOracleSql,
+
+    "q_asof_forward" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_tus
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS purchase_tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, view_id, view_tus,
+        |  p.purchase_tus AS next_purchase_tus
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND p.purchase_tus >= v.view_tus
+        |ORDER BY user_id, view_id""".stripMargin,
 
     "q_interval_join" ->
       """WITH p AS (

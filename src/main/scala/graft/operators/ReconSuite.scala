@@ -459,6 +459,32 @@ object ReconSuite {
         .orderBy("column_name")
     },
 
+    "recon_checksum_columnwise" -> { (s, d) =>
+      // Column-localized drift: per-column (pk|value) checksums computed
+      // in ONE multi-aggregate pass per side, so a mismatch names the
+      // COLUMN that drifted — the complement of the merkle tree's
+      // row-chunk localization. The fixture mutates only o_orderstatus
+      // (same %89 rule as the target fixture, without its row drift), so
+      // exactly one column reports MISMATCH. One scan per side, 1-row
+      // shuffle — the same cost as a single whole-row checksum.
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      def side(df: DataFrame, pfx: String) = {
+        val cks = cols.map(c =>
+          checksumAgg(rowStr(col("o_orderkey"), col(c))).as(s"${pfx}_$c"))
+        df.agg(cks.head, cks.tail: _*)
+      }
+      val tgt = Tables.orders(s, d).withColumn("o_orderstatus",
+        when(col("o_orderkey") % 89 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      val wide = side(Tables.orders(s, d), "src").crossJoin(side(tgt, "tgt"))
+      val stackArgs = cols.map(c => s"'$c', src_$c, tgt_$c").mkString(", ")
+      wide.selectExpr(
+          s"stack(${cols.length}, $stackArgs) AS (column_name, source_ck, target_ck)")
+        .withColumn("status",
+          when(col("source_ck") === col("target_ck"), lit("MATCH"))
+            .otherwise(lit("MISMATCH")))
+        .orderBy("column_name")
+    },
+
     "recon_multi_table" -> { (s, d) =>
       // ref: parallel/reconciler.py:36 ParallelReconciler — the reference thread-pools one
       // connection per table; in Spark the per-table plans just union
@@ -705,6 +731,31 @@ object ReconSuite {
         |       ELSE 'EXTRA_IN_TARGET' END AS status
         |FROM src FULL OUTER JOIN tgt ON src.column_name = tgt.column_name
         |ORDER BY column_name""".stripMargin,
+
+    "recon_checksum_columnwise" ->
+      s"""WITH s AS (
+         |  SELECT
+         |    ${ckSql("concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR))")} AS s_cust,
+         |    ${ckSql("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)")} AS s_status,
+         |    ${ckSql("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderpriority)")} AS s_prio
+         |  FROM orders),
+         |t AS (
+         |  SELECT
+         |    ${ckSql("concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR))")} AS t_cust,
+         |    ${ckSql("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)")} AS t_status,
+         |    ${ckSql("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderpriority)")} AS t_prio
+         |  FROM (SELECT o_orderkey, o_custkey,
+         |          CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |          o_orderpriority FROM orders) x),
+         |u AS (
+         |  SELECT 'o_custkey' AS column_name, s_cust AS source_ck, t_cust AS target_ck FROM s, t
+         |  UNION ALL
+         |  SELECT 'o_orderstatus', s_status, t_status FROM s, t
+         |  UNION ALL
+         |  SELECT 'o_orderpriority', s_prio, t_prio FROM s, t)
+         |SELECT column_name, source_ck, target_ck,
+         |  CASE WHEN source_ck = target_ck THEN 'MATCH' ELSE 'MISMATCH' END AS status
+         |FROM u ORDER BY column_name""".stripMargin,
 
     "recon_multi_table" ->
       s"""WITH src AS (

@@ -90,6 +90,22 @@ class ExtendedSpec extends SparkSpecBase {
       "expected at least one derivable layout DDL")
   }
 
+  test("forward as-of matches each view to the minimal at-or-after purchase") {
+    val rows = ExtendedSuite.queries("q_asof_forward")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val (u, vt) = (r.getAs[Long]("user_id"), r.getAs[Long]("view_tus"))
+      val expected = purchases.getOrElse(u, Array.empty[Long]).find(_ >= vt)
+      val got = Option(r.getAs[java.lang.Long]("next_purchase_tus")).map(_.longValue)
+      assert(got == expected, s"user $u view@$vt: got $got expected $expected")
+    }
+  }
+
   test("partitioned layout prunes a month filter to one partition") {
     // the operator verified checksums; here we prove the LAYOUT works:
     // a month-filtered read reaches the scan as a PartitionFilter and

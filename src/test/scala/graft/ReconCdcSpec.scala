@@ -291,4 +291,11 @@ class ReconCdcSpec extends SparkSpecBase {
         s"level $level node $node inconsistent with its children")
     }
   }
+
+  test("columnwise checksum localizes drift to exactly the mutated column") {
+    val rows = graft.operators.ReconSuite.queries("recon_checksum_columnwise")(spark, sf)
+      .collect().map(r => r.getAs[String]("column_name") -> r.getAs[String]("status")).toMap
+    assert(rows == Map("o_custkey" -> "MATCH", "o_orderpriority" -> "MATCH",
+      "o_orderstatus" -> "MISMATCH"))
+  }
 }
