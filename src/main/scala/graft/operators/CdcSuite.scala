@@ -204,6 +204,43 @@ object CdcSuite {
         .orderBy("id")
     },
 
+    "cdc_compact_log" -> { (s, d) =>
+      // Kafka-style log compaction (ref: the compacted change topics the
+      // sink consumes; `cleanup.policy=compact` semantics): retain ONLY
+      // the latest event per key, but unlike apply-latest KEEP delete
+      // tombstones with a nulled payload — the compacted log replays to
+      // the same table state as the full log at a fraction of its size.
+      // One shuffle on the key; WindowGroupLimit keeps partial top-1
+      // state map-side, so a 100 TB log compacts in one pass.
+      val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("ts_ms"))
+      changeLog(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("op"), col("seq"),
+          when(col("op") === "d", lit(null).cast(LongType))
+            .otherwise(col("custkey")).as("custkey"),
+          when(col("op") === "d", lit(null).cast(StringType))
+            .otherwise(col("status")).as("status"))
+        .orderBy("id")
+    },
+
+    "cdc_scd2_build" -> { (s, d) =>
+      // SCD Type-2 dimension build from the change log (ref: the
+      // warehouse-side history table a reconciled CDC sink feeds): each
+      // non-delete event opens a version valid [its ts_ms, next event's
+      // ts_ms); a delete closes the last version; the open-ended version
+      // is current. One shuffle on the key; lead() is a streaming
+      // window with O(1) state — no self-join, scales linearly.
+      val w = Window.partitionBy(col("id")).orderBy(col("seq"), col("ts_ms"))
+      changeLog(s, d)
+        .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("id"), col("custkey"), col("status"),
+          col("ts_ms").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("id", "valid_from")
+    },
+
     "cdc_soft_delete" -> { (s, d) =>
       // __deleted flag per event (ref: AddDeletedField.java: DELETE →
       // "true", else "false") — then latest-per-key like the sink's
@@ -356,6 +393,25 @@ object CdcSuite {
          |SELECT id, custkey, status, __deleted FROM ranked
          |WHERE rn = 1
          |ORDER BY id""".stripMargin,
+
+    "cdc_compact_log" ->
+      s"""WITH ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
+         |  FROM ($LogSql) log)
+         |SELECT id, op, seq,
+         |  CASE WHEN op = 'd' THEN NULL ELSE custkey END AS custkey,
+         |  CASE WHEN op = 'd' THEN NULL ELSE status END AS status
+         |FROM ranked WHERE rn = 1
+         |ORDER BY id""".stripMargin,
+
+    "cdc_scd2_build" ->
+      s"""WITH v AS (
+         |  SELECT *, LEAD(ts_ms) OVER (PARTITION BY id ORDER BY seq, ts_ms) AS valid_to
+         |  FROM ($LogSql) log)
+         |SELECT id, custkey, status, ts_ms AS valid_from, valid_to,
+         |  valid_to IS NULL AS is_current
+         |FROM v WHERE op <> 'd'
+         |ORDER BY id, valid_from""".stripMargin,
 
     "cdc_route" ->
       s"""WITH t AS (

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** §2 E (third wave) — corpus-curation operators a continuously-ingesting
+  * training-data pipeline runs on every new batch: chunking for the
+  * embedding pipeline, incremental dedup of a new batch against the
+  * standing corpus, and deterministic quality-weighted sampling.
+  *
+  * Same design rules as the rest of the family: per-document work is a
+  * narrow codegen'd projection (zero shuffle, no UDFs); the one pairwise
+  * op probes a precomputable LSH band index, never the corpus cross
+  * product.
+  */
+object CurationSuite {
+
+  /** Chunking geometry for text_chunk_split: fixed window, fixed stride
+    * (overlap = ChunkSize - Stride chars between consecutive chunks).
+    */
+  private val ChunkSize = 200
+  private val Stride = 150
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping fixed-window chunking — the document→passage step an
+    // embedding/RAG pipeline runs before encoding (each chunk becomes
+    // one embedding row). Pure per-row explode of substring windows:
+    // zero shuffle, linear in bytes, scan-parallel at any corpus size.
+    // Chunk count is closed-form (1 + ceil((n-W)/S)), so no iterative
+    // driver logic; the final short chunk keeps the tail.
+    "text_chunk_split" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_chunks", expr(
+          s"CASE WHEN n_chars <= $ChunkSize THEN CAST(1 AS BIGINT) " +
+            s"ELSE 1 + (n_chars - $ChunkSize + ${Stride - 1}) div $Stride END"))
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, CAST(n_chunks - 1 AS INT)), i -> i * $Stride)")),
+          col("text"))
+        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start_off")
+        .withColumn("chunk", expr(s"substring(text, start_off + 1, $ChunkSize)"))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          col("start_off").cast("long").as("start_off"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          Portable.rowHash60(col("chunk")).as("chunk_h"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Incremental dedup: the new batch (the injected +1000000 copies)
+    // probes the STANDING corpus's MinHash band index — the join is
+    // batch-bands × corpus-bands on (band, bucket), never corpus ×
+    // corpus. At 100 TB the corpus band index is a persisted table
+    // partitioned by (band, bucket); each arriving batch only hashes
+    // its own documents and probes it — per-batch cost is proportional
+    // to the batch, not the corpus. Verification re-joins shingle sets
+    // for candidate pairs only (same kernel dedup_minhash_lsh proved).
+    "dedup_incremental" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val sh = DedupSuite.shingleSets(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = DedupSuite.minhashBands(sh)
+      val corpusBands = bands.filter(col("doc_id") < 1000000L)
+      val batchBands = bands.filter(col("doc_id") >= 1000000L)
+      val cands = batchBands.as("n").join(corpusBands.as("c"),
+          col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+        .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+        .dropDuplicates("new_id", "dup_of")
+      cands
+        .join(sh.withColumnRenamed("doc_id", "new_id").withColumnRenamed("shingles", "sh_n"), "new_id")
+        .join(sh.withColumnRenamed("doc_id", "dup_of").withColumnRenamed("shingles", "sh_c"), "dup_of")
+        .withColumn("jaccard", expr("jaccard_sim(sh_n, sh_c)"))
+        .filter(col("jaccard") >= 0.7)
+        .select("new_id", "dup_of", "jaccard")
+        .orderBy("new_id", "dup_of")
+    },
+
+    // Span-level (sentence/paragraph) exact dedup — the C4/RefinedWeb
+    // pass that removes boilerplate repeated ACROSS documents, which
+    // document-level dedup can't see. Explode to spans, hash, count
+    // distinct docs per span hash: explode + two map-side-combining
+    // shuffles, no joins, no pairwise work — linear at any corpus size.
+    // Output carries the 60-bit span hash (32 bytes/span through the
+    // shuffle), never the span text.
+    "dedup_span_exact" -> { (s, d) =>
+      DedupSuite.corpusWithDups(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\. ")).as("span"))
+        .filter(length(col("span")) >= 20)
+        .select(col("doc_id"), Portable.rowHash60(col("span")).as("span_h"))
+        .distinct()
+        .groupBy("span_h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("span_h")
+    },
+
+    // Deterministic quality-weighted (importance) sampling: each doc is
+    // kept with probability equal to its quality score, decided by its
+    // own 60-bit hash — no RNG, no driver state, reproducible across
+    // engines and re-runs, embarrassingly parallel. The score is pure
+    // rational arithmetic (length saturation × lexical diversity), so
+    // both engines compute the identical threshold.
+    "sample_quality_weighted" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .withColumn("raw",
+          (least(col("n_chars"), lit(500)).cast("double") / lit(500.0)) *
+            (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))))
+        .withColumn("thr", floor(col("raw") * lit(1e6) + lit(0.5)).cast("long"))
+        .filter(pmod(Portable.rowHash60(concat(lit("sample:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("thr"))
+        .select(col("doc_id"), col("lang"), (col("thr").cast("double") / lit(1e6)).as("q"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_chunk_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN n_chars <= $ChunkSize THEN CAST(1 AS BIGINT)
+         |         ELSE 1 + (n_chars - $ChunkSize + ${Stride - 1}) // $Stride END AS n_chunks
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM d)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(i * $Stride AS BIGINT) AS start_off,
+         |  CAST(length(substr(text, CAST(i * $Stride + 1 AS INT), $ChunkSize)) AS BIGINT) AS chunk_len,
+         |  ('0x' || substr(md5(substr(text, CAST(i * $Stride + 1 AS INT), $ChunkSize)), 1, 15))::BIGINT AS chunk_h
+         |FROM ex
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM (${DedupSuite.CorpusSql}) c),
+         |sh AS (
+         |  SELECT doc_id, ${DedupSuite.ShinglesSql} AS shingles FROM docs WHERE len(ws) >= 3),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 12), p ->
+         |      list_min(list_transform(
+         |        list_transform(shingles, sh2 -> ('0x' || substr(md5(sh2), 1, 15))::BIGINT),
+         |        h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b - 1 AS band,
+         |    md5(array_to_string(sig[(b-1)*3+1:(b-1)*3+3], ',')) AS bucket
+         |  FROM sig, range(1, 5) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+         |  FROM bands n JOIN bands c
+         |    ON n.band = c.band AND n.bucket = c.bucket
+         |   AND n.doc_id >= 1000000 AND c.doc_id < 1000000)
+         |SELECT new_id, dup_of,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+         |FROM cands
+         |JOIN sh sa ON sa.doc_id = new_id
+         |JOIN sh sb ON sb.doc_id = dup_of
+         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    len(list_distinct(sa.shingles || sb.shingles)) >= 0.7
+         |ORDER BY new_id, dup_of""".stripMargin,
+
+    "dedup_span_exact" ->
+      s"""WITH spans AS (
+         |  SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_h
+         |  FROM (SELECT doc_id, unnest(str_split(lower(text), '. ')) AS span
+         |        FROM (${DedupSuite.CorpusSql}) c) t
+         |  WHERE length(span) >= 20)
+         |SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+         |FROM spans GROUP BY span_h HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY span_h""".stripMargin,
+
+    "sample_quality_weighted" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor((CAST(CASE WHEN n_chars < 500 THEN n_chars ELSE 500 END AS DOUBLE) / 500.0) *
+        |      (CAST(len(list_distinct(str_split(lower(text), ' '))) AS DOUBLE)
+        |        / len(str_split(lower(text), ' '))) * 1e6 + 0.5) AS BIGINT) AS thr
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(thr AS DOUBLE) / 1e6 AS q FROM q
+        |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < thr
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -40,7 +40,7 @@ object DedupSuite {
   private[graft] val ShinglesExpr =
     """array_distinct(transform(sequence(1, size(ws) - 2),
       |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))""".stripMargin
-  private val ShinglesSql =
+  private[graft] val ShinglesSql =
     """list_distinct(list_transform(range(1, len(ws) - 1),
       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))""".stripMargin
 

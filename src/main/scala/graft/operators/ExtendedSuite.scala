@@ -485,6 +485,64 @@ object ExtendedSuite {
       labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
         .orderBy("cluster_id")
+    },
+
+    "events_user_path" -> { (s, d) =>
+      // Path analysis: the 10 most common 3-step event sequences.
+      // Two lead() calls share ONE window sort (single shuffle on
+      // user_id), then a count group-by with map-side combine — no
+      // per-user collect_list buffering, so a power user with millions
+      // of events never materializes as one array.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(10)
+    },
+
+    "q_median_by_group" -> { (s, d) =>
+      // Exact per-group median, engine-portably: prices become integer
+      // cents, the median is the value (odd n) or sum (even n) of the
+      // middle ranks — rank selection is deterministic over the sorted
+      // multiset even with duplicate values. One shuffle on the group
+      // key; the rank window streams, no per-group buffering. (Spark's
+      // percentile/approx_percentile interpolate differently from
+      // DuckDB's quantile — rank arithmetic sidesteps that entirely.)
+      val base = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("cents"))
+      val wc = Window.partitionBy(col("prio"))
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+        .withColumn("wt",
+          when(expr("(cnt + 1) div 2 = (cnt + 2) div 2"), lit(2L)).otherwise(lit(1L)))
+        .groupBy("prio")
+        .agg(sum(col("cents") * col("wt")).as("median_cents_x2"),
+          max(col("cnt")).as("n_orders"))
+        .orderBy("prio")
+    },
+
+    "q_cube" -> { (s, d) =>
+      // CUBE completes the multi-level aggregate family (rollup and
+      // grouping sets are already in the surface): all 4 grouping
+      // combinations in one pass via partial aggregation — Spark
+      // expands the grouping sets before the single shuffle.
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
     }
   )
 
@@ -779,6 +837,45 @@ object ExtendedSuite {
          |SELECT cluster_id, COUNT(*) AS n_members, MIN(node) AS keep_id
          |FROM comp GROUP BY cluster_id
          |ORDER BY cluster_id""".stripMargin
-    }
+    },
+
+    "events_user_path" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS e2,
+        |    LEAD(event_type, 2) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS e3
+        |  FROM events)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |FROM o WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q_median_by_group" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT prio, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY prio) AS cnt
+        |  FROM c)
+        |SELECT prio,
+        |  CAST(SUM(cents * (CASE WHEN (cnt + 1) // 2 = (cnt + 2) // 2
+        |                         THEN 2 ELSE 1 END)) AS BIGINT) AS median_cents_x2,
+        |  MAX(cnt) AS n_orders
+        |FROM r
+        |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin
   )
 }

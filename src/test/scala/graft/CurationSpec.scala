@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{CdcSuite, CurationSuite}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpecBase {
+
+  test("chunk_split: geometry covers every document with the right stride") {
+    val rows = CurationSuite.queries("text_chunk_split")(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs.keySet,
+      "every document must produce at least one chunk")
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // chunk starts advance by exactly the stride
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("start_off") == i * 150L)
+      }
+      // chunks cover the tail: last chunk reaches n_chars
+      val last = sorted.last
+      assert(last.getAs[Long]("start_off") + last.getAs[Long]("chunk_len") == n || n == 0)
+      // one more chunk would start past the end
+      assert(sorted.length == 1 || (sorted.length - 1) * 150L < n)
+      // all non-final chunks are full-width
+      sorted.dropRight(1).foreach(c => assert(c.getAs[Long]("chunk_len") == 200L))
+    }
+  }
+
+  test("dedup_incremental finds each injected copy against the corpus only") {
+    val rows = CurationSuite.queries("dedup_incremental")(spark, sf).collect()
+    assert(rows.nonEmpty, "injected +1000000 copies must near-dup their originals")
+    rows.foreach { r =>
+      val newId = r.getAs[Long]("new_id")
+      val dupOf = r.getAs[Long]("dup_of")
+      assert(newId >= 1000000L, "left side must be the new batch")
+      assert(dupOf < 1000000L, "right side must be the standing corpus")
+      assert(r.getAs[Double]("jaccard") >= 0.7)
+    }
+    // every injected exact copy long enough to shingle is rediscovered
+    val found = rows.map(r => r.getAs[Long]("new_id") -> r.getAs[Long]("dup_of")).toSet
+    val expected = graft.operators.DedupSuite.shingleSets(spark, sf)
+      .filter(col("doc_id") >= 1000000L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    expected.foreach { id =>
+      assert(found.contains(id -> (id - 1000000L)), s"copy $id must match its original")
+    }
+  }
+
+  test("span dedup: injected copies make every span of a copied doc cross-doc") {
+    val rows = CurationSuite.queries("dedup_span_exact")(spark, sf).collect()
+    assert(rows.nonEmpty, "injected exact copies must share spans")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("first_doc") < 1000000L,
+        "first_doc is the corpus-side original (min doc_id)")
+    }
+    // span hashes are distinct rows
+    val hs = rows.map(_.getAs[Long]("span_h"))
+    assert(hs.distinct.length == hs.length)
+  }
+
+  test("quality-weighted sampling is deterministic and quality-monotone in aggregate") {
+    val q = CurationSuite.queries("sample_quality_weighted")(spark, sf)
+    val a = q.collect()
+    val b = q.collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "no RNG — identical re-runs")
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(a.length > 0 && a.length < total, "acceptance sampling keeps a strict subset")
+    a.foreach(r => assert(r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0))
+  }
+
+  test("compact log replays to the same state as the full log") {
+    val compacted = CdcSuite.queries("cdc_compact_log")(spark, sf).collect()
+    // tombstones survive compaction with a nulled payload
+    val tombs = compacted.filter(_.getAs[String]("op") == "d")
+    assert(tombs.nonEmpty)
+    tombs.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("custkey")) && r.isNullAt(r.fieldIndex("status")))
+      assert(r.getAs[Long]("id") % 13 == 0)
+    }
+    // replaying the compacted log (drop tombstones) == apply_latest state
+    val replay = compacted.filter(_.getAs[String]("op") != "d")
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("custkey"), r.getAs[String]("status")))
+      .toSet
+    val state = CdcSuite.queries("cdc_apply_latest")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("custkey"), r.getAs[String]("status")))
+      .toSet
+    assert(replay == state)
+  }
+
+  test("scd2 versions: contiguous validity, one current version per live key") {
+    val rows = CdcSuite.queries("cdc_scd2_build")(spark, sf).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("id"))
+    byKey.foreach { case (id, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from"))
+      // intervals chain: each version's valid_to is the next's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"))
+        case _ =>
+      }
+      val open = vs.count(_.getAs[Boolean]("is_current"))
+      if (id % 13 == 0) assert(open == 0, "deleted keys have no open version")
+      else assert(open == 1, "live keys have exactly one open version")
+      // updated keys carry two versions, the current one with status U
+      if (id % 7 == 0 && id % 13 != 0) {
+        assert(vs.length == 2)
+        assert(sorted.last.getAs[String]("status") == "U")
+      }
+    }
+  }
+}

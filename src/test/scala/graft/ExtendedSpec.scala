@@ -237,4 +237,49 @@ class ExtendedSpec extends SparkSpecBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("events_user_path: top paths are valid trigrams and counts bound by events") {
+    val rows = graft.operators.ExtendedSuite.queries("events_user_path")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val types = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.length == 3 && steps.forall(types.contains))
+    }
+    // descending count order with path tiebreak
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("q_median_by_group: rank-arithmetic median equals the sorted-multiset median") {
+    val rows = graft.operators.ExtendedSuite.queries("q_median_by_group")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.expr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG)"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val vs = cents(r.getAs[String]("prio"))
+      val expect =
+        if (vs.length % 2 == 1) 2L * vs(vs.length / 2)
+        else vs(vs.length / 2 - 1) + vs(vs.length / 2)
+      assert(r.getAs[Long]("median_cents_x2") == expect)
+      assert(r.getAs[Long]("n_orders") == vs.length)
+    }
+  }
+
+  test("q_cube: every grouping level is internally consistent") {
+    val rows = graft.operators.ExtendedSuite.queries("q_cube")(spark, sf).collect()
+    def cell(rf: String, ls: String) =
+      rows.find(r => r.getAs[String]("returnflag") == rf && r.getAs[String]("linestatus") == ls).get
+    val grand = cell("ALL", "ALL")
+    val flags = rows.filter(r => r.getAs[String]("returnflag") != "ALL"
+      && r.getAs[String]("linestatus") == "ALL")
+    assert(flags.map(_.getAs[Long]("n")).sum == grand.getAs[Long]("n"))
+    assert(flags.map(_.getAs[Long]("sum_qty")).sum == grand.getAs[Long]("sum_qty"))
+    val cells = rows.filter(r => r.getAs[String]("returnflag") != "ALL"
+      && r.getAs[String]("linestatus") != "ALL")
+    assert(cells.map(_.getAs[Long]("n")).sum == grand.getAs[Long]("n"))
+  }
 }
