@@ -19,7 +19,11 @@ object Bench {
     "recon_incremental_stateful",
     // round-4 representatives
     "q9_product_profit", "q18_large_orders", "text_pii_scan",
-    "layout_zorder", "ann_lsh")
+    "layout_zorder", "ann_lsh",
+    // round-4 third wave: band-index probe, compaction, dim-exploded
+    // centroid agg, double-window median
+    "dedup_incremental", "cdc_compact_log", "emb_centroid_drift",
+    "q_median_by_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -41,6 +41,41 @@ object Graft {
       .drop("__rn")
   }
 
+  /** Kafka-style log compaction: each key's latest event survives —
+    * INCLUDING delete tombstones, whose payload columns are nulled
+    * (`cleanup.policy=compact` semantics). Replaying the compacted log
+    * through [[cdcApplyLatest]] yields the same state as the full log.
+    */
+  def cdcCompactLog(log: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String], opCol: String = "op",
+      deleteOp: String = "d"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val compacted = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    payloadCols.foldLeft(compacted) { (df, c) =>
+      df.withColumn(c,
+        when(col(opCol) === deleteOp, lit(null).cast(df.schema(c).dataType))
+          .otherwise(col(c)))
+    }
+  }
+
+  /** SCD Type-2 dimension build from a change log: each non-delete event
+    * opens a version valid [its time, the key's next event's time); a
+    * delete closes the last version; the open-ended version is current.
+    * Appends `valid_from`/`valid_to`/`is_current`.
+    */
+  def cdcScd2(log: DataFrame, keyCols: Seq[String], timeCol: String,
+      orderCols: Seq[String], opCol: String = "op",
+      deleteOp: String = "d"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    log.withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .filter(col(opCol) =!= deleteOp)
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   // ---- Reconciliation ------------------------------------------------
 
   /** Order-insensitive 60-bit table checksum over a canonical row string
@@ -382,6 +417,35 @@ object Graft {
     */
   def hashSample(df: DataFrame, idCol: String, ratePercent: Column): DataFrame =
     df.filter(Portable.rowHash60(col(idCol).cast("string")) % 100 < ratePercent)
+
+  /** Per-row acceptance sampling at a per-row probability: keep iff
+    * hash60(salt:id) mod 1e6 < prob·1e6. Like [[hashSample]] but the
+    * rate is a column (e.g. a quality score in [0,1]) — deterministic
+    * importance sampling with no RNG state.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, prob: Column,
+      salt: String = "sample"): DataFrame =
+    df.filter(
+      pmod(Portable.rowHash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        lit(1000000L)) < floor(prob * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Overlapping fixed-window chunking: (chunk_idx, start_off, chunk)
+    * rows per input row — the document→passage step before an
+    * embedding encode. Closed-form chunk count, zero shuffle.
+    */
+  def chunkSplit(df: DataFrame, textCol: String, lenCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"chunkSplit: need 0 < stride <= chunkSize (got $chunkSize/$stride)")
+    df.withColumn("__n", expr(
+        s"CASE WHEN $lenCol <= $chunkSize THEN CAST(1 AS BIGINT) " +
+          s"ELSE 1 + ($lenCol - $chunkSize + ${stride - 1}) div $stride END"))
+      .select(col("*"),
+        posexplode(expr(s"transform(sequence(0, CAST(__n - 1 AS INT)), i -> i * $stride)")))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start_off")
+      .withColumn("chunk", expr(s"substring($textCol, start_off + 1, $chunkSize)"))
+      .drop("__n")
+  }
 
   /** Domain-mixture sampling weights over any (domain, weight) pair:
     * per-domain totals, natural and uniform shares, a 50/50 blended

@@ -211,16 +211,11 @@ object CdcSuite {
       // tombstones with a nulled payload — the compacted log replays to
       // the same table state as the full log at a fraction of its size.
       // One shuffle on the key; WindowGroupLimit keeps partial top-1
-      // state map-side, so a 100 TB log compacts in one pass.
-      val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("ts_ms"))
-      changeLog(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("op"), col("seq"),
-          when(col("op") === "d", lit(null).cast(LongType))
-            .otherwise(col("custkey")).as("custkey"),
-          when(col("op") === "d", lit(null).cast(StringType))
-            .otherwise(col("status")).as("status"))
+      // state map-side, so a 100 TB log compacts in one pass. Delegates
+      // to the public kernel (graft.api.Graft.cdcCompactLog).
+      graft.api.Graft.cdcCompactLog(changeLog(s, d), Seq("id"),
+          Seq("seq", "ts_ms"), Seq("custkey", "status"))
+        .select(col("id"), col("op"), col("seq"), col("custkey"), col("status"))
         .orderBy("id")
     },
 
@@ -231,13 +226,10 @@ object CdcSuite {
       // ts_ms); a delete closes the last version; the open-ended version
       // is current. One shuffle on the key; lead() is a streaming
       // window with O(1) state — no self-join, scales linearly.
-      val w = Window.partitionBy(col("id")).orderBy(col("seq"), col("ts_ms"))
-      changeLog(s, d)
-        .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
-        .filter(col("op") =!= "d")
+      // Delegates to the public kernel (graft.api.Graft.cdcScd2).
+      graft.api.Graft.cdcScd2(changeLog(s, d), Seq("id"), "ts_ms", Seq("seq", "ts_ms"))
         .select(col("id"), col("custkey"), col("status"),
-          col("ts_ms").as("valid_from"), col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
+          col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("id", "valid_from")
     },
 

@@ -31,15 +31,9 @@ object CurationSuite {
     // Chunk count is closed-form (1 + ceil((n-W)/S)), so no iterative
     // driver logic; the final short chunk keeps the tail.
     "text_chunk_split" -> { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("n_chunks", expr(
-          s"CASE WHEN n_chars <= $ChunkSize THEN CAST(1 AS BIGINT) " +
-            s"ELSE 1 + (n_chars - $ChunkSize + ${Stride - 1}) div $Stride END"))
-        .select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, CAST(n_chunks - 1 AS INT)), i -> i * $Stride)")),
-          col("text"))
-        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start_off")
-        .withColumn("chunk", expr(s"substring(text, start_off + 1, $ChunkSize)"))
+      // Delegates to the public kernel (graft.api.Graft.chunkSplit).
+      graft.api.Graft.chunkSplit(Tables.documents(s, d), "text", "n_chars",
+          ChunkSize, Stride)
         .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
           col("start_off").cast("long").as("start_off"),
           length(col("chunk")).cast("long").as("chunk_len"),
@@ -94,6 +88,40 @@ object CurationSuite {
         .orderBy("span_h")
     },
 
+    // Fuzzy (edit-distance) dedup: SimHash chunk collisions generate
+    // candidates, LEVENSHTEIN verifies — the char-level metric that
+    // catches small in-place edits token-set metrics (jaccard, hamming
+    // on word hashes) under-weigh. Document text joins in for CANDIDATE
+    // PAIRS ONLY; the band shuffle carries (doc_id, chunk) — at 100 TB
+    // the O(len²) edit-distance work is bounded by collision count,
+    // never the corpus square.
+    "dedup_fuzzy_levenshtein" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val text = DedupSuite.corpusWithDups(s, d)
+      val docs = text
+        .withColumn("words", array_distinct(split(lower(col("text")), " ")))
+        .withColumn("whs", expr(
+          "transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
+        .withColumn("simhash", expr("simhash60(whs)"))
+        .select(col("doc_id"), col("simhash"))
+      val chunks = docs.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
+        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .join(text.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(text.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+        .filter(col("edit_dist") <= 30)
+        .select("doc_a", "doc_b", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Deterministic quality-weighted (importance) sampling: each doc is
     // kept with probability equal to its quality score, decided by its
     // own 60-bit hash — no RNG, no driver state, reproducible across
@@ -101,15 +129,17 @@ object CurationSuite {
     // rational arithmetic (length saturation × lexical diversity), so
     // both engines compute the identical threshold.
     "sample_quality_weighted" -> { (s, d) =>
-      Tables.documents(s, d)
+      // Delegates to the public kernel (graft.api.Graft.weightedHashSample);
+      // the quality score is pure rational arithmetic so both engines
+      // compute the identical acceptance threshold.
+      val scored = Tables.documents(s, d)
         .withColumn("ws", split(lower(col("text")), " "))
         .withColumn("raw",
           (least(col("n_chars"), lit(500)).cast("double") / lit(500.0)) *
             (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))))
-        .withColumn("thr", floor(col("raw") * lit(1e6) + lit(0.5)).cast("long"))
-        .filter(pmod(Portable.rowHash60(concat(lit("sample:"), col("doc_id").cast("string"))),
-          lit(1000000L)) < col("thr"))
-        .select(col("doc_id"), col("lang"), (col("thr").cast("double") / lit(1e6)).as("q"))
+      graft.api.Graft.weightedHashSample(scored, "doc_id", col("raw"))
+        .select(col("doc_id"), col("lang"),
+          (floor(col("raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("q"))
         .orderBy("doc_id")
     }
   )
@@ -171,6 +201,36 @@ object CurationSuite {
          |SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
          |FROM spans GROUP BY span_h HAVING COUNT(DISTINCT doc_id) > 1
          |ORDER BY span_h""".stripMargin,
+
+    "dedup_fuzzy_levenshtein" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, list_distinct(str_split(lower(text), ' ')) AS words
+         |  FROM (${DedupSuite.CorpusSql}) c),
+         |hs AS (
+         |  SELECT doc_id, text,
+         |    list_transform(words, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS whs
+         |  FROM docs),
+         |sim AS (
+         |  SELECT doc_id, text,
+         |    CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN list_sum(list_transform(whs, h ->
+         |          CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM hs),
+         |chunks AS (
+         |  SELECT doc_id, simhash, j AS chunk_idx,
+         |    (simhash // CAST(pow(2, j * 15) AS BIGINT)) % 32768 AS chunk
+         |  FROM sim, range(0, 4) r(j)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, levenshtein(sa.text, sb.text) AS edit_dist
+         |FROM pairs
+         |JOIN sim sa ON sa.doc_id = doc_a
+         |JOIN sim sb ON sb.doc_id = doc_b
+         |WHERE levenshtein(sa.text, sb.text) <= 30
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "sample_quality_weighted" ->
       """WITH q AS (

@@ -127,6 +127,38 @@ object LlmExtra {
         .orderBy("vec_id")
     },
 
+    // Distribution-drift monitor between two ingest cohorts (vec_id
+    // parity stands in for before/after batches): per-label centroid on
+    // each side, then the cosine between the paired centroids — the
+    // embedding-space analog of recon's checksum compare, catching a
+    // broken encoder or domain shift that row counts can't see. One
+    // (label, side, dim) shuffle (map-side combine) + a dim-count-sized
+    // join; both fixed-point-rounded so engines agree bit-for-bit.
+    "emb_centroid_drift" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).withColumn("side", (col("vec_id") % 2).cast("int"))
+      val dims = e.select(col("label"), col("side"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("side"), col("pos"))
+        .agg(graft.functions.Portable.davg(col("col").cast("double")).as("m"),
+          count(lit(1)).as("n"))
+      val a = dims.filter(col("side") === 0).select(col("label"), col("pos"),
+        col("m").as("ma"), col("n").as("na"))
+      val b = dims.filter(col("side") === 1).select(col("label"), col("pos"),
+        col("m").as("mb"), col("n").as("nb"))
+      a.join(b, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(floor(col("ma") * col("mb") * lit(1e8) + lit(0.5)).cast("long")).as("dot_fp"),
+          sum(floor(col("ma") * col("ma") * lit(1e8) + lit(0.5)).cast("long")).as("na_fp"),
+          sum(floor(col("mb") * col("mb") * lit(1e8) + lit(0.5)).cast("long")).as("nb_fp"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          when(col("na_fp") > 0 && col("nb_fp") > 0,
+            r6(col("dot_fp").cast("double") /
+              sqrt(col("na_fp").cast("double") * col("nb_fp").cast("double"))))
+            .as("drift_cos"))
+        .orderBy("label")
+    },
+
     // LSH-bucketed ANN: the scale path next to ann_ivf — candidates are
     // vectors sharing any sign-bit band with the query (same 16-plane
     // matrix as dedup_embedding), then exact cosine re-ranks. The
@@ -379,6 +411,37 @@ object LlmExtra {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, CAST(vec_id % 2 AS INT) AS side, embedding FROM embeddings),
+        |ex AS (
+        |  SELECT label, side, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+        |dims AS (
+        |  SELECT label, side, i,
+        |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 10000.0 / COUNT(*) AS m,
+        |    COUNT(*) AS n
+        |  FROM ex GROUP BY label, side, i),
+        |j AS (
+        |  SELECT a.label AS label, a.n AS na, b.n AS nb,
+        |    CAST(FLOOR(a.m * b.m * 1e8 + 0.5) AS BIGINT) AS dd,
+        |    CAST(FLOOR(a.m * a.m * 1e8 + 0.5) AS BIGINT) AS aa,
+        |    CAST(FLOOR(b.m * b.m * 1e8 + 0.5) AS BIGINT) AS bb
+        |  FROM dims a JOIN dims b
+        |    ON a.label = b.label AND a.i = b.i AND a.side = 0 AND b.side = 1),
+        |g AS (
+        |  SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |    CAST(SUM(dd) AS BIGINT) AS dot_fp,
+        |    CAST(SUM(aa) AS BIGINT) AS na_fp,
+        |    CAST(SUM(bb) AS BIGINT) AS nb_fp
+        |  FROM j GROUP BY label)
+        |SELECT label, n_a, n_b,
+        |  CASE WHEN na_fp > 0 AND nb_fp > 0 THEN
+        |    FLOOR(CAST(dot_fp AS DOUBLE)
+        |      / sqrt(CAST(na_fp AS DOUBLE) * CAST(nb_fp AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS drift_cos
+        |FROM g ORDER BY label""".stripMargin,
 
     "emb_quantize" ->
       """WITH e AS (

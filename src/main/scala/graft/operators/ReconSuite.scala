@@ -277,6 +277,28 @@ object ReconSuite {
         .orderBy("o_orderkey")
     },
 
+    "recon_rowlevel_tolerant" -> { (s, d) =>
+      // ref: row_level/reconciler.py:88,406 — float columns compare
+      // within `float_tolerance` (default 1e-9): replication pipelines
+      // legitimately perturb low-order float bits, and exact compare
+      // would flag every row. Fixture drifts o_totalprice two ways:
+      // %11 keys by +1e-10 (sub-tolerance — must be ABSORBED) and %17
+      // keys by +0.01 (beyond — must be flagged MODIFIED). The
+      // classification is robust to IEEE rounding of the injected
+      // drift: the absorbed delta is at most one ULP above 1e-10,
+      // three orders under the gate. Same join shape as recon_rowlevel
+      // (one shuffle on the pk, AQE-broadcastable when a side is small).
+      val src = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice").as("sp"))
+      val tgt = src.select(col("o_orderkey"),
+        when(col("o_orderkey") % 17 === 0, col("sp") + 0.01)
+          .when(col("o_orderkey") % 11 === 0, col("sp") + 1e-10)
+          .otherwise(col("sp")).as("tp"))
+      src.join(tgt, "o_orderkey")
+        .filter(abs(col("sp") - col("tp")) >= 1e-9)
+        .select(col("o_orderkey"), lit("MODIFIED").as("discrepancy_type"))
+        .orderBy("o_orderkey")
+    },
+
     "recon_repair" -> { (s, d) =>
       // Postgres-dialect repair script ("ident" quoting) over the fixture
       // source view — the emitter itself is dialect-parameterized and
@@ -661,6 +683,19 @@ object ReconSuite {
          |            WHEN s_cust <> t_cust OR s_status <> t_status OR s_prio <> t_prio
          |              THEN 'MODIFIED' END) IS NOT NULL
          |ORDER BY o_orderkey""".stripMargin,
+
+    "recon_rowlevel_tolerant" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice AS sp FROM orders),
+        |tgt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN sp + 0.01
+        |         WHEN o_orderkey % 11 = 0 THEN sp + 1e-10
+        |         ELSE sp END AS tp
+        |  FROM src)
+        |SELECT s.o_orderkey AS o_orderkey, 'MODIFIED' AS discrepancy_type
+        |FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        |WHERE abs(sp - tp) >= 1e-9
+        |ORDER BY o_orderkey""".stripMargin,
 
     "recon_repair" -> repairOracleSql(id => "\"" + id + "\""),
 

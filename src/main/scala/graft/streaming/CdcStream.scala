@@ -67,6 +67,66 @@ object CdcStream {
       .orderBy("id")
   }
 
+  case class Scd2Ev(custkey: Long, status: String, op: String, seq: Long, ts_ms: Long)
+  case class Scd2State(events: Seq[Scd2Ev])
+
+  /** SCD2 fold for one key: accumulate the key's events, re-derive the
+    * version intervals, emit them tagged with the event count — the tag
+    * is monotone per key (grows with every fold), so the downstream
+    * "latest emission wins" dedupe is safe even when micro-batches
+    * deliver a key's events out of order. valid_to is -1 while a
+    * version is open (tuple encoders carry no Option[Long]).
+    */
+  private def scd2Fold(
+      id: Long,
+      events: Iterator[ChangeEvent],
+      state: GroupState[Scd2State]): Iterator[(Long, Long, String, Long, Long, Long)] = {
+    val incoming = events.map(e => Scd2Ev(e.custkey, e.status, e.op, e.seq, e.ts_ms)).toSeq
+    val all = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming)
+      .sortBy(e => (e.seq, e.ts_ms))
+    state.update(Scd2State(all))
+    val tag = all.length.toLong
+    all.zipWithIndex.collect { case (e, i) if e.op != "d" =>
+      val validTo = if (i + 1 < all.length) all(i + 1).ts_ms else -1L
+      (id, e.custkey, e.status, e.ts_ms, validTo, tag)
+    }.iterator
+  }
+
+  /** Streaming SCD Type-2: the history-preserving materialization of the
+    * change stream (batch twin: CdcSuite."cdc_scd2_build", same oracle).
+    * State per key is its event history — bounded by version count,
+    * which is what an SCD2 table stores by definition.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Scratch.dir("graft_scd2_stream")
+    CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp).as[ChangeEvent]
+    val qname = "scd2_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(scd2Fold)
+      .toDF("id", "custkey", "status", "valid_from", "valid_to_raw", "tag")
+      .writeStream.format("memory").queryName(qname)
+      // checkpoint under the shared scratch root — the default temp
+      // checkpoint is driver-local, which silently breaks multi-node
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Authoritative rows = the key's last (highest-tag) emission.
+    val wt = Window.partitionBy(col("id"))
+    spark.table(qname)
+      .withColumn("maxtag", max(col("tag")).over(wt))
+      .filter(col("tag") === col("maxtag"))
+      .dropDuplicates("id", "valid_from")
+      .select(col("id"), col("custkey"), col("status"), col("valid_from"),
+        when(col("valid_to_raw") < 0, lit(null).cast("long"))
+          .otherwise(col("valid_to_raw")).as("valid_to"),
+        (col("valid_to_raw") < 0).as("is_current"))
+      .orderBy("id", "valid_from")
+  }
+
   /** Watermarked tumbling-window counts over the events stream; counts are
     * monotone so the max over update-mode emissions is the final count
     * (matches the batch group-by oracle).
@@ -474,6 +534,7 @@ object CdcStream {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
+    "stream_scd2" -> ((s, d) => scd2(s, d)),
     "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
     "stream_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "stream_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
@@ -488,6 +549,7 @@ object CdcStream {
     */
   def oracles: Map[String, String] = Map(
     "cdc_stream_apply" -> CdcSuite.oracles("cdc_apply_latest"),
+    "stream_scd2" -> CdcSuite.oracles("cdc_scd2_build"),
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -63,6 +63,23 @@ class CurationSpec extends SparkSpecBase {
     assert(hs.distinct.length == hs.length)
   }
 
+  test("fuzzy levenshtein dedup: exact copies at distance 0, ordered pairs") {
+    val rows = CurationSuite.queries("dedup_fuzzy_levenshtein")(spark, sf).collect()
+    assert(rows.nonEmpty, "injected exact copies must collide and verify at distance 0")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Int]("edit_dist") >= 0 && r.getAs[Int]("edit_dist") <= 30)
+    }
+    // every injected copy pair (identical text) must appear with dist 0
+    val zero = rows.filter(_.getAs[Int]("edit_dist") == 0)
+      .map(r => r.getAs[Long]("doc_a") -> r.getAs[Long]("doc_b")).toSet
+    val injected = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect().map(_.getLong(0))
+    injected.foreach { id =>
+      assert(zero.contains(id -> (id + 1000000L)), s"copy pair for $id missing")
+    }
+  }
+
   test("quality-weighted sampling is deterministic and quality-monotone in aggregate") {
     val q = CurationSuite.queries("sample_quality_weighted")(spark, sf)
     val a = q.collect()
@@ -71,6 +88,18 @@ class CurationSpec extends SparkSpecBase {
     val total = graft.sources.Tables.documents(spark, sf).count()
     assert(a.length > 0 && a.length < total, "acceptance sampling keeps a strict subset")
     a.foreach(r => assert(r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0))
+  }
+
+  test("tolerant rowlevel: sub-tolerance float drift absorbed, real drift flagged") {
+    val rows = graft.operators.ReconSuite.queries("recon_rowlevel_tolerant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.map(_.getAs[Long]("o_orderkey")).toSet
+    // exactly the +0.01 keys, never the +1e-10 keys
+    assert(flagged.forall(_ % 17 == 0))
+    val all17 = graft.sources.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 17 === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(flagged == all17, "every beyond-tolerance key must be flagged")
   }
 
   test("compact log replays to the same state as the full log") {
@@ -90,6 +119,15 @@ class CurationSpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("id"), r.getAs[Long]("custkey"), r.getAs[String]("status")))
       .toSet
     assert(replay == state)
+  }
+
+  test("stream_scd2 equals the batch SCD2 build row-for-row") {
+    val stream = graft.streaming.CdcStream.queries("stream_scd2")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = CdcSuite.queries("cdc_scd2_build")(spark, sf).collect().map(_.toSeq)
+    assert(stream.length == batch.length)
+    assert(stream.toSeq == batch.toSeq,
+      "streaming state machine must converge to the batch dimension")
   }
 
   test("scd2 versions: contiguous validity, one current version per live key") {

@@ -214,4 +214,30 @@ class LlmExtraSpec extends SparkSpecBase {
       assert(lshBest <= bfBest, s"query $q: lsh $lshBest beat brute force $bfBest")
     }
   }
+
+  test("emb_centroid_drift: one row per label, cosine bounded, counts partition the table") {
+    val rows = LlmExtra.queries("emb_centroid_drift")(spark, sf).collect()
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length == labels, "one drift row per label")
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == total,
+      "side counts must partition the table")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("drift_cos")
+      assert(c >= -1.000001 && c <= 1.000001, s"cosine out of range: $c")
+    }
+    // same-cohort sanity: drift of a side against itself is exactly 1
+    // (the fixed-point pipeline must not lose identity)
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 0).limit(50)
+    val m = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.functions.Portable.davg(col("col").cast("double")).as("m"))
+    val self = m.groupBy("label")
+      .agg(sum(floor(col("m") * col("m") * lit(1e8) + lit(0.5)).cast("long")).as("na_fp"))
+      .collect()
+    self.foreach(r => assert(r.getAs[Long]("na_fp") > 0))
+  }
 }
