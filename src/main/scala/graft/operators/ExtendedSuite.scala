@@ -530,6 +530,19 @@ object ExtendedSuite {
         .orderBy("prio")
     },
 
+    "q_events_sliding" -> { (s, d) =>
+      // Sliding-window counts (1 h window, 30 min slide) — the batch
+      // twin of a sliding streaming agg: the window() generator lands
+      // each event in exactly window/slide = 2 windows, then one
+      // group-by with map-side combine. Event expansion factor is the
+      // overlap ratio (2×), constant at any scale.
+      Tables.events(s, d)
+        .select(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .groupBy(unix_micros(col("w.start")).as("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("w_start", "event_type")
+    },
+
     "q_cube" -> { (s, d) =>
       // CUBE completes the multi-level aggregate family (rollup and
       // grouping sets are already in the surface): all 4 grouping
@@ -868,6 +881,16 @@ object ExtendedSuite {
         |FROM r
         |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_type FROM events),
+        |ex AS (
+        |  SELECT t - (t % 1800000000) - s.i * 1800000000 AS w_start, event_type
+        |  FROM e, (SELECT unnest([0, 1]) AS i) s)
+        |SELECT w_start, event_type, COUNT(*) AS n
+        |FROM ex GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -39,7 +39,11 @@ object CdcStream {
     * materialize the final table state. Returns a batch DataFrame equal to
     * CdcSuite."cdc_apply_latest" (same oracle applies).
     */
-  def applyLatest(spark: SparkSession, dir: String): DataFrame = {
+  /** Runs the upsert state machine over the landed log and returns the
+    * per-trigger emissions (id, custkey, status, op, seq) — shared by
+    * the hard-delete materialization and the compaction twin.
+    */
+  private def currentStateEmissions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = Scratch.dir("graft_cdc_stream")
     // Land the log as several files so AvailableNow exercises multi-batch
@@ -58,12 +62,35 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    spark.table(qname)
+  }
+
+  def applyLatest(spark: SparkSession, dir: String): DataFrame = {
     // Latest emission per key wins; tombstoned keys drop (hard-delete mode).
     val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
-    spark.table(qname)
+    currentStateEmissions(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "d")
       .select(col("id"), col("custkey"), col("status"))
+      .orderBy("id")
+  }
+
+  /** Streaming log compaction: same state machine, but the latest
+    * emission per key is kept even when it is a delete — as a tombstone
+    * with nulled payload (batch twin: CdcSuite."cdc_compact_log", same
+    * oracle). This is the continuously-maintained compacted topic a
+    * Kafka broker materializes in the background.
+    */
+  def compactLog(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
+    currentStateEmissions(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("op"), col("seq"),
+        when(col("op") === "d", lit(null).cast("long"))
+          .otherwise(col("custkey")).as("custkey"),
+        when(col("op") === "d", lit(null).cast("string"))
+          .otherwise(col("status")).as("status"))
       .orderBy("id")
   }
 
@@ -535,6 +562,7 @@ object CdcStream {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
     "stream_scd2" -> ((s, d) => scd2(s, d)),
+    "stream_compact_log" -> ((s, d) => compactLog(s, d)),
     "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
     "stream_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "stream_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
@@ -550,6 +578,7 @@ object CdcStream {
   def oracles: Map[String, String] = Map(
     "cdc_stream_apply" -> CdcSuite.oracles("cdc_apply_latest"),
     "stream_scd2" -> CdcSuite.oracles("cdc_scd2_build"),
+    "stream_compact_log" -> CdcSuite.oracles("cdc_compact_log"),
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -121,6 +121,14 @@ class CurationSpec extends SparkSpecBase {
     assert(replay == state)
   }
 
+  test("stream_compact_log equals the batch compaction row-for-row") {
+    val stream = graft.streaming.CdcStream.queries("stream_compact_log")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = CdcSuite.queries("cdc_compact_log")(spark, sf).collect().map(_.toSeq)
+    assert(stream.length == batch.length && stream.toSeq == batch.toSeq,
+      "streaming compaction must converge to the batch compacted log")
+  }
+
   test("stream_scd2 equals the batch SCD2 build row-for-row") {
     val stream = graft.streaming.CdcStream.queries("stream_scd2")(spark, sf)
       .collect().map(_.toSeq)

@@ -269,6 +269,15 @@ class ExtendedSpec extends SparkSpecBase {
     }
   }
 
+  test("q_events_sliding: every event lands in exactly two overlapping windows") {
+    val rows = graft.operators.ExtendedSuite.queries("q_events_sliding")(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * total,
+      "1h window / 30min slide duplicates each event exactly twice")
+    rows.foreach(r => assert(r.getAs[Long]("w_start") % 1800000000L == 0,
+      "window starts align to the slide grid"))
+  }
+
   test("q_cube: every grouping level is internally consistent") {
     val rows = graft.operators.ExtendedSuite.queries("q_cube")(spark, sf).collect()
     def cell(rf: String, ls: String) =
