@@ -543,6 +543,29 @@ object ExtendedSuite {
         .orderBy("w_start", "event_type")
     },
 
+    "q_quartiles_by_group" -> { (s, d) =>
+      // Nearest-rank (percentile_disc) quartiles per group — the same
+      // rank-arithmetic family as q_median_by_group, generalized: the
+      // k-th quartile is the value at rank ceil(n·k/4) of the sorted
+      // multiset. Conditional aggregation picks all three in the same
+      // single-sort pass; no percentile interpolation, so Spark and
+      // DuckDB agree exactly.
+      val base = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("cents"))
+      val wc = Window.partitionBy(col("prio"))
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .groupBy("prio")
+        .agg(
+          max(when(col("rn") === expr("(cnt * 1 + 3) div 4"), col("cents"))).as("p25_cents"),
+          max(when(col("rn") === expr("(cnt * 2 + 3) div 4"), col("cents"))).as("p50_cents"),
+          max(when(col("rn") === expr("(cnt * 3 + 3) div 4"), col("cents"))).as("p75_cents"),
+          max(col("cnt")).as("n_orders"))
+        .orderBy("prio")
+    },
+
     "q_cube" -> { (s, d) =>
       // CUBE completes the multi-level aggregate family (rollup and
       // grouping sets are already in the surface): all 4 grouping
@@ -891,6 +914,23 @@ object ExtendedSuite {
         |SELECT w_start, event_type, COUNT(*) AS n
         |FROM ex GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_quartiles_by_group" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT prio, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY prio) AS cnt
+        |  FROM c)
+        |SELECT prio,
+        |  MAX(CASE WHEN rn = (cnt * 1 + 3) // 4 THEN cents END) AS p25_cents,
+        |  MAX(CASE WHEN rn = (cnt * 2 + 3) // 4 THEN cents END) AS p50_cents,
+        |  MAX(CASE WHEN rn = (cnt * 3 + 3) // 4 THEN cents END) AS p75_cents,
+        |  MAX(cnt) AS n_orders
+        |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

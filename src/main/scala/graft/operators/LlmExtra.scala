@@ -136,10 +136,15 @@ object LlmExtra {
     // join; both fixed-point-rounded so engines agree bit-for-bit.
     "emb_centroid_drift" -> { (s, d) =>
       val e = Tables.embeddings(s, d).withColumn("side", (col("vec_id") % 2).cast("int"))
+      // persist: both join branches derive from dims — without it each
+      // side re-runs the scan+explode+aggregate over the full table
+      // (Catalyst pushes the side filter into two separate scans). The
+      // cached frame is labels × 2 × dims rows — trivially small.
       val dims = e.select(col("label"), col("side"), posexplode(col("embedding")))
         .groupBy(col("label"), col("side"), col("pos"))
         .agg(graft.functions.Portable.davg(col("col").cast("double")).as("m"),
           count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = dims.filter(col("side") === 0).select(col("label"), col("pos"),
         col("m").as("ma"), col("n").as("na"))
       val b = dims.filter(col("side") === 1).select(col("label"), col("pos"),

@@ -278,6 +278,23 @@ class ExtendedSpec extends SparkSpecBase {
       "window starts align to the slide grid"))
   }
 
+  test("q_quartiles_by_group: nearest-rank quartiles match the sorted multiset") {
+    val rows = graft.operators.ExtendedSuite.queries("q_quartiles_by_group")(spark, sf).collect()
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.expr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG)"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val vs = cents(r.getAs[String]("prio"))
+      def nr(k: Int) = vs((vs.length * k + 3) / 4 - 1)
+      assert(r.getAs[Long]("p25_cents") == nr(1))
+      assert(r.getAs[Long]("p50_cents") == nr(2))
+      assert(r.getAs[Long]("p75_cents") == nr(3))
+      assert(r.getAs[Long]("p25_cents") <= r.getAs[Long]("p50_cents")
+        && r.getAs[Long]("p50_cents") <= r.getAs[Long]("p75_cents"))
+    }
+  }
+
   test("q_cube: every grouping level is internally consistent") {
     val rows = graft.operators.ExtendedSuite.queries("q_cube")(spark, sf).collect()
     def cell(rf: String, ls: String) =
