@@ -88,6 +88,35 @@ object CurationSuite {
         .orderBy("span_h")
     },
 
+    // Asymmetric containment |A∩B|/|A| over the same MinHash band
+    // candidates as dedup_minhash_lsh: a near-1 containment with a low
+    // symmetric Jaccard means one document WRAPS the other (boilerplate
+    // around a copied core) — a case symmetric similarity under-weighs.
+    // Candidate generation and the shingle re-join are the proven LSH
+    // kernel; only the verification formula differs.
+    "dedup_containment" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val sh = DedupSuite.shingleSets(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = DedupSuite.minhashBands(sh)
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cands
+        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("c_ab",
+          floor(col("inter").cast("double") / size(col("sh_a")) * 1e6 + 0.5) / 1e6)
+        .withColumn("c_ba",
+          floor(col("inter").cast("double") / size(col("sh_b")) * 1e6 + 0.5) / 1e6)
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.8)
+        .select("doc_a", "doc_b", "c_ab", "c_ba")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Fuzzy (edit-distance) dedup: SimHash chunk collisions generate
     // candidates, LEVENSHTEIN verifies — the char-level metric that
     // catches small in-place edits token-set metrics (jaccard, hamming
@@ -201,6 +230,38 @@ object CurationSuite {
          |SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
          |FROM spans GROUP BY span_h HAVING COUNT(DISTINCT doc_id) > 1
          |ORDER BY span_h""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM (${DedupSuite.CorpusSql}) c),
+         |sh AS (
+         |  SELECT doc_id, ${DedupSuite.ShinglesSql} AS shingles FROM docs WHERE len(ws) >= 3),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 12), p ->
+         |      list_min(list_transform(
+         |        list_transform(shingles, sh2 -> ('0x' || substr(md5(sh2), 1, 15))::BIGINT),
+         |        h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b - 1 AS band,
+         |    md5(array_to_string(sig[(b-1)*3+1:(b-1)*3+3], ',')) AS bucket
+         |  FROM sig, range(1, 5) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |    FLOOR(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / len(sa.shingles) * 1e6 + 0.5) / 1e6 AS c_ab,
+         |    FLOOR(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / len(sb.shingles) * 1e6 + 0.5) / 1e6 AS c_ba
+         |  FROM cands
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b) t
+         |WHERE greatest(c_ab, c_ba) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_fuzzy_levenshtein" ->
       s"""WITH docs AS (

@@ -63,6 +63,22 @@ class CurationSpec extends SparkSpecBase {
     assert(hs.distinct.length == hs.length)
   }
 
+  test("containment: exact copies contain each other fully; values bounded") {
+    val rows = CurationSuite.queries("dedup_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ab, ba) = (r.getAs[Double]("c_ab"), r.getAs[Double]("c_ba"))
+      assert(ab >= 0.0 && ab <= 1.0 && ba >= 0.0 && ba <= 1.0)
+      assert(math.max(ab, ba) >= 0.8)
+    }
+    // an injected exact copy has containment 1.0 in both directions
+    val exact = rows.filter(r => r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      assert(r.getAs[Double]("c_ab") == 1.0 && r.getAs[Double]("c_ba") == 1.0)
+    }
+  }
+
   test("fuzzy levenshtein dedup: exact copies at distance 0, ordered pairs") {
     val rows = CurationSuite.queries("dedup_fuzzy_levenshtein")(spark, sf).collect()
     assert(rows.nonEmpty, "injected exact copies must collide and verify at distance 0")
