@@ -305,6 +305,70 @@ class GraftApiSpec extends SparkSpecBase {
     }
   }
 
+  test("cdcCompactLog on an ad-hoc frame: tombstones kept with nulled payload") {
+    val log = Seq(
+      (1L, "a", "c", 1L), (1L, "b", "u", 2L),
+      (2L, "x", "c", 1L), (2L, null.asInstanceOf[String], "d", 2L),
+      (3L, "z", "c", 1L)).toDF("k", "payload", "op", "ver")
+    val out = Graft.cdcCompactLog(log, Seq("k"), Seq("ver"), Seq("payload"))
+      .orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("payload") == "b" && out(0).getAs[String]("op") == "u")
+    assert(out(1).isNullAt(out(1).fieldIndex("payload")) && out(1).getAs[String]("op") == "d")
+    assert(out(2).getAs[String]("payload") == "z")
+    // compaction then apply-latest == apply-latest on the full log
+    val viaCompact = Graft.cdcApplyLatest(
+      Graft.cdcCompactLog(log, Seq("k"), Seq("ver"), Seq("payload")), Seq("k"), Seq("ver"))
+      .select("k", "payload").collect().map(_.toSeq).toSet
+    val direct = Graft.cdcApplyLatest(log, Seq("k"), Seq("ver"))
+      .select("k", "payload").collect().map(_.toSeq).toSet
+    assert(viaCompact == direct)
+  }
+
+  test("cdcScd2 on an ad-hoc frame: chained intervals, delete closes history") {
+    val log = Seq(
+      (1L, "v1", "c", 1L, 100L), (1L, "v2", "u", 2L, 200L), (1L, "v3", "u", 3L, 300L),
+      (2L, "w1", "c", 1L, 100L), (2L, "w1", "d", 2L, 250L)).toDF("k", "v", "op", "ver", "t")
+    val out = Graft.cdcScd2(log, Seq("k"), "t", Seq("ver"))
+      .orderBy("k", "valid_from").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => (r.getAs[Long]("valid_from"),
+      Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong))).toSeq ==
+      Seq((100L, Some(200L)), (200L, Some(300L)), (300L, None)))
+    assert(k1.count(_.getAs[Boolean]("is_current")) == 1)
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1 && !k2.head.getAs[Boolean]("is_current"))
+    assert(k2.head.getAs[Long]("valid_to") == 250L)
+  }
+
+  test("chunkSplit on an ad-hoc frame: stride geometry and parameter guard") {
+    val df = Seq(("a" * 10, 10L), ("b" * 25, 25L), ("", 0L)).toDF("body", "n")
+    val out = Graft.chunkSplit(df, "body", "n", chunkSize = 10, stride = 5)
+      .select("body", "chunk_idx", "start_off", "chunk").collect()
+    // 10 chars → ceil((10-10)/5)+1 = 1 chunk; 25 chars → 1+ceil(15/5) = 4; empty → 1
+    val byLen = out.groupBy(_.getString(0).length)
+    assert(byLen(10).length == 1 && byLen(25).length == 4 && byLen(0).length == 1)
+    byLen(25).sortBy(_.getAs[Int]("chunk_idx")).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("start_off") == i * 5)
+      assert(r.getAs[String]("chunk") == "b" * math.min(10, 25 - i * 5))
+    }
+    intercept[IllegalArgumentException] {
+      Graft.chunkSplit(df, "body", "n", chunkSize = 5, stride = 10)
+    }
+  }
+
+  test("weightedHashSample on an ad-hoc frame: deterministic, probability-bounded") {
+    val df = (1 to 2000).map(i => (i.toLong, (i % 100) / 100.0)).toDF("id", "p")
+    val kept = Graft.weightedHashSample(df, "id", col("p")).collect()
+    val kept2 = Graft.weightedHashSample(df, "id", col("p")).collect()
+    assert(kept.map(_.getLong(0)).toSeq == kept2.map(_.getLong(0)).toSeq, "deterministic")
+    assert(kept.nonEmpty && kept.length < 2000, "strict subset")
+    // p=0 rows can never be kept; p close to 1 dominates the kept set
+    assert(!kept.exists(_.getDouble(1) == 0.0))
+    val meanKept = kept.map(_.getDouble(1)).sum / kept.length
+    assert(meanKept > 0.5, s"acceptance must skew toward high p (got $meanKept)")
+  }
+
   test("vocabCoverage on an ad-hoc frame: exact counts, k beyond vocab") {
     val df = Seq("a a a b", "a b c", "c a").toDF("t")
     val out = Graft.vocabCoverage(df, col("t"), Seq(1L, 10L)).collect()
