@@ -316,6 +316,42 @@ object ReconSuite {
         "sqlserver")
     },
 
+    "recon_repair_script" -> { (s, d) =>
+      // Full transactional repair-script assembly (ref: row_level/
+      // repair.py:48-101): header, BEGIN, statements grouped by
+      // discrepancy type (INSERT missing → DELETE extra → UPDATE
+      // modified) each under a count banner, COMMIT. Emitted as ordered
+      // (sect, k, line) rows — the script stays distributed and writes
+      // straight to a text sink; no driver-side string assembly. The
+      // reference's generation timestamp is omitted: the script must be
+      // byte-deterministic for the oracle (and for idempotent reruns).
+      import s.implicits._
+      val stmts = repairStatements(repairSource(s, d),
+        target(s, d).select(col("o_orderkey").as("tk"), col("o_orderstatus").as("t_status")),
+        "postgres")
+      val typed = stmts.select(
+        when(col("repair_sql").startsWith("INSERT"), 2L)
+          .when(col("repair_sql").startsWith("DELETE"), 3L)
+          .otherwise(4L).as("sect"),
+        col("o_orderkey").as("k"), col("repair_sql").as("line"))
+      val headers = typed.groupBy("sect").agg(count(lit(1)).as("n"))
+        .select(col("sect"), lit(-1L).as("k"),
+          when(col("sect") === 2L,
+              concat(lit("-- Insert "), col("n").cast("string"), lit(" missing rows")))
+            .when(col("sect") === 3L,
+              concat(lit("-- Delete "), col("n").cast("string"), lit(" extra rows")))
+            .otherwise(
+              concat(lit("-- Update "), col("n").cast("string"), lit(" modified rows")))
+            .as("line"))
+      val fixed = Seq(
+        (0L, -1L, "-- Repair script for orders"),
+        (0L, 0L, "-- Database type: postgresql"),
+        (1L, -1L, "BEGIN;"),
+        (5L, -1L, "COMMIT;")).toDF("sect", "k", "line")
+      fixed.unionByName(headers).unionByName(typed)
+        .orderBy("sect", "k", "line")
+    },
+
     "recon_incremental_stateful" -> { (s, d) =>
       // ref: incremental/state.py:31 IncrementalChecksumTracker
       // (get_last_checksum_timestamp:50, save_checksum_state:112) — the
@@ -698,6 +734,33 @@ object ReconSuite {
         |ORDER BY o_orderkey""".stripMargin,
 
     "recon_repair" -> repairOracleSql(id => "\"" + id + "\""),
+
+    "recon_repair_script" -> {
+      val base = repairOracleSql(id => "\"" + id + "\"")
+      s"""WITH stmts AS ($base),
+         |typed AS (
+         |  SELECT CASE WHEN repair_sql LIKE 'INSERT%' THEN 2
+         |              WHEN repair_sql LIKE 'DELETE%' THEN 3 ELSE 4 END AS sect,
+         |    o_orderkey AS k, repair_sql AS line
+         |  FROM stmts),
+         |headers AS (
+         |  SELECT sect, CAST(-1 AS BIGINT) AS k,
+         |    CASE sect
+         |      WHEN 2 THEN '-- Insert ' || COUNT(*) || ' missing rows'
+         |      WHEN 3 THEN '-- Delete ' || COUNT(*) || ' extra rows'
+         |      ELSE '-- Update ' || COUNT(*) || ' modified rows' END AS line
+         |  FROM typed GROUP BY sect),
+         |fixed(sect, k, line) AS (VALUES
+         |  (0, CAST(-1 AS BIGINT), '-- Repair script for orders'),
+         |  (0, 0, '-- Database type: postgresql'),
+         |  (1, -1, 'BEGIN;'),
+         |  (5, -1, 'COMMIT;'))
+         |SELECT CAST(sect AS BIGINT) AS sect, k, line FROM (
+         |  SELECT sect, k, line FROM fixed
+         |  UNION ALL SELECT sect, k, line FROM headers
+         |  UNION ALL SELECT sect, k, line FROM typed) u
+         |ORDER BY sect, k, line""".stripMargin
+    },
 
     "recon_repair_sqlserver" -> repairOracleSql(id => s"[$id]"),
 

@@ -118,6 +118,26 @@ class CurationSpec extends SparkSpecBase {
     assert(flagged == all17, "every beyond-tolerance key must be flagged")
   }
 
+  test("repair script: transactional frame, grouped sections, every statement present") {
+    val lines = graft.operators.ReconSuite.queries("recon_repair_script")(spark, sf)
+      .collect().map(_.getAs[String]("line"))
+    assert(lines.head == "-- Repair script for orders")
+    assert(lines.contains("BEGIN;") && lines.last == "COMMIT;")
+    assert(lines.indexOf("BEGIN;") < lines.indexWhere(_.startsWith("INSERT")))
+    // statement grouping: all INSERTs before all DELETEs before all UPDATEs
+    val verbs = lines.filter(l => l.startsWith("INSERT") || l.startsWith("DELETE")
+      || l.startsWith("UPDATE")).map(_.take(6)).toSeq
+    assert(verbs == verbs.sortBy(Seq("INSERT", "DELETE", "UPDATE").indexOf(_)))
+    // count banners agree with the statements they announce
+    val nIns = verbs.count(_ == "INSERT")
+    assert(lines.contains(s"-- Insert $nIns missing rows"))
+    // statement set identical to recon_repair's
+    val flat = graft.operators.ReconSuite.queries("recon_repair")(spark, sf)
+      .collect().map(_.getAs[String]("repair_sql")).toSet
+    assert(lines.filter(l => l.startsWith("INSERT") || l.startsWith("DELETE")
+      || l.startsWith("UPDATE")).toSet == flat)
+  }
+
   test("compact log replays to the same state as the full log") {
     val compacted = CdcSuite.queries("cdc_compact_log")(spark, sf).collect()
     // tombstones survive compaction with a nulled payload
