@@ -543,6 +543,46 @@ object ExtendedSuite {
         .orderBy("w_start", "event_type")
     },
 
+    "events_windowed_funnel" -> { (s, d) =>
+      // Time-bounded conversion funnel: did the user purchase within
+      // 1 h of their FIRST view — the attribution-window variant of
+      // q_events_funnel's unbounded version. Two keyed aggregations +
+      // one equi-join on user_id (AQE-broadcastable); the window test
+      // is a per-row range check, not a range join.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus").as("t_buy"))
+      v.join(p, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(max(when(col("t_buy").between(col("t_view"), col("t_view") + 3600000000L), 1L)
+          .otherwise(0L)).as("conv"))
+        .agg(count(lit(1)).as("n_viewers"), sum(col("conv")).as("n_converted_1h"),
+          expr("CAST(sum(conv) * 1000000 div count(1) AS BIGINT)").as("conv_ppm"))
+    },
+
+    "mm_shard_manifest" -> { (s, d) =>
+      // Byte-budget shard manifest for binary media (the tar-shard /
+      // webdataset layout step): blobs stream into 64 KiB shards in
+      // deterministic (media_type, doc_id) order, a blob straddling a
+      // boundary starts in its offset's shard — same concat-split
+      // semantics as text_token_shards, over bytes. One per-type
+      // window + one group-by; manifest rows are what the shard
+      // writer consumes.
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("media_type"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      val w = Window.partitionBy(col("media_type")).orderBy(col("doc_id"))
+      media.withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("shard_id", expr("(cum - n_bytes) div 65536"))
+        .groupBy("media_type", "shard_id")
+        .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("media_type", "shard_id")
+    },
+
     "q_quartiles_by_group" -> { (s, d) =>
       // Nearest-rank (percentile_disc) quartiles per group — the same
       // rank-arithmetic family as q_median_by_group, generalized: the
@@ -914,6 +954,35 @@ object ExtendedSuite {
         |SELECT w_start, event_type, COUNT(*) AS n
         |FROM ex GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "events_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT user_id, tus AS t_buy FROM e WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT v.user_id,
+        |    MAX(CASE WHEN t_buy BETWEEN t_view AND t_view + 3600000000
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |  GROUP BY v.user_id)
+        |SELECT COUNT(*) AS n_viewers, CAST(SUM(conv) AS BIGINT) AS n_converted_1h,
+        |  CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
+        |FROM u""".stripMargin,
+
+    "mm_shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m)
+        |SELECT media_type, (cum - n_bytes) // 65536 AS shard_id,
+        |  COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_quartiles_by_group" ->
       """WITH c AS (

@@ -278,6 +278,47 @@ class ExtendedSpec extends SparkSpecBase {
       "window starts align to the slide grid"))
   }
 
+  test("events_windowed_funnel: windowed conversions are a subset of unbounded ones") {
+    val r = graft.operators.ExtendedSuite.queries("events_windowed_funnel")(spark, sf)
+      .collect().head
+    val nViewers = r.getAs[Long]("n_viewers")
+    val nConv = r.getAs[Long]("n_converted_1h")
+    assert(nConv <= nViewers && nViewers > 0)
+    assert(r.getAs[Long]("conv_ppm") == nConv * 1000000L / nViewers)
+    // driver-side recount: conversions = users whose first view has a
+    // purchase inside [t_view, t_view + 1h]
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.map(_._3).min)
+    val buys = ev.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val expect = firstView.count { case (u, tv) =>
+      buys.get(u).toSeq.flatten.exists(t => t >= tv && t <= tv + 3600000000L)
+    }
+    assert(nConv == expect && nViewers == firstView.size)
+  }
+
+  test("mm_shard_manifest: shards partition the corpus, bytes conserved") {
+    val rows = graft.operators.ExtendedSuite.queries("mm_shard_manifest")(spark, sf).collect()
+    val total = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8")).cast("long")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("shard_bytes")).sum == total, "no byte lost or duplicated")
+    rows.groupBy(_.getAs[String]("media_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("shard_id"))
+      // shard ids are the contiguous prefix sums' buckets: ordered, first/last docs chain
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
   test("q_quartiles_by_group: nearest-rank quartiles match the sorted multiset") {
     val rows = graft.operators.ExtendedSuite.queries("q_quartiles_by_group")(spark, sf).collect()
     val cents = graft.sources.Tables.orders(spark, sf)
