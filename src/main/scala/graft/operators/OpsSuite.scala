@@ -172,6 +172,36 @@ object OpsSuite {
           col("restored_checksum"),
           when(col("source_checksum") === col("restored_checksum"), lit("RESTORED"))
             .otherwise(lit("CORRUPT")).as("status"))
+    },
+
+    "layout_compaction" -> { (s, d) =>
+      // Small-file compaction — the 100 TB lake's chronic disease: a
+      // fragmented table (64 shuffle-written files) is rewritten as 4
+      // range-partitioned sized files (pk-ordered, so min/max footer
+      // stats stay selective). The checksum proves losslessness; the
+      // file counts prove the compaction actually happened. File
+      // listing goes through the session's Hadoop FS, not java.io —
+      // works against object stores, and counts are deterministic
+      // (explicit repartition is never AQE-coalesced).
+      val frag = Scratch.dir("graft_frag")
+      val comp = Scratch.dir("graft_compact")
+      val row = rowStr(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      Tables.orders(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(comp)
+      val fs = new org.apache.hadoop.fs.Path(frag)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def nFiles(p: String): Long = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+      val srcCk = Tables.orders(s, d).agg(checksumAgg(row).as("source_checksum"))
+      val compCk = s.read.parquet(comp).agg(checksumAgg(row).as("compacted_checksum"))
+      srcCk.crossJoin(compCk)
+        .select(lit("orders").as("table_name"),
+          lit(nFiles(frag)).as("files_before"), lit(nFiles(comp)).as("files_after"),
+          col("source_checksum"), col("compacted_checksum"),
+          when(col("source_checksum") === col("compacted_checksum"), lit("COMPACTED"))
+            .otherwise(lit("CORRUPT")).as("status"))
     }
   )
 
@@ -193,6 +223,17 @@ object OpsSuite {
       """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, COUNT(*) AS n_rows,
         |  'OK' AS status
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "layout_compaction" ->
+      """WITH ck AS (
+        |  SELECT CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 15)) AS BIGINT))
+        |    % 1152921504606846976 AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT 'orders' AS table_name,
+        |  CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,
+        |  c AS source_checksum, c AS compacted_checksum, 'COMPACTED' AS status
+        |FROM ck""".stripMargin,
 
     "snapshot_roundtrip" ->
       """WITH ck AS (

@@ -157,6 +157,14 @@ class ExtendedSpec extends SparkSpecBase {
     assert(r.get(1) == r.get(2))
   }
 
+  test("layout compaction: lossless, 64 files in, 4 files out") {
+    val r = graft.operators.OpsSuite.queries("layout_compaction")(spark, sf).collect().head
+    assert(r.getAs[String]("status") == "COMPACTED")
+    assert(r.getAs[Long]("files_before") == 64L)
+    assert(r.getAs[Long]("files_after") == 4L)
+    assert(r.getAs[Long]("source_checksum") == r.getAs[Long]("compacted_checksum"))
+  }
+
   test("duplicate clusters: every cluster has >= 2 members and min-label id") {
     val rows = ExtendedSuite.queries("dedup_cluster")(spark, sf).collect()
     assert(rows.nonEmpty)
