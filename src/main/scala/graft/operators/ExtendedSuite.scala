@@ -606,6 +606,41 @@ object ExtendedSuite {
         .orderBy("prio")
     },
 
+    "q_corr_by_group" -> { (s, d) =>
+      // Statistical moments per group — variance and Pearson correlation
+      // of (quantity, price-cents) — computed ENGINE-PORTABLY: the five
+      // power sums are exact integers (DECIMAL(38,0) accumulation, no
+      // float reduction order), converted to double only inside the
+      // final closed-form formula where every op is a single IEEE
+      // computation. Spark's covar/corr aggregates stream partial
+      // doubles (order-dependent) — the exact-sums route is what makes
+      // the result hash-checkable across engines. One shuffle, map-side
+      // partial sums.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val base = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      base.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .select(col("flag"), col("n"),
+          floor((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long").as("corr_e6"),
+          floor((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * col("n").cast("double"))
+            * lit(100.0) + lit(0.5)).cast("long").as("var_x_e2"))
+        .orderBy("flag")
+    },
+
     "q_cube" -> { (s, d) =>
       // CUBE completes the multi-level aggregate family (rollup and
       // grouping sets are already in the surface): all 4 grouping
@@ -1000,6 +1035,28 @@ object ExtendedSuite {
         |  MAX(CASE WHEN rn = (cnt * 3 + 3) // 4 THEN cents END) AS p75_cents,
         |  MAX(cnt) AS n_orders
         |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q_corr_by_group" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |  FROM b GROUP BY flag)
+        |SELECT flag, n,
+        |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1e6 + 0.5) AS BIGINT) AS corr_e6,
+        |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS var_x_e2
+        |FROM g ORDER BY flag""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -344,6 +344,30 @@ class ExtendedSpec extends SparkSpecBase {
     }
   }
 
+  test("q_corr_by_group: exact-sum moments agree with a driver-side computation") {
+    val rows = graft.operators.ExtendedSuite.queries("q_corr_by_group")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = graft.sources.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.expr("CAST(l_quantity AS LONG)"),
+        org.apache.spark.sql.functions.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS LONG)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = data(r.getAs[String]("flag"))
+      val n = g.length.toDouble
+      val (sx, sy) = (g.map(_._2).sum.toDouble, g.map(_._3).sum.toDouble)
+      val sxx = g.map(v => v._2 * v._2).sum.toDouble
+      val syy = g.map(v => BigInt(v._3) * BigInt(v._3)).sum.toDouble
+      val sxy = g.map(v => v._2 * v._3).sum.toDouble
+      val corr = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getAs[Long]("corr_e6") - corr * 1e6) <= 2,
+        s"corr mismatch for ${r.getAs[String]("flag")}")
+      assert(r.getAs[Long]("corr_e6").abs <= 1000000L)
+      assert(r.getAs[Long]("var_x_e2") >= 0)
+    }
+  }
+
   test("q_cube: every grouping level is internally consistent") {
     val rows = graft.operators.ExtendedSuite.queries("q_cube")(spark, sf).collect()
     def cell(rf: String, ls: String) =
