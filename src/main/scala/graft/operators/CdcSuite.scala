@@ -116,6 +116,15 @@ object CdcSuite {
   /** Spark-side dual-image envelope string (bit-identical to
     * [[EnvelopeBISql]]).
     */
+  /** After-only JSON envelope rows (id, envelope) — shared by cdc_parse
+    * and the DLQ router.
+    */
+  private def envelopeAfter(s: SparkSession, d: String): DataFrame =
+    changeLog(s, d).select(col("id"), concat(
+      lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
+      lit(",\"after\":{\"id\":"), col("id"), lit(",\"custkey\":"), col("custkey"),
+      lit(",\"status\":\""), col("status"), lit("\"}}")).as("envelope"))
+
   private def envelopeBI(s: SparkSession, d: String): DataFrame = {
     val log = changeLogBI(s, d)
     def image(ck: String, st: String): Column =
@@ -149,11 +158,7 @@ object CdcSuite {
         StructField("after", StructType(Seq(
           StructField("id", LongType), StructField("custkey", LongType),
           StructField("status", StringType))))))
-      val log = changeLog(s, d)
-      val env = log.select(col("id"), concat(
-        lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
-        lit(",\"after\":{\"id\":"), col("id"), lit(",\"custkey\":"), col("custkey"),
-        lit(",\"status\":\""), col("status"), lit("\"}}")).as("envelope"))
+      val env = envelopeAfter(s, d)
       env.select(from_json(col("envelope"), schema).as("e"))
         .select(col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
           col("e.after.id").as("id"), col("e.after.custkey").as("custkey"),
@@ -202,6 +207,32 @@ object CdcSuite {
           Seq("id"), Seq("seq", "ts_ms"))
         .select(col("id"), col("custkey"), col("status"))
         .orderBy("id")
+    },
+
+    "cdc_dlq_route" -> { (s, d) =>
+      // Dead-letter routing for malformed envelopes — every real CDC
+      // consumer needs one: a corrupted message must quarantine, never
+      // poison the apply. Fixture truncates %19 keys' JSON; Spark's
+      // PERMISSIVE from_json yields a null-field struct for those, and
+      // the router forks on a mandatory field. Narrow projection +
+      // 2-group rollup — no shuffle beyond the final tiny aggregate.
+      val schema = StructType(Seq(
+        StructField("op", StringType), StructField("ts_ms", LongType),
+        StructField("after", StructType(Seq(
+          StructField("id", LongType), StructField("custkey", LongType),
+          StructField("status", StringType))))))
+      envelopeAfter(s, d)
+        .withColumn("envelope",
+          when(col("id") % 19 === 0, expr("substring(envelope, 1, length(envelope) - 2)"))
+            .otherwise(col("envelope")))
+        .withColumn("parsed", from_json(col("envelope"), schema))
+        .withColumn("route",
+          when(col("parsed").isNull || col("parsed.op").isNull, lit("dlq"))
+            .otherwise(lit("ok")))
+        .groupBy("route")
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("id")).as("n_keys"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy("route")
     },
 
     "cdc_compact_log" -> { (s, d) =>
@@ -385,6 +416,18 @@ object CdcSuite {
          |SELECT id, custkey, status, __deleted FROM ranked
          |WHERE rn = 1
          |ORDER BY id""".stripMargin,
+
+    "cdc_dlq_route" ->
+      s"""WITH env AS ($EnvelopeSql),
+         |r AS (
+         |  SELECT id,
+         |    CASE WHEN id % 19 = 0 THEN substr(envelope, 1, CAST(length(envelope) - 2 AS INT))
+         |         ELSE envelope END AS envelope
+         |  FROM env)
+         |SELECT CASE WHEN json_valid(envelope) THEN 'ok' ELSE 'dlq' END AS route,
+         |  COUNT(*) AS n_events, COUNT(DISTINCT id) AS n_keys,
+         |  MIN(id) AS min_id, MAX(id) AS max_id
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_compact_log" ->
       s"""WITH ranked AS (

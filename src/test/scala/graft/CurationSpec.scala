@@ -138,6 +138,17 @@ class CurationSpec extends SparkSpecBase {
       || l.startsWith("UPDATE")).toSet == flat)
   }
 
+  test("dlq routing quarantines exactly the corrupted keys") {
+    val rows = CdcSuite.queries("cdc_dlq_route")(spark, sf).collect()
+      .map(r => r.getAs[String]("route") -> r).toMap
+    assert(rows.keySet == Set("ok", "dlq"))
+    assert(rows("dlq").getAs[Long]("min_id") % 19 == 0)
+    assert(rows("dlq").getAs[Long]("max_id") % 19 == 0)
+    val total = rows("ok").getAs[Long]("n_events") + rows("dlq").getAs[Long]("n_events")
+    val logSize = graft.sources.Tables.orders(spark, sf).count() // seq-1 creates
+    assert(total > logSize, "all three log generations must be routed")
+  }
+
   test("compact log replays to the same state as the full log") {
     val compacted = CdcSuite.queries("cdc_compact_log")(spark, sf).collect()
     // tombstones survive compaction with a nulled payload
