@@ -157,6 +157,27 @@ class ExtendedSpec extends SparkSpecBase {
     assert(r.get(1) == r.get(2))
   }
 
+  test("round-4 plan shapes hold: top-1 limit, shared window sort, expand, no span joins") {
+    def plan(q: String): String = {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE so the executed operators appear
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // compaction keeps per-key top-1 partial map-side
+    assert(plan("cdc_compact_log").contains("WindowGroupLimit"),
+      "compaction must plan a WindowGroupLimit partial top-1")
+    // both lead() offsets share ONE Window node (one sort, one shuffle)
+    val path = plan("events_user_path")
+    assert("(?m)^\\s*(\\+|:)- Window ".r.findAllIn(path).length == 1,
+      s"path mining must fuse both leads into one Window node:\n$path")
+    // cube expands grouping sets before a single aggregation shuffle
+    assert(plan("q_cube").contains("Expand"),
+      "cube must plan an Expand, not multiple aggregate passes")
+    // span dedup is pure aggregate — a join would mean pairwise work
+    val span = plan("dedup_span_exact")
+    assert(!span.contains("Join"), s"span dedup must stay join-free:\n$span")
+  }
+
   test("layout compaction: lossless, 64 files in, 4 files out") {
     val r = graft.operators.OpsSuite.queries("layout_compaction")(spark, sf).collect().head
     assert(r.getAs[String]("status") == "COMPACTED")
