@@ -543,6 +543,26 @@ object ExtendedSuite {
         .orderBy("w_start", "event_type")
     },
 
+    "q_events_dau_wau" -> { (s, d) =>
+      // DAU / WAU engagement rollup with the stickiness ratio — the
+      // canonical activity dashboard. Days and weeks are integer
+      // epoch-day arithmetic (div, no timezone/date functions to
+      // diverge on); stickiness is exact ppm integer division. Two
+      // distinct-aggregates over the same narrow projection, joined on
+      // the tiny week key.
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val dau = e.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+        .withColumn("week", expr("day div 7"))
+      val wau = e.withColumn("week", expr("day div 7"))
+        .groupBy("week").agg(countDistinct(col("user_id")).as("wau"))
+      dau.groupBy("week").agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+        .join(wau, Seq("week"))
+        .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+          expr("sum_dau * 1000000 div (n_days * wau)").as("stickiness_ppm"))
+        .orderBy("week")
+    },
+
     "events_windowed_funnel" -> { (s, d) =>
       // Time-bounded conversion funnel: did the user purchase within
       // 1 h of their FIRST view — the attribution-window variant of
@@ -989,6 +1009,23 @@ object ExtendedSuite {
         |SELECT w_start, event_type, COUNT(*) AS n
         |FROM ex GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_events_dau_wau" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (
+        |  SELECT day, day // 7 AS week, COUNT(DISTINCT user_id) AS dau
+        |  FROM e GROUP BY day),
+        |wau AS (
+        |  SELECT day // 7 AS week, COUNT(DISTINCT user_id) AS wau
+        |  FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT week, CAST(SUM(dau) AS BIGINT) AS sum_dau, COUNT(*) AS n_days
+        |  FROM dau GROUP BY week)
+        |SELECT w.week AS week, n_days, sum_dau, wau,
+        |  CAST(sum_dau * 1000000 // (n_days * wau) AS BIGINT) AS stickiness_ppm
+        |FROM w JOIN wau ON w.week = wau.week
+        |ORDER BY week""".stripMargin,
 
     "events_windowed_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),

@@ -307,6 +307,20 @@ class ExtendedSpec extends SparkSpecBase {
       "window starts align to the slide grid"))
   }
 
+  test("q_events_dau_wau: stickiness bounded, weekly actives dominate daily sums") {
+    val rows = graft.operators.ExtendedSuite.queries("q_events_dau_wau")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, sumDau, wau) = (r.getAs[Long]("n_days"),
+        r.getAs[Long]("sum_dau"), r.getAs[Long]("wau"))
+      assert(nDays >= 1 && nDays <= 7)
+      // each day's actives are a subset of the week's actives
+      assert(sumDau <= nDays * wau && wau <= sumDau)
+      assert(r.getAs[Long]("stickiness_ppm") == sumDau * 1000000L / (nDays * wau))
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+  }
+
   test("events_windowed_funnel: windowed conversions are a subset of unbounded ones") {
     val r = graft.operators.ExtendedSuite.queries("events_windowed_funnel")(spark, sf)
       .collect().head
