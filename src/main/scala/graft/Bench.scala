@@ -61,18 +61,25 @@ object Bench {
     try materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
-    // Two timed runs per query, report the min: run 1 pays per-query
-    // whole-stage-codegen compilation (a JVM artifact, not engine
-    // throughput); run 2 is the steady state a long-running cluster sees.
+    // One untimed warm run (pays per-query whole-stage-codegen
+    // compilation — a JVM artifact, not engine throughput) + three timed
+    // runs per query, report the MEDIAN: the r4 bench showed a uniform
+    // ~1.16× drift on untouched queries from GC pressure accumulating
+    // across a 28-query single-process session; a forced GC before every
+    // timed run plus the median-of-3 makes timings insensitive to both
+    // collection pauses landing inside one run and one-off JIT/IO blips.
     // A query that throws is reported under "errors" (never as a timing):
     // a partial elapsed-to-exception time would make a broken query look
     // fast and the regression invisible.
     val results: Seq[(String, Either[String, Double])] = names.map { name =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (0 to 3).map { i =>
         // each run starts cache-cold: leftover persists from the previous
-        // run would otherwise make run 2 time a cache read, and the
+        // run would otherwise make later runs time a cache read, and the
         // accumulated entries would spill the long bench session
         spark.catalog.clearCache()
+        // drain garbage from the previous query/run so its collection
+        // cost isn't billed to this timing
+        System.gc()
         val t0 = System.nanoTime()
         val err =
           try { materialize(SparkEntry.queries(name)(spark, sfDir)); None }
@@ -80,10 +87,13 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e")
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
           }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, err, i)
       }
-      runs.collectFirst { case (_, Some(msg)) => name -> Left(msg) }
-        .getOrElse(name -> Right(runs.map(_._1).min))
+      runs.collectFirst { case (_, Some(msg), _) => name -> Left(msg) }
+        .getOrElse {
+          val timed = runs.collect { case (t, None, i) if i > 0 => t }.sorted
+          name -> Right(timed(timed.length / 2))
+        }
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""

@@ -255,13 +255,19 @@ object Graft {
     * `threshold`. Only candidate pairs ever join; shuffles carry
     * (id, band, bucket) — the 100 TB shape.
     *
-    * Persists the (id, shingles) projection for the duration of the
-    * returned plan (it feeds the signature pass and both verify-join
-    * sides); call `spark.catalog.clearCache()` after consuming the
-    * result to release it.
+    * The (id, shingles) projection is materialized once via an eager
+    * `localCheckpoint` (it feeds the signature pass and both verify-join
+    * sides); the checkpoint blocks are released by the ContextCleaner
+    * when the returned plan is dereferenced — no CacheManager entry to
+    * clear.
+    *
+    * `maxBucket` caps LSH bucket size: buckets beyond it (boilerplate-
+    * dominated collision patterns) are dropped before the self-join so
+    * one degenerate key can never go quadratic.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      numPerm: Int = 12, bandRows: Int = 3, threshold: Double = 0.7): DataFrame = {
+      numPerm: Int = 12, bandRows: Int = 3, threshold: Double = 0.7,
+      maxBucket: Long = 4096L): DataFrame = {
     register(df.sparkSession)
     val sh = df
       .withColumn("__ws", split(lower(col(textCol)), " "))
@@ -270,13 +276,23 @@ object Graft {
         """array_distinct(transform(sequence(1, size(__ws) - 2),
           |  i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i+1), element_at(__ws, i+2))))""".stripMargin))
       .select(col(idCol).as("__id"), col("__sh"))
-      .persist()
+      .localCheckpoint()
+    // hot-bucket guard: buckets beyond maxBucket are boilerplate
+    // collisions, not near-dup signal — dropping them bounds the
+    // self-join below at candidate_pairs ≤ Σ min(bucket, cap)² instead
+    // of going quadratic in one degenerate key (one count-over-window
+    // on the partitioning the join needs anyway)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band"), col("__bucket"))
     val bands = sh
       .withColumn("__sig", expr(s"minhash_sigs(__sh, $numPerm)"))
       .select(col("__id"), posexplode(expr(
         s"""transform(sequence(0, ${numPerm / bandRows - 1}), b ->
            |  md5(concat_ws(',', slice(__sig, b * $bandRows + 1, $bandRows))))""".stripMargin)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val cands = bands.as("a").join(bands.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col("a.__id") < col("b.__id"))
@@ -457,7 +473,7 @@ object Graft {
     val per = df.select(col(domainCol).as("domain"), weightCol.cast("long").as("__w"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__w")).as("weight"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val tot = per.agg(sum(col("weight")).as("__tot"), count(lit(1)).cast("long").as("__k"))
     per.crossJoin(broadcast(tot))
       .withColumn("natural_ppm", expr("weight * 1000000 DIV __tot"))
@@ -498,7 +514,7 @@ object Graft {
     val counts = df.select(explode(split(lower(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val ranked = counts.withColumn("rk",
       row_number().over(Window.orderBy(desc("cnt"), col("w"))))
     val tot = counts.agg(sum(col("cnt")).as("total_tokens"),

@@ -279,14 +279,14 @@ object AnalyticExtra {
         .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
               col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey")))
-      // persisted: both the threshold leg and the filter leg read this
-      // per-partkey rollup, so lineitem is scanned ONCE, not once per
-      // leg (Verify/Bench clear caches at pipeline exit)
+      // localCheckpoint: both the threshold leg and the filter leg read
+      // this per-partkey rollup, so lineitem is scanned ONCE, not once
+      // per leg; blocks auto-release when the plan is dereferenced
       val vals = Tables.lineitem(s, d)
         .join(n3sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"))
         .agg(dsum(col("l_extendedprice")).as("value"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val tot = vals.agg(dsum(col("value")).as("tot"))
       vals.crossJoin(broadcast(tot))
         .filter(col("value") > col("tot") * lit(0.001))
@@ -341,12 +341,12 @@ object AnalyticExtra {
       val p = broadcast(Tables.part(s, d)
         .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
         .select(col("p_partkey")))
-      // persisted: the avg leg and the final filter both read the same
-      // filtered slice — one lineitem scan (caches cleared at exit)
+      // localCheckpoint: the avg leg and the final filter both read the
+      // same filtered slice — one lineitem scan, blocks auto-released
       val li = Tables.lineitem(s, d)
         .join(p, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val stats = li.groupBy(col("l_partkey").as("pk"))
         .agg(davg(col("l_quantity")).as("avg_qty"))
       li.join(broadcast(stats), col("l_partkey") === col("pk"))
@@ -362,15 +362,15 @@ object AnalyticExtra {
     "q20_ship_heavy_suppliers" -> { (s, d) =>
       val p = broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))
         .select(col("p_partkey")))
-      // persisted: the threshold leg and the heavy filter share this
-      // per-suppkey rollup — one lineitem scan (caches cleared at exit)
+      // localCheckpoint: the threshold leg and the heavy filter share
+      // this per-suppkey rollup — one lineitem scan, blocks auto-released
       val shipped = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
                 col("l_shipdate") <  to_timestamp(lit("1998-01-01 00:00:00")))
         .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(dsum(col("l_quantity")).as("qty"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val thr = shipped.agg(davg(col("qty")).as("thr"))
       val heavy = shipped.crossJoin(broadcast(thr)).filter(col("qty") > col("thr"))
       Tables.supplier(s, d)
@@ -402,10 +402,10 @@ object AnalyticExtra {
 
     "q12_priority_split" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-        |           THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

@@ -176,6 +176,36 @@ object CdcSuite {
         .orderBy("id")
     },
 
+    "cdc_source_roundtrip" -> { (s, d) =>
+      // The external-source seam end-to-end (ref: docker/configs —
+      // Debezium topic → sink): full dual-image envelopes (with the
+      // source.seq ordering block) land as a line-per-event text feed —
+      // the same `value: string` column shape a Kafka source exposes —
+      // then the ingest is ENTIRELY seam-generic: a SourceSpec load,
+      // the shared envelope decode, and the LWW apply kernel. Swapping
+      // the spec for CdcSource.kafkaTopic(...) changes nothing
+      // downstream; the result must equal cdc_apply_latest's oracle.
+      import graft.sources.{CdcSource, Scratch}
+      val feedDir = Scratch.dir("graft_cdc_feed")
+      def image(ck: String, st: String): Column =
+        when(col(st).isNull, lit("null")).otherwise(concat(
+          lit("{\"id\":"), col("id"), lit(",\"custkey\":"), col(ck),
+          lit(",\"status\":\""), col(st), lit("\"}")))
+      changeLogBI(s, d)
+        .select(concat(
+          lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
+          lit(",\"source\":{\"seq\":"), col("seq"), lit("}"),
+          lit(",\"before\":"), image("b_custkey", "b_status"),
+          lit(",\"after\":"), image("a_custkey", "a_status"),
+          lit("}")).as("value"))
+        .repartition(4).write.mode("overwrite").text(feedDir)
+      val feed = CdcSource.load(s, CdcSource.fileEnvelopeFeed(feedDir))
+      graft.api.Graft.cdcApplyLatest(
+          CdcSource.parseEnvelope(feed), Seq("id"), Seq("seq", "ts_ms"))
+        .select(col("id"), col("custkey"), col("status"))
+        .orderBy("id")
+    },
+
     "cdc_bootstrap_merge" -> { (s, d) =>
       // snapshot + streaming tail — the real pipeline's bootstrap
       // (ref: Debezium initial-snapshot mode feeding the same sink as
@@ -374,6 +404,16 @@ object CdcSuite {
          |ORDER BY id, ts_ms""".stripMargin,
 
     "cdc_apply_latest" ->
+      s"""WITH ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
+         |  FROM ($LogSql) log)
+         |SELECT id, custkey, status FROM ranked
+         |WHERE rn = 1 AND op <> 'd'
+         |ORDER BY id""".stripMargin,
+
+    // the seam roundtrip must land exactly where the in-memory log
+    // lands: same LWW oracle as cdc_apply_latest
+    "cdc_source_roundtrip" ->
       s"""WITH ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
          |  FROM ($LogSql) log)

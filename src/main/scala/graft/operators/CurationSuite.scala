@@ -51,9 +51,13 @@ object CurationSuite {
     // for candidate pairs only (same kernel dedup_minhash_lsh proved).
     "dedup_incremental" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
-      val sh = DedupSuite.shingleSets(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = DedupSuite.minhashBands(sh)
+      // eager localCheckpoint, not persist: blocks release via the
+      // ContextCleaner when the plan is dereferenced (no CacheManager leak)
+      val sh = DedupSuite.shingleSets(s, d).localCheckpoint()
+      // hot-bucket gate: a degenerate standing-index bucket would make
+      // every future batch pay quadratic probe cost against it
+      val bands = DedupSuite.gateHotBuckets(
+        DedupSuite.minhashBands(sh), Seq("band", "bucket"))
       val corpusBands = bands.filter(col("doc_id") < 1000000L)
       val batchBands = bands.filter(col("doc_id") >= 1000000L)
       val cands = batchBands.as("n").join(corpusBands.as("c"),
@@ -96,9 +100,11 @@ object CurationSuite {
     // kernel; only the verification formula differs.
     "dedup_containment" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
-      val sh = DedupSuite.shingleSets(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = DedupSuite.minhashBands(sh)
+      // eager localCheckpoint, not persist: blocks release via the
+      // ContextCleaner when the plan is dereferenced (no CacheManager leak)
+      val sh = DedupSuite.shingleSets(s, d).localCheckpoint()
+      val bands = DedupSuite.gateHotBuckets(
+        DedupSuite.minhashBands(sh), Seq("band", "bucket"))
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -137,7 +143,8 @@ object CurationSuite {
           posexplode(expr(
             "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
         .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(DedupSuite.gateHotBuckets(_, Seq("chunk_idx", "chunk")))
+        .localCheckpoint()
       chunks.as("a").join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))

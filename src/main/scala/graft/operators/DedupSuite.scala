@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -105,6 +106,29 @@ object DedupSuite {
       .select(col("doc_id"), col("shingles"))
   }
 
+  /** Hot-bucket cap for the LSH candidate joins. A degenerate bucket —
+    * boilerplate-heavy shingle patterns, a constant-ish signature — makes
+    * the band self-join quadratic WITHIN that bucket: 10⁶ colliding rows
+    * is 5·10¹¹ candidate pairs from one key. Production dedup drops (or
+    * salts) buckets beyond a size bound: a bucket that big is noise, not
+    * near-duplicate signal — its members collide on boilerplate, and the
+    * exact-Jaccard verify would reject almost all of them anyway.
+    * Implementation is one count-over-window on the join key the band
+    * shuffle already partitions by (no extra shuffle), then a filter —
+    * so the guard is ~free. The default keeps every bucket the lake's
+    * fixtures produce (the oracle runs uncapped; results must stay
+    * identical on normal data — LshGuardSpec proves both properties).
+    */
+  private[graft] val MaxBucket = 4096L
+
+  private[graft] def gateHotBuckets(
+      df: DataFrame, keys: Seq[String], maxBucket: Long = MaxBucket): DataFrame = {
+    val wb = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+  }
+
   /** (doc_id, band, bucket) LSH band rows via the native fused
     * minhash_sigs signature (md5-60 + all perm minima in one codegen'd
     * pass — the composed transform/array_min HOF pipeline is
@@ -141,14 +165,17 @@ object DedupSuite {
       // only, so the LSH shuffle is a few dozen bytes per doc, not the
       // document content.
       // sh is referenced three times (signatures + both sides of the
-      // verification join) and bands twice (self-join); persisting keeps
-      // each branch a cache read instead of a full text→shingle→md5
-      // recompute. Both are small relative to the corpus (ids + hashes).
+      // verification join) and bands twice (self-join); eager
+      // localCheckpoint materializes each branch once WITHOUT leaving a
+      // CacheManager entry behind — the blocks are reference-counted by
+      // the ContextCleaner and released when the returned plan is
+      // dereferenced, so a long-lived session sweeping many operators
+      // doesn't accumulate corpus-sized shingle caches.
       org.apache.spark.sql.graft.Bridge.register(s)
-      val sh = shingleSets(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = minhashBands(sh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = shingleSets(s, d).localCheckpoint()
+      // hot-bucket gate BEFORE the checkpoint: degenerate buckets never
+      // materialize, and the self-join below is size-bounded per key
+      val bands = gateHotBuckets(minhashBands(sh), Seq("band", "bucket")).localCheckpoint()
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -176,13 +203,17 @@ object DedupSuite {
           "transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
         .withColumn("simhash", expr("simhash60(whs)"))
         .select(col("doc_id"), col("simhash"))
-      // persist: the self-join would otherwise recompute the 60-bit
-      // signature pipeline for both sides
-      val chunks = docs.select(col("doc_id"), col("simhash"),
-          posexplode(expr(
-            "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
-        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (eager): the self-join would otherwise recompute
+      // the 60-bit signature pipeline for both sides; checkpoint blocks
+      // are released by the ContextCleaner when the plan is dereferenced
+      // (persist would leak in the CacheManager until clearCache)
+      val chunks = gateHotBuckets(
+          docs.select(col("doc_id"), col("simhash"),
+            posexplode(expr(
+              "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
+          .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk"),
+          Seq("chunk_idx", "chunk"))
+        .localCheckpoint()
       chunks.as("a").join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -228,15 +259,17 @@ object DedupSuite {
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", expr(ShinglesExpr))
         .select("doc_id", "lang", "source", "shingles")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       // native fused signature — see dedup_minhash_lsh
       val sigs = docs
         .withColumn("sig", expr(s"minhash_sigs(shingles, $NumPerm)"))
-      val bands = sigs.select(col("doc_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, ${NumPerm / NgramBandRows - 1}), b ->
-               |  md5(concat_ws(',', slice(sig, b * $NgramBandRows + 1, $NgramBandRows))))""".stripMargin)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val bands = gateHotBuckets(
+        sigs.select(col("doc_id"),
+            posexplode(expr(
+              s"""transform(sequence(0, ${NumPerm / NgramBandRows - 1}), b ->
+                 |  md5(concat_ws(',', slice(sig, b * $NgramBandRows + 1, $NgramBandRows))))""".stripMargin)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+        Seq("band", "bucket"))
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -274,8 +307,8 @@ object DedupSuite {
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = withSignBits(
           Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = signBands(e)
+        .localCheckpoint()
+      val bands = gateHotBuckets(signBands(e), Seq("band", "bucket"))
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))

@@ -356,12 +356,12 @@ object ExtendedSuite {
       // 2^62). Two aggregate shuffles (cell, then per-type rollup) and
       // a broadcast of the tiny per-type stats back onto the cells —
       // the same monitoring rollup shape at any feed size.
-      // persisted: the stats rollup and the final join both read the
-      // (type, day) cells — one events scan (caches cleared at exit)
+      // localCheckpoint: the stats rollup and the final join both read
+      // the (type, day) cells — one events scan, blocks auto-released
       val cells = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val stats = cells.groupBy(col("event_type").as("et"))
         .agg(sum(col("n")).as("total"), count(lit(1)).as("active_days"))
       cells.join(broadcast(stats), col("event_type") === col("et"))
@@ -451,7 +451,7 @@ object ExtendedSuite {
       // convergence is checked per step so the loop stops early.
       val pairs = DedupSuite.queries("dedup_minhash_lsh")(s, d)
         .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       var labels = edges.select(col("doc_a").as("node")).distinct()
@@ -647,16 +647,20 @@ object ExtendedSuite {
           sum((col("y") * col("y")).cast(dec)).as("syy"),
           sum((col("x") * col("y")).cast(dec)).as("sxy"))
         .select(col("flag"), col("n"),
-          floor((col("n").cast("double") * col("sxy").cast("double")
-              - col("sx").cast("double") * col("sy").cast("double"))
-            / sqrt((col("n").cast("double") * col("sxx").cast("double")
-                - col("sx").cast("double") * col("sx").cast("double"))
-              * (col("n").cast("double") * col("syy").cast("double")
-                - col("sy").cast("double") * col("sy").cast("double")))
-            * lit(1e6) + lit(0.5)).cast("long").as("corr_e6"),
-          floor((col("n").cast("double") * col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx").cast("double"))
-            / (col("n").cast("double") * col("n").cast("double"))
+          (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")).as("vx"),
+          (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")).as("vy"),
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")).as("cxy"))
+        // degenerate (zero-variance) groups emit NULL correlation rather
+        // than NaN — NaN casts to 0L in Spark but errors/nulls in the
+        // oracle's FLOOR/CAST, a latent engine divergence
+        .select(col("flag"), col("n"),
+          when(col("vx") > 0 && col("vy") > 0,
+            floor(col("cxy") / sqrt(col("vx") * col("vy")) * lit(1e6) + lit(0.5))
+              .cast("long")).as("corr_e6"),
+          floor(col("vx") / (col("n").cast("double") * col("n").cast("double"))
             * lit(100.0) + lit(0.5)).cast("long").as("var_x_e2"))
         .orderBy("flag")
     },
@@ -1051,7 +1055,7 @@ object ExtendedSuite {
         |c AS (
         |  SELECT *, SUM(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m)
-        |SELECT media_type, (cum - n_bytes) // 65536 AS shard_id,
+        |SELECT media_type, CAST((cum - n_bytes) // 65536 AS BIGINT) AS shard_id,
         |  COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -1081,19 +1085,23 @@ object ExtendedSuite {
         |g AS (
         |  SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
         |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
-        |  FROM b GROUP BY flag)
+        |  FROM b GROUP BY flag),
+        |v AS (
+        |  SELECT flag, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy
+        |  FROM g)
         |SELECT flag, n,
-        |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |    * 1e6 + 0.5) AS BIGINT) AS corr_e6,
-        |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS var_x_e2
-        |FROM g ORDER BY flag""".stripMargin,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(FLOOR(cxy / sqrt(vx * vy) * 1e6 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS corr_e6,
+        |  CAST(FLOOR(vx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 100.0 + 0.5)
+        |    AS BIGINT) AS var_x_e2
+        |FROM v ORDER BY flag""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

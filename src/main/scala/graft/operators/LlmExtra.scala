@@ -136,15 +136,17 @@ object LlmExtra {
     // join; both fixed-point-rounded so engines agree bit-for-bit.
     "emb_centroid_drift" -> { (s, d) =>
       val e = Tables.embeddings(s, d).withColumn("side", (col("vec_id") % 2).cast("int"))
-      // persist: both join branches derive from dims — without it each
-      // side re-runs the scan+explode+aggregate over the full table
-      // (Catalyst pushes the side filter into two separate scans). The
-      // cached frame is labels × 2 × dims rows — trivially small.
+      // eager localCheckpoint: both join branches derive from dims —
+      // without it each side re-runs the scan+explode+aggregate over the
+      // full table (Catalyst pushes the side filter into two separate
+      // scans). The frame is labels × 2 × dims rows — trivially small —
+      // and checkpoint blocks release via the ContextCleaner when the
+      // plan is dereferenced (persist would leak until clearCache).
       val dims = e.select(col("label"), col("side"), posexplode(col("embedding")))
         .groupBy(col("label"), col("side"), col("pos"))
         .agg(graft.functions.Portable.davg(col("col").cast("double")).as("m"),
           count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val a = dims.filter(col("side") === 0).select(col("label"), col("pos"),
         col("m").as("ma"), col("n").as("na"))
       val b = dims.filter(col("side") === 1).select(col("label"), col("pos"),
@@ -174,8 +176,15 @@ object LlmExtra {
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = DedupSuite.withSignBits(
           Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = DedupSuite.signBands(e)
+        .localCheckpoint()
+      // hot-bucket gate on the corpus side: a degenerate bucket (a
+      // near-constant embedding region) would hand every query that
+      // lands in it an unbounded candidate list; beyond the cap the
+      // bucket carries no ranking signal anyway. At real corpus sizes
+      // the band bits scale up to keep occupancy under the cap — the
+      // gate is the safety net, not the recall limiter.
+      val bands = DedupSuite.gateHotBuckets(
+        DedupSuite.signBands(e), Seq("band", "bucket"))
       val qBands = bands.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
       val cands = bands.join(broadcast(qBands), Seq("band", "bucket"))
@@ -186,8 +195,6 @@ object LlmExtra {
         .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
         .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")), "cand_id")
         .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
-      // persist lifecycle: Verify/Bench clear all caches at pipeline exit
-      // (same contract as dedup_embedding's signature cache)
       val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -286,8 +293,8 @@ object LlmExtra {
     // a broadcast 1-row total: the same shape at any corpus size.
     "mix_weights" -> { (s, d) =>
       // fixture binding of Graft.mixWeights (the reusable kernel the
-      // oracle therefore checks); the shared per-domain leg is persisted
-      // inside it (cleared by Verify/Bench at pipeline exit)
+      // oracle therefore checks); the shared per-domain leg is
+      // localCheckpointed inside it (blocks auto-released)
       graft.api.Graft.mixWeights(Tables.documents(s, d), "source",
           size(split(col("text"), " ")))
         .select(col("domain").as("source"), col("n_rows").as("n_docs"),
@@ -320,7 +327,7 @@ object LlmExtra {
     // corpus bytes), so the single-partition window is safe at 100 TB.
     "text_vocab_coverage" -> { (s, d) =>
       // fixture binding of Graft.vocabCoverage (the vocabulary-counts
-      // leg is persisted inside it; cleared by Verify/Bench at exit)
+      // leg is localCheckpointed inside it; blocks auto-released)
       graft.api.Graft.vocabCoverage(Tables.documents(s, d), col("text"),
           Seq(10L, 100L, 1000L))
         .orderBy("k")

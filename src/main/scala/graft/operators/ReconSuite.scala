@@ -426,6 +426,50 @@ object ReconSuite {
         .orderBy("format")
     },
 
+    "recon_recommendations" -> { (s, d) =>
+      // ref: report/generator.py:226 _generate_recommendations — the
+      // actionable next-step strings the report attaches per discrepancy
+      // pattern (replication lag vs duplicate inserts vs data corruption).
+      // The discrepancy rollup is tiny (≤3 rows at any corpus size), so
+      // the conditional fan-out is a 1-row pivot + array/explode — no
+      // driver-side branching; the heavy work is reportDf's one
+      // full-outer join. The ref's "multiple TABLES affected" rec is a
+      // cross-table rollup; this fixture reconciles one table, so that
+      // branch (>5 affected tables) is structurally never hit here.
+      def rec(order: Int, text: Column): Column =
+        struct(lit(order.toLong).as("rec_order"), text.as("recommendation"))
+      reportDf(s, d)
+        .groupBy()
+        .agg(
+          coalesce(max(when(col("discrepancy_type") === "MISSING", col("n"))), lit(0L))
+            .as("n_missing"),
+          coalesce(max(when(col("discrepancy_type") === "EXTRA", col("n"))), lit(0L))
+            .as("n_extra"),
+          coalesce(max(when(col("discrepancy_type") === "MODIFIED", col("n"))), lit(0L))
+            .as("n_modified"))
+        .select(explode(array(
+          when(col("n_missing") + col("n_extra") + col("n_modified") === 0,
+            rec(0, lit("Data is consistent. Continue monitoring replication lag and pipeline health."))),
+          when(col("n_missing") > 0,
+            rec(1, concat(lit("Target database is missing "), col("n_missing").cast("string"),
+              lit(" rows. Check replication lag and connector status.")))),
+          when(col("n_missing") > 0,
+            rec(2, lit("Review Kafka Connect logs for errors or backpressure."))),
+          when(col("n_extra") > 0,
+            rec(3, concat(lit("Target database has "), col("n_extra").cast("string"),
+              lit(" extra rows. Investigate for duplicate inserts or data quality issues.")))),
+          when(col("n_modified") > 0,
+            rec(4, concat(lit("Data corruption detected in "), col("n_modified").cast("string"),
+              lit(" row(s). Run detailed row-by-row comparison to identify corrupted records.")))),
+          when(col("n_modified") > 0,
+            rec(5, lit("Check for schema evolution or type conversion issues in Kafka Connect."))),
+          rec(6, lit("Consult docs/troubleshooting.md for detailed resolution steps."))
+        )).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("r.rec_order").as("rec_order"), col("r.recommendation").as("recommendation"))
+        .orderBy("rec_order")
+    },
+
     "recon_rowcount_fast" -> { (s, d) =>
       // ref: utils/query_optimizer/optimizer.py:19 — fast row counts from
       // pg_stat / sys.partitions instead of COUNT(*). The lake analog is
@@ -515,6 +559,52 @@ object ReconSuite {
         (name, st.getOrElse(""), tt.getOrElse(""), status)
       }.toDF("column_name", "source_type", "target_type", "status")
         .orderBy("column_name")
+    },
+
+    "recon_schema_repair" -> { (s, d) =>
+      // Schema-sync DDL emitter — the repair half of recon_schema_drift,
+      // and the DDL analog of recon_repair's DML (ref: the sink's
+      // auto.create/auto.evolve table maintenance +
+      // scripts/sql/create_reconciliation_indexes.sql:1). Statement 0 is
+      // the idempotent auto-create from the SOURCE schema; each drifted
+      // column then gets its ALTER in deterministic name order.
+      // EXTRA_IN_TARGET emits a review comment, not a DROP — connector
+      // schema evolution adds columns but never destroys data. Schema
+      // work is metadata-side by nature (a fields list, not a scan);
+      // the emitted statements are what a DBA/worker executes against
+      // the target.
+      import s.implicits._
+      def canonical(t: org.apache.spark.sql.types.DataType): String = t.simpleString match {
+        case "bigint" | "int" => "integer"
+        case "double" | "float" => "floating"
+        case "string" => "text"
+        case x if x.startsWith("timestamp") => "timestamp"
+        case x => x
+      }
+      // canonical → Postgres DDL spelling (the reference's sink dialect)
+      val pg = Map("integer" -> "BIGINT", "floating" -> "DOUBLE PRECISION",
+        "text" -> "TEXT", "timestamp" -> "TIMESTAMP")
+      val src = Tables.orders(s, d).schema.fields.toSeq
+        .map(f => f.name -> canonical(f.dataType)).toMap
+      val tgt = (src - "o_orderpriority")
+        .updated("o_totalprice", "text") + ("o_region" -> "text")
+      val createCols = src.keys.toSeq.sorted
+        .map(n => "\"" + n + "\" " + pg(src(n))).mkString(", ")
+      val create = (0L, "*", "CREATE",
+        "CREATE TABLE IF NOT EXISTS \"orders\" (" + createCols + ");")
+      val alters = (src.keySet ++ tgt.keySet).toSeq.sorted.flatMap { name =>
+        (src.get(name), tgt.get(name)) match {
+          case (Some(a), Some(b)) if a == b => None
+          case (Some(a), Some(_)) => Some((name, "ALTER_TYPE",
+            "ALTER TABLE \"orders\" ALTER COLUMN \"" + name + "\" TYPE " + pg(a) + ";"))
+          case (Some(a), None) => Some((name, "ADD_COLUMN",
+            "ALTER TABLE \"orders\" ADD COLUMN \"" + name + "\" " + pg(a) + ";"))
+          case _ => Some((name, "KEEP_EXTRA",
+            "-- \"" + name + "\" exists only in target; auto-evolve never drops columns"))
+        }
+      }.zipWithIndex.map { case ((n, a, sql), i) => ((i + 1).toLong, n, a, sql) }
+      (create +: alters).toDF("stmt_order", "column_name", "action", "repair_sql")
+        .orderBy("stmt_order")
     },
 
     "recon_checksum_columnwise" -> { (s, d) =>
@@ -791,6 +881,32 @@ object ReconSuite {
          |FROM (VALUES ('csv'), ('json')) t(format)
          |ORDER BY format""".stripMargin,
 
+    "recon_recommendations" ->
+      s"""WITH d AS ($ReportSql),
+         |a AS (SELECT
+         |  COALESCE(MAX(CASE WHEN discrepancy_type = 'MISSING' THEN n END), 0) AS n_missing,
+         |  COALESCE(MAX(CASE WHEN discrepancy_type = 'EXTRA' THEN n END), 0) AS n_extra,
+         |  COALESCE(MAX(CASE WHEN discrepancy_type = 'MODIFIED' THEN n END), 0) AS n_modified
+         |FROM d)
+         |SELECT CAST(rec_order AS BIGINT) AS rec_order, recommendation FROM (
+         |  SELECT 0 AS rec_order,
+         |    'Data is consistent. Continue monitoring replication lag and pipeline health.' AS recommendation
+         |  FROM a WHERE n_missing + n_extra + n_modified = 0
+         |  UNION ALL SELECT 1, 'Target database is missing ' || CAST(n_missing AS VARCHAR)
+         |    || ' rows. Check replication lag and connector status.' FROM a WHERE n_missing > 0
+         |  UNION ALL SELECT 2, 'Review Kafka Connect logs for errors or backpressure.'
+         |  FROM a WHERE n_missing > 0
+         |  UNION ALL SELECT 3, 'Target database has ' || CAST(n_extra AS VARCHAR)
+         |    || ' extra rows. Investigate for duplicate inserts or data quality issues.'
+         |  FROM a WHERE n_extra > 0
+         |  UNION ALL SELECT 4, 'Data corruption detected in ' || CAST(n_modified AS VARCHAR)
+         |    || ' row(s). Run detailed row-by-row comparison to identify corrupted records.'
+         |  FROM a WHERE n_modified > 0
+         |  UNION ALL SELECT 5, 'Check for schema evolution or type conversion issues in Kafka Connect.'
+         |  FROM a WHERE n_modified > 0
+         |  UNION ALL SELECT 6, 'Consult docs/troubleshooting.md for detailed resolution steps.' FROM a
+         |) t ORDER BY rec_order""".stripMargin,
+
     "recon_rowcount_fast" ->
       "SELECT 'orders' AS table_name, COUNT(*) AS row_count, 'METADATA' AS method FROM orders",
 
@@ -829,6 +945,49 @@ object ReconSuite {
         |       ELSE 'EXTRA_IN_TARGET' END AS status
         |FROM src FULL OUTER JOIN tgt ON src.column_name = tgt.column_name
         |ORDER BY column_name""".stripMargin,
+
+    "recon_schema_repair" ->
+      """WITH src AS (
+        |  SELECT column_name,
+        |    CASE WHEN column_type IN ('BIGINT', 'INTEGER') THEN 'BIGINT'
+        |         WHEN column_type IN ('DOUBLE', 'FLOAT') THEN 'DOUBLE PRECISION'
+        |         WHEN column_type = 'VARCHAR' THEN 'TEXT'
+        |         WHEN column_type LIKE 'TIMESTAMP%' THEN 'TIMESTAMP'
+        |         ELSE upper(column_type) END AS src_pg
+        |  FROM (DESCRIBE orders)),
+        |tgt AS (
+        |  SELECT * FROM (VALUES
+        |    ('o_orderkey', 'BIGINT'), ('o_custkey', 'BIGINT'),
+        |    ('o_orderstatus', 'TEXT'), ('o_totalprice', 'TEXT'),
+        |    ('o_orderdate', 'TIMESTAMP'), ('o_region', 'TEXT'))
+        |    t(column_name, tgt_pg)),
+        |j AS (
+        |  SELECT COALESCE(src.column_name, tgt.column_name) AS column_name,
+        |    src_pg, tgt_pg
+        |  FROM src FULL OUTER JOIN tgt ON src.column_name = tgt.column_name),
+        |alters AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY column_name) AS BIGINT) AS stmt_order,
+        |    column_name,
+        |    CASE WHEN src_pg IS NOT NULL AND tgt_pg IS NOT NULL THEN 'ALTER_TYPE'
+        |         WHEN src_pg IS NOT NULL THEN 'ADD_COLUMN'
+        |         ELSE 'KEEP_EXTRA' END AS action,
+        |    CASE WHEN src_pg IS NOT NULL AND tgt_pg IS NOT NULL THEN
+        |      'ALTER TABLE "orders" ALTER COLUMN "' || column_name || '" TYPE ' || src_pg || ';'
+        |    WHEN src_pg IS NOT NULL THEN
+        |      'ALTER TABLE "orders" ADD COLUMN "' || column_name || '" ' || src_pg || ';'
+        |    ELSE
+        |      '-- "' || column_name || '" exists only in target; auto-evolve never drops columns'
+        |    END AS repair_sql
+        |  FROM j WHERE src_pg IS NULL OR tgt_pg IS NULL OR src_pg <> tgt_pg),
+        |create_stmt AS (
+        |  SELECT CAST(0 AS BIGINT) AS stmt_order, '*' AS column_name, 'CREATE' AS action,
+        |    'CREATE TABLE IF NOT EXISTS "orders" (' ||
+        |      string_agg('"' || column_name || '" ' || src_pg, ', ' ORDER BY column_name)
+        |      || ');' AS repair_sql
+        |  FROM src)
+        |SELECT * FROM create_stmt
+        |UNION ALL SELECT * FROM alters
+        |ORDER BY stmt_order""".stripMargin,
 
     "recon_checksum_columnwise" ->
       s"""WITH s AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.operators.CdcSuite
-import graft.sources.{Scratch, Tables}
+import graft.sources.{CdcSource, Scratch, SourceSpec, Tables}
 
 /** §2 F — Structured Streaming re-expression of the reference pipeline's
   * continuous path (Debezium topic → sink upsert). The batch suites prove
@@ -50,8 +50,11 @@ object CdcStream {
     // incremental processing, with a key's events split across batches.
     CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(tmp)
     val schema = spark.read.parquet(tmp).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp).as[ChangeEvent]
+    // ingest through the external-source seam: the landed-file spec is
+    // the test implementation; a CdcSource.kafkaTopic spec (+
+    // parseEnvelope) slots in with no change downstream
+    val stream = CdcSource.loadStream(spark, SourceSpec("parquet",
+      Map("path" -> tmp, "maxFilesPerTrigger" -> "1"), Some(schema))).as[ChangeEvent]
     val qname = "cdc_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = stream.groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents)
@@ -129,8 +132,9 @@ object CdcStream {
     val tmp = Scratch.dir("graft_scd2_stream")
     CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(tmp)
     val schema = spark.read.parquet(tmp).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp).as[ChangeEvent]
+    // same seam-parameterized ingest as currentStateEmissions
+    val stream = CdcSource.loadStream(spark, SourceSpec("parquet",
+      Map("path" -> tmp, "maxFilesPerTrigger" -> "1"), Some(schema))).as[ChangeEvent]
     val qname = "scd2_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = stream.groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(scd2Fold)
@@ -146,7 +150,12 @@ object CdcStream {
     spark.table(qname)
       .withColumn("maxtag", max(col("tag")).over(wt))
       .filter(col("tag") === col("maxtag"))
-      .dropDuplicates("id", "valid_from")
+      // replay-safe dedupe on the FULL version identity: within one fold's
+      // emission rows are already distinct, so only exact re-emissions of
+      // the same fold (sink-append replays) can duplicate — key-level
+      // dedupe on (id, valid_from) would instead collapse two legitimate
+      // versions that share ts_ms
+      .dropDuplicates("id", "custkey", "status", "valid_from", "valid_to_raw", "tag")
       .select(col("id"), col("custkey"), col("status"), col("valid_from"),
         when(col("valid_to_raw") < 0, lit(null).cast("long"))
           .otherwise(col("valid_to_raw")).as("valid_to"),
@@ -294,10 +303,11 @@ object CdcStream {
     import spark.implicits._
     org.apache.spark.sql.graft.Bridge.register(spark)
     val tmp = Scratch.dir("graft_mh_stream")
-    // persisted: the verification join reads both sides from this cache
-    // (cleared by Verify/Bench at pipeline exit)
+    // eager localCheckpoint: the verification join reads both sides
+    // from the materialized blocks, released by the ContextCleaner when
+    // the plan is dereferenced
     val sh = graft.operators.DedupSuite.shingleSets(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     graft.operators.DedupSuite.minhashBands(sh)
       .select(concat_ws("|", col("band"), col("bucket")).as("k"), col("doc_id"),
         // constant event time: the replayed corpus is one instant of the
@@ -514,7 +524,7 @@ object CdcStream {
     val per = spark.table(qname)
       .groupBy(col("source"))
       .agg(max(col("n_docs")).as("n_docs"), max(col("n_tokens")).as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).cast("long").as("k"))
     per.crossJoin(broadcast(tot))
