@@ -242,7 +242,8 @@ object LlmExtra {
     // in corpus bytes at any scale.
     "text_pii_scan" -> { (s, d) =>
       val id = col("doc_id")
-      val decorated = Tables.documents(s, d)
+      // regex-per-row dominates → spread the under-split fixture scan
+      val decorated = Tables.spread(s, Tables.documents(s, d))
         .withColumn("body", concat(
           col("text"),
           when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),

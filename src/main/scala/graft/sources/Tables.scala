@@ -15,6 +15,29 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a coarse scan across the session's cores before heavy
+    * per-row compute (md5/shingle/vector work). A single-row-group
+    * parquet file yields ONE scan task no matter what
+    * `maxPartitionBytes` says — the fixture lake is exactly that — so
+    * without this every per-document hash pipeline serializes on one
+    * core. On a real lake the scan already has ≥ parallelism splits
+    * and this is a no-op (no shuffle inserted); the round-robin
+    * repartition only fires when the source under-splits. Callers
+    * project BEFORE spreading so the shuffle carries only the columns
+    * the operator needs.
+    *
+    * Apply ONLY where per-row compute dominates (measured at sf0.1:
+    * text_fingerprint 1.35→0.85 s, text_contamination 1.34→0.94 s);
+    * scan+aggregate shapes get SLOWER because the inserted shuffle
+    * outweighs the map-side parallelism (q1 0.44→0.78 s,
+    * emb_centroid_drift 0.50→0.98 s — their heavy lifting already
+    * happens after their own exchange).
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
