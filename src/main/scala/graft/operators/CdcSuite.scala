@@ -206,6 +206,30 @@ object CdcSuite {
         .orderBy("id")
     },
 
+    "cdc_sink_upsert_script" -> { (s, d) =>
+      // The sink half of the I/O seam as data (ref: postgresql-sink.json
+      // insert.mode=upsert + delete rewrite): latest event per key →
+      // the exact statement the JDBC sink would execute, values inlined
+      // (recon_repair's emit-DML-as-rows contract — the script stays
+      // distributed and writes straight to a text sink; the ?-template
+      // prepared-statement form lives in CdcSink.upsertTemplate). One
+      // key-shuffle for the compaction, then a narrow projection.
+      val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("ts_ms"))
+      def esc(c: Column): Column = regexp_replace(c, "'", "''")
+      changeLog(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"),
+          when(col("op") === "d", concat(
+            lit("DELETE FROM \"orders_target\" WHERE \"id\" = "), col("id"), lit(";")))
+          .otherwise(concat(
+            lit("INSERT INTO \"orders_target\" (\"id\", \"custkey\", \"status\") VALUES ("),
+            col("id"), lit(", "), col("custkey"), lit(", '"), esc(col("status")),
+            lit("') ON CONFLICT (\"id\") DO UPDATE SET \"custkey\" = EXCLUDED.\"custkey\", \"status\" = EXCLUDED.\"status\";")))
+          .as("stmt"))
+        .orderBy("id")
+    },
+
     "cdc_bootstrap_merge" -> { (s, d) =>
       // snapshot + streaming tail — the real pipeline's bootstrap
       // (ref: Debezium initial-snapshot mode feeding the same sink as
@@ -409,6 +433,21 @@ object CdcSuite {
          |  FROM ($LogSql) log)
          |SELECT id, custkey, status FROM ranked
          |WHERE rn = 1 AND op <> 'd'
+         |ORDER BY id""".stripMargin,
+
+    "cdc_sink_upsert_script" ->
+      s"""WITH ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC, ts_ms DESC) AS rn
+         |  FROM ($LogSql) log)
+         |SELECT id,
+         |  CASE WHEN op = 'd' THEN
+         |    'DELETE FROM "orders_target" WHERE "id" = ' || id || ';'
+         |  ELSE
+         |    'INSERT INTO "orders_target" ("id", "custkey", "status") VALUES ('
+         |      || id || ', ' || custkey || ', ''' || replace(status, '''', '''''')
+         |      || ''') ON CONFLICT ("id") DO UPDATE SET "custkey" = EXCLUDED."custkey", "status" = EXCLUDED."status";'
+         |  END AS stmt
+         |FROM ranked WHERE rn = 1
          |ORDER BY id""".stripMargin,
 
     // the seam roundtrip must land exactly where the in-memory log
