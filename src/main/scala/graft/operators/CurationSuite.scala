@@ -132,34 +132,48 @@ object CurationSuite {
     // never the corpus square.
     "dedup_fuzzy_levenshtein" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
-      val text = DedupSuite.corpusWithDups(s, d)
+      // spread: the per-word md5 signature AND the per-pair banded
+      // levenshtein verify both inherit this frame's partitioning via
+      // the joins below — 2 fixture tasks would serialize the O(k·len)
+      // edit-distance work
+      val text = graft.sources.Tables.spread(s, DedupSuite.corpusWithDups(s, d))
       val docs = text
         .withColumn("words", array_distinct(split(lower(col("text")), " ")))
         .withColumn("whs", expr(
           "transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
         .withColumn("simhash", expr("simhash60(whs)"))
-        .select(col("doc_id"), col("simhash"))
-      val chunks = docs.select(col("doc_id"),
+        .select(col("doc_id"), col("simhash"), length(col("text")).as("len"))
+      val chunks = docs.select(col("doc_id"), col("len"),
           posexplode(expr(
             "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
         .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
         .transform(DedupSuite.gateHotBuckets(_, Seq("chunk_idx", "chunk")))
         .localCheckpoint()
+      // |len(a) - len(b)| is an exact lower bound on edit distance, and
+      // len rides the band rows (8 bytes) — so hopeless pairs die IN the
+      // join, before the pair dedup and the two text joins ever shuffle
+      // them. Then the THRESHOLD levenshtein computes only the ±30 band
+      // (O(k·len), returns -1 beyond) instead of the full matrix — same
+      // results, 30×+ less arithmetic; without these gates this query
+      // was 400 s at sf0.1 (chunk collisions × full-matrix distance).
       chunks.as("a").join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))
+        .filter(abs(col("a.len") - col("b.len")) <= 30)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
         .join(text.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(text.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        // |len(a) - len(b)| is an exact lower bound on edit distance:
-        // prune hopeless pairs before any O(len²) work. Then the
-        // THRESHOLD levenshtein computes only the ±30 band (O(k·len),
-        // returns -1 beyond) instead of the full matrix — same results,
-        // 30×+ less arithmetic; without these two gates this query was
-        // 400 s at sf0.1 (chunk collisions × full-matrix distance).
-        .filter(abs(length(col("text_a")) - length(col("text_b"))) <= 30)
-        .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b"), 30))
+        // AQE coalesces the join output by BYTES (≈3 partitions for the
+        // ~0.5M surviving pairs), but the next projection is CPU-bound
+        // O(k·len) per row — force it wide or the edit-distance loop
+        // runs on 3 of 32 cores
+        .repartition(s.sparkContext.defaultParallelism)
+        // native leven_band: bit-equal to levenshtein(a, b, 30)
+        // (LevenBandSpec) with thread-local DP rows and an ASCII byte
+        // fast path — the builtin allocates per call at ~220 µs/pair,
+        // which IS this operator's leading cost at any scale
+        .withColumn("edit_dist", expr("leven_band(text_a, text_b, 30)"))
         .filter(col("edit_dist") >= 0 && col("edit_dist") <= 30)
         .select("doc_a", "doc_b", "edit_dist")
         .orderBy("doc_a", "doc_b")

@@ -99,7 +99,11 @@ object DedupSuite {
     */
   private[graft] def shingleSets(s: SparkSession, d: String): DataFrame = {
     org.apache.spark.sql.graft.Bridge.register(s)
-    corpusWithDups(s, d)
+    // spread: everything downstream (shingle build, minhash_sigs md5
+    // loops) is per-row compute keyed to THIS frame's partitioning —
+    // the fixture union gives it 2 tasks otherwise (no-op on a
+    // well-split lake)
+    Tables.spread(s, corpusWithDups(s, d))
       .withColumn("ws", split(lower(col("text")), " "))
       .filter(size(col("ws")) >= 3)
       .withColumn("shingles", expr(ShinglesExpr))
@@ -197,7 +201,9 @@ object DedupSuite {
       // interpreted and is ~10× slower); candidates share one of four
       // 15-bit chunks; verified by Hamming distance ≤ 6.
       org.apache.spark.sql.graft.Bridge.register(s)
-      val docs = corpusWithDups(s, d)
+      // spread: the per-word md5 + simhash fold is per-row compute on
+      // an under-split (2-task) fixture union
+      val docs = Tables.spread(s, corpusWithDups(s, d))
         .withColumn("words", array_distinct(split(lower(col("text")), " ")))
         .withColumn("whs", expr(
           "transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
@@ -219,8 +225,12 @@ object DedupSuite {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .dropDuplicates("doc_a", "doc_b")
+        // hamming is join-local (no extra lookup), so verify BEFORE the
+        // pair dedup: the dropDuplicates shuffle then carries only
+        // passing pairs, not every chunk collision (3.5M → 1.4M rows at
+        // sf0.1, 3.4 s → 2.3 s; the gap widens with bucket skew)
         .filter(col("hamming") <= 6)
+        .dropDuplicates("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     },
 

@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.graft.GramHashes60].getName, "gram_hashes60"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.GramHashes60(
         exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("leven_band"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.LevenBand].getName, "leven_band"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.LevenBand(
+        exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int])))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
     // composed array_min(transform(xs, md5-60)) → fused Hash60Min

@@ -48,5 +48,10 @@ object Bridge {
       (exprs: Seq[Expression]) =>
         GramHashes60(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "leven_band",
+      (exprs: Seq[Expression]) =>
+        LevenBand(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }
