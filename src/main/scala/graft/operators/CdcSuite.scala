@@ -138,6 +138,25 @@ object CdcSuite {
       lit("}")).as("envelope"))
   }
 
+  /** Dual-image envelopes carrying the source.seq ordering block, as
+    * line-per-event `value` strings — the feed shape the external-source
+    * seam ingests (shared by cdc_source_roundtrip and its streaming twin
+    * stream_source_envelope).
+    */
+  private[graft] def envelopeFeedLines(s: SparkSession, d: String): DataFrame = {
+    def image(ck: String, st: String): Column =
+      when(col(st).isNull, lit("null")).otherwise(concat(
+        lit("{\"id\":"), col("id"), lit(",\"custkey\":"), col(ck),
+        lit(",\"status\":\""), col(st), lit("\"}")))
+    changeLogBI(s, d)
+      .select(concat(
+        lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
+        lit(",\"source\":{\"seq\":"), col("seq"), lit("}"),
+        lit(",\"before\":"), image("b_custkey", "b_status"),
+        lit(",\"after\":"), image("a_custkey", "a_status"),
+        lit("}")).as("value"))
+  }
+
   /** from_json schema for the dual-image envelope. */
   private val BISchema = StructType(Seq(
     StructField("op", StringType), StructField("ts_ms", LongType),
@@ -187,18 +206,7 @@ object CdcSuite {
       // downstream; the result must equal cdc_apply_latest's oracle.
       import graft.sources.{CdcSource, Scratch}
       val feedDir = Scratch.dir("graft_cdc_feed")
-      def image(ck: String, st: String): Column =
-        when(col(st).isNull, lit("null")).otherwise(concat(
-          lit("{\"id\":"), col("id"), lit(",\"custkey\":"), col(ck),
-          lit(",\"status\":\""), col(st), lit("\"}")))
-      changeLogBI(s, d)
-        .select(concat(
-          lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
-          lit(",\"source\":{\"seq\":"), col("seq"), lit("}"),
-          lit(",\"before\":"), image("b_custkey", "b_status"),
-          lit(",\"after\":"), image("a_custkey", "a_status"),
-          lit("}")).as("value"))
-        .repartition(4).write.mode("overwrite").text(feedDir)
+      envelopeFeedLines(s, d).repartition(4).write.mode("overwrite").text(feedDir)
       val feed = CdcSource.load(s, CdcSource.fileEnvelopeFeed(feedDir))
       graft.api.Graft.cdcApplyLatest(
           CdcSource.parseEnvelope(feed), Seq("id"), Seq("seq", "ts_ms"))

@@ -569,8 +569,42 @@ object CdcStream {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Streaming ingest through the external-source seam end-to-end: the
+    * Kafka-shaped envelope feed (line-per-event `value` strings) is
+    * consumed under `readStream`, decoded by the SHARED
+    * CdcSource.parseEnvelope, and folded by the same per-key state
+    * machine as cdc_stream_apply — proving the seam's batch and
+    * streaming paths agree (swap in CdcSource.kafkaTopic and nothing
+    * downstream changes). Result equals cdc_apply_latest's oracle.
+    */
+  def sourceEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Scratch.dir("graft_env_stream")
+    CdcSuite.envelopeFeedLines(spark, dir)
+      .repartition(4).write.mode("overwrite").text(tmp)
+    val spec = CdcSource.fileEnvelopeFeed(tmp)
+    val stream = CdcSource.loadStream(spark,
+      spec.copy(options = spec.options + ("maxFilesPerTrigger" -> "1")))
+    val events = CdcSource.parseEnvelope(stream).as[ChangeEvent]
+    val qname = "env_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = events.groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents)
+      .toDF("id", "custkey", "status", "op", "seq")
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
+    spark.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("id"), col("custkey"), col("status"))
+      .orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
+    "stream_source_envelope" -> ((s, d) => sourceEnvelope(s, d)),
     "stream_scd2" -> ((s, d) => scd2(s, d)),
     "stream_compact_log" -> ((s, d) => compactLog(s, d)),
     "stream_windowed_agg" -> ((s, d) => windowedCounts(s, d)),
@@ -587,6 +621,7 @@ object CdcStream {
     */
   def oracles: Map[String, String] = Map(
     "cdc_stream_apply" -> CdcSuite.oracles("cdc_apply_latest"),
+    "stream_source_envelope" -> CdcSuite.oracles("cdc_apply_latest"),
     "stream_scd2" -> CdcSuite.oracles("cdc_scd2_build"),
     "stream_compact_log" -> CdcSuite.oracles("cdc_compact_log"),
     "stream_windowed_agg" ->
