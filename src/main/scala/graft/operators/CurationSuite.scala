@@ -162,13 +162,18 @@ object CurationSuite {
         .filter(abs(col("a.len") - col("b.len")) <= 30)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
+        // widen the candidate pairs BEFORE the broadcast text joins: AQE
+        // coalesces the dedup shuffle by BYTES (≈3 partitions for ~0.5M
+        // 16-byte pairs), the broadcast joins preserve that partitioning,
+        // and Catalyst pushes the edit-distance filter into the join
+        // probe — so the O(k·len) verify would run on 3 of 32 cores. An
+        // explicit (AQE-exempt) repartition of the tiny pair rows makes
+        // the probe — and with it the leven evaluation — 32-wide; the
+        // pushed filter then prunes to result rows before anything
+        // text-sized shuffles.
+        .repartition(s.sparkContext.defaultParallelism)
         .join(text.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(text.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        // AQE coalesces the join output by BYTES (≈3 partitions for the
-        // ~0.5M surviving pairs), but the next projection is CPU-bound
-        // O(k·len) per row — force it wide or the edit-distance loop
-        // runs on 3 of 32 cores
-        .repartition(s.sparkContext.defaultParallelism)
         // native leven_band: bit-equal to levenshtein(a, b, 30)
         // (LevenBandSpec) with thread-local DP rows and an ASCII byte
         // fast path — the builtin allocates per call at ~220 µs/pair,

@@ -178,6 +178,26 @@ class ExtendedSpec extends SparkSpecBase {
     assert(!span.contains("Join"), s"span dedup must stay join-free:\n$span")
   }
 
+  test("round-5 plan shapes hold: sink compaction top-1, native leven in fuzzy verify") {
+    def plan(q: String): String = {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // the sink statement stream compacts per key with a partial top-1,
+    // same property as cdc_compact_log
+    assert(plan("cdc_sink_upsert_script").contains("WindowGroupLimit"),
+      "sink script compaction must plan a WindowGroupLimit partial top-1")
+    // the seam roundtrip applies LWW through the same windowed top-1
+    assert(plan("cdc_source_roundtrip").contains("WindowGroupLimit"),
+      "seam roundtrip apply must keep the WindowGroupLimit partial top-1")
+    // fuzzy dedup's verify runs the native banded expression, not the
+    // allocating builtin
+    val fuzzy = plan("dedup_fuzzy_levenshtein")
+    assert(fuzzy.contains("leven_band"),
+      s"fuzzy verify must use the native leven_band expression:\n$fuzzy")
+  }
+
   test("layout compaction: lossless, 64 files in, 4 files out") {
     val r = graft.operators.OpsSuite.queries("layout_compaction")(spark, sf).collect().head
     assert(r.getAs[String]("status") == "COMPACTED")
