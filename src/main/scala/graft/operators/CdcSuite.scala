@@ -120,13 +120,16 @@ object CdcSuite {
     * and the DLQ router.
     */
   private def envelopeAfter(s: SparkSession, d: String): DataFrame =
-    changeLog(s, d).select(col("id"), concat(
+    // spread: JSON envelope build (+ the from_json decode downstream) is
+    // per-row compute on an under-split fixture scan
+    Tables.spread(s, changeLog(s, d)).select(col("id"), concat(
       lit("{\"op\":\""), col("op"), lit("\",\"ts_ms\":"), col("ts_ms"),
       lit(",\"after\":{\"id\":"), col("id"), lit(",\"custkey\":"), col("custkey"),
       lit(",\"status\":\""), col("status"), lit("\"}}")).as("envelope"))
 
   private def envelopeBI(s: SparkSession, d: String): DataFrame = {
-    val log = changeLogBI(s, d)
+    // spread: same per-row JSON compute rationale as envelopeAfter
+    val log = Tables.spread(s, changeLogBI(s, d))
     def image(ck: String, st: String): Column =
       when(col(st).isNull, lit("null")).otherwise(concat(
         lit("{\"id\":"), col("id"), lit(",\"custkey\":"), col(ck),
