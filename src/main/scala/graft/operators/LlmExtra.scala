@@ -127,6 +127,47 @@ object LlmExtra {
         .orderBy("vec_id")
     },
 
+    // Exact cross-dimension covariance, top pairs by magnitude — the
+    // feature-correlation / anisotropy diagnostic an embedding pipeline
+    // runs before an index build or a whitening step (two highly
+    // covarying dimensions mean the encoder wastes capacity; a dominant
+    // block signals collapse). ENGINE-PORTABLY exact: coordinates
+    // quantize to 1e4 fixed point, the pair sums are exact BIGINTs
+    // (|q|≤2^13, products ≤2^26·n — no overflow in either engine), and
+    // the covariance closed form does its one double division at the
+    // end. One explode of the 2080 (i≤j) pair products per row with
+    // map-side combine — the shuffle carries ≤ 2080·partitions rows at
+    // any corpus size; per-dim sums ride the SAME pass via the i=j
+    // diagonal, then broadcast-join back onto the pair rollup.
+    "emb_covariance_top" -> { (s, d) =>
+      val q = Tables.spread(s, Tables.embeddings(s, d))
+        .withColumn("qx", expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+      val pairs = q.select(explode(expr(
+          """flatten(transform(sequence(1, 64), i ->
+            |  transform(sequence(i, 64), j -> struct(i AS i, j AS j,
+            |    element_at(qx, i) * element_at(qx, j) AS p))))""".stripMargin)).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
+      val dims = q.select(posexplode(col("qx")))
+        .groupBy((col("pos") + 1).as("k"))
+        .agg(sum(col("col")).as("sx"))
+      pairs
+        .join(broadcast(dims.select(col("k").as("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(dims.select(col("k").as("j"), col("sx").as("sx_j"))), "j")
+        .filter(col("i") < col("j"))
+        // i/j as BIGINT to match DuckDB's range() element type (the
+        // driver hash is type-sensitive); the (n·Sxy − Sx·Sy) numerator
+        // stays an exact BIGINT until the single closed-form division
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          floor((col("n") * col("sxy") - col("sx_i") * col("sx_j")).cast("double")
+            / (col("n").cast("double") * col("n").cast("double") * lit(1e8))
+            * lit(1e6) + lit(0.5)).cast("long").as("cov_e6"))
+        .orderBy(abs(col("cov_e6")).desc, col("i"), col("j"))
+        .limit(20)
+    },
+
     // Distribution-drift monitor between two ingest cohorts (vec_id
     // parity stands in for before/after batches): per-label centroid on
     // each side, then the cosine between the paired centroids — the
@@ -536,6 +577,27 @@ object LlmExtra {
         |  FLOOR(CAST(n_rare AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS rare_frac,
         |  n_rare > 0 AS has_rare_words
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "emb_covariance_top" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qx
+        |  FROM embeddings),
+        |ks AS (SELECT unnest(range(1, 65)) AS k),
+        |p AS (
+        |  SELECT ti.k AS i, tj.k AS j,
+        |    CAST(SUM(qx[ti.k] * qx[tj.k]) AS BIGINT) AS sxy, COUNT(*) AS n
+        |  FROM q, ks ti, ks tj
+        |  WHERE ti.k < tj.k GROUP BY ti.k, tj.k),
+        |d AS (
+        |  SELECT k, CAST(SUM(qx[k]) AS BIGINT) AS sx
+        |  FROM q, ks GROUP BY k)
+        |SELECT p.i AS i, p.j AS j,
+        |  CAST(FLOOR(CAST(n * sxy - di.sx * dj.sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e8) * 1e6 + 0.5) AS BIGINT) AS cov_e6
+        |FROM p JOIN d di ON di.k = p.i JOIN d dj ON dj.k = p.j
+        |ORDER BY abs(cov_e6) DESC, i, j
+        |LIMIT 20""".stripMargin,
 
     "emb_health" ->
       """WITH e AS (

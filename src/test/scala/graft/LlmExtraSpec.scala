@@ -215,6 +215,27 @@ class LlmExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("emb_covariance_top: 20 strongest i<j pairs, ranked, value matches driver compute") {
+    val rows = LlmExtra.queries("emb_covariance_top")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[Long]("i") < r.getAs[Long]("j")))
+    val mags = rows.map(r => math.abs(r.getAs[Long]("cov_e6")))
+    assert(mags.sameElements(mags.sorted.reverse), "ranked by |cov| descending")
+    // exact recompute of the top pair on the driver (same fixed-point rule)
+    val top = rows.head
+    val (ti, tj) = (top.getAs[Long]("i").toInt, top.getAs[Long]("j").toInt)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 10000 + 0.5).toLong))
+    val n = vecs.length.toLong
+    val sxy = vecs.map(v => v(ti - 1) * v(tj - 1)).sum
+    val sxi = vecs.map(_(ti - 1)).sum
+    val sxj = vecs.map(_(tj - 1)).sum
+    val expected = math.floor((n * sxy - sxi * sxj).toDouble / (n.toDouble * n * 1e8) * 1e6 + 0.5).toLong
+    assert(top.getAs[Long]("cov_e6") == expected,
+      s"top covariance ($ti,$tj): got ${top.getAs[Long]("cov_e6")}, expected $expected")
+  }
+
   test("emb_centroid_drift: one row per label, cosine bounded, counts partition the table") {
     val rows = LlmExtra.queries("emb_centroid_drift")(spark, sf).collect()
     val labels = graft.sources.Tables.embeddings(spark, sf)
