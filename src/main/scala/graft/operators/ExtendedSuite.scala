@@ -678,6 +678,100 @@ object ExtendedSuite {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
         .orderBy("returnflag", "linestatus")
+    },
+
+    "events_attribution" -> { (s, d) =>
+      // Last-touch attribution: each purchase credits the most recent
+      // prior non-purchase event (its "channel"); purchases with no
+      // prior touch are 'direct'. One window sort on user_id carries
+      // the whole computation — the IGNORE-NULLS last() streams over
+      // the frame, no per-user buffering — then a tiny channel rollup
+      // with map-side combine. Revenue goes through the fixed-point
+      // dsum so both engines sum exact integers.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+        .orderBy("channel")
+    },
+
+    "events_markov" -> { (s, d) =>
+      // First-order Markov transition matrix over per-user event
+      // sequences — the behavioral fingerprint behind path mining and
+      // anomaly scoring. lead() shares one window sort on user_id;
+      // the (src,dst) rollup is 25 cells at any corpus size, so the
+      // per-src normalizing window is ~free. Probabilities are exact
+      // integer ppm (floor division on BIGINTs) — no doubles to
+      // diverge between engines.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val wsrc = Window.partitionBy(col("src"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_ppm", expr("n * 1000000 div sum(n) over (partition by src)"))
+        .select(col("src"), col("dst"), col("n"), col("p_ppm"))
+        .orderBy("src", "dst")
+    },
+
+    "events_ks_drift" -> { (s, d) =>
+      // Two-sample Kolmogorov–Smirnov drift between user cohorts
+      // (even/odd user_id stands in for before/after deploy), per
+      // event type: D = max |ECDF_a − ECDF_b| over the value
+      // distribution. Values quantize to integer cents, the ECDF gap
+      // is the exact cross-multiplied integer |cum_a·n_b − cum_b·n_a|
+      // (one double never appears until the final ppm), and the whole
+      // statistic is one group-by plus one window over the ~distinct
+      // cents — never a sort of the raw events. Products stay under
+      // 2^60 to well past 10^8 events per type per cohort.
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val wt = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          (col("user_id") % 2).as("g"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
+        .withColumn("cum_a", sum(col("ca")).over(wc))
+        .withColumn("cum_b", sum(col("cb")).over(wc))
+        .withColumn("n_a", sum(col("ca")).over(wt))
+        .withColumn("n_b", sum(col("cb")).over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("dnum"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          expr("dnum * 1000000 div (n_a * n_b)").as("ks_ppm"))
+        .orderBy("event_type")
+    },
+
+    "events_rolling_active" -> { (s, d) =>
+      // Trailing 7-day active users per day — the rolling-distinct
+      // that a naive RANGE window can't do (distinct isn't
+      // decomposable). Scale shape: dedup to (user, day) first (the
+      // only corpus-sized shuffle), explode each activity day into the
+      // ≤7 window-days it serves (constant fan-out), then
+      // count-distinct per window-day. Cost is 7× the DAILY actives,
+      // never a self-join of days × events.
+      val daily = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      val dau = daily.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val win = daily
+        .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("active_7d"))
+      dau.join(win, Seq("day")).orderBy("day")
     }
   )
 
@@ -954,6 +1048,70 @@ object ExtendedSuite {
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM e)
+        |SELECT COALESCE(channel, 'direct') AS channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+        |    AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_markov" ->
+      """WITH e AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst
+        |  FROM events),
+        |t AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM e
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  CAST(n * 1000000 // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)
+        |       AS BIGINT) AS p_ppm
+        |FROM t ORDER BY src, dst""".stripMargin,
+
+    "events_ks_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    user_id % 2 AS g
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, cents,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM e GROUP BY event_type, cents),
+        |w AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum_b,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+        |  FROM c)
+        |SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |  CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) * 1000000
+        |       // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS ks_ppm
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_rolling_active" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM daily GROUP BY day),
+        |ex AS (
+        |  SELECT day + s.i AS day, user_id
+        |  FROM daily, (SELECT unnest(range(0, 7)) AS i) s),
+        |win AS (SELECT day, COUNT(DISTINCT user_id) AS active_7d FROM ex GROUP BY day)
+        |SELECT dau.day AS day, dau, active_7d
+        |FROM dau JOIN win USING (day) ORDER BY day""".stripMargin,
 
     // q_approx_distinct: rows-only (HLL sketch internals are engine-specific)
     // dedup_cluster: oracle via recursive CTE

@@ -436,4 +436,81 @@ class ExtendedSpec extends SparkSpecBase {
       && r.getAs[String]("linestatus") != "ALL")
     assert(cells.map(_.getAs[Long]("n")).sum == grand.getAs[Long]("n"))
   }
+
+  test("events_attribution: purchases partition across channels, revenue exact") {
+    val rows = graft.operators.ExtendedSuite.queries("events_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime, r.getString(3), r.getDouble(4)))
+    // driver recompute: last non-purchase type strictly before each purchase
+    val expected = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.zipWithIndex.collect { case (e, i) if e._4 == "purchase" =>
+        val ch = sorted.take(i).reverseIterator
+          .find(_._4 != "purchase").map(_._4).getOrElse("direct")
+        (ch, math.floor(e._5 * 10000 + 0.5).toLong)
+      }
+    }.toSeq.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum / 10000.0)).toMap
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == expected.values.map(_._1).sum)
+    rows.foreach { r =>
+      val (n, rev) = expected(r.getAs[String]("channel"))
+      assert(r.getAs[Long]("n_purchases") == n)
+      assert(math.abs(r.getAs[Double]("revenue") - rev) < 1e-6)
+    }
+  }
+
+  test("events_markov: per-src probabilities sum to ~1e6, counts match transitions") {
+    val rows = graft.operators.ExtendedSuite.queries("events_markov")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.events(spark, sf).count()
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total - users,
+      "every event but each user's last contributes one transition")
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val ppm = rs.map(_.getAs[Long]("p_ppm")).sum
+      // floor division loses < 1 ppm per dst cell
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length,
+        s"$src: probabilities sum to $ppm")
+    }
+  }
+
+  test("events_ks_drift: KS statistic bounded, matches driver ECDF recompute") {
+    val rows = graft.operators.ExtendedSuite.queries("events_ks_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ks_ppm") >= 0 && r.getAs[Long]("ks_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    // exact recompute of one event type's statistic on the driver
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("value", "user_id").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong, r.getLong(1) % 2))
+    val (a, b) = (ev.filter(_._2 == 0).map(_._1).sorted, ev.filter(_._2 == 1).map(_._1).sorted)
+    val cents = ev.map(_._1).distinct.sorted
+    val dnum = cents.map(c => math.abs(
+      a.count(_ <= c).toLong * b.length - b.count(_ <= c).toLong * a.length)).max
+    val expect = dnum * 1000000L / (a.length.toLong * b.length)
+    val got = rows.find(_.getAs[String]("event_type") == "purchase").get
+    assert(got.getAs[Long]("ks_ppm") == expect, s"purchase KS: got ${got.getAs[Long]("ks_ppm")}, expected $expect")
+  }
+
+  test("events_rolling_active: trailing 7-day actives dominate DAU, bounded by user count") {
+    val rows = graft.operators.ExtendedSuite.queries("events_rolling_active")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val byDay = rows.map(r => r.getAs[Long]("day") ->
+      (r.getAs[Long]("dau"), r.getAs[Long]("active_7d"))).toMap
+    byDay.foreach { case (day, (dau, a7)) =>
+      assert(dau <= a7 && a7 <= users, s"day $day: $dau <= $a7 <= $users")
+      // window actives never exceed the sum of the 7 member DAUs
+      val memberSum = (day - 6 to day).flatMap(byDay.get).map(_._1).sum
+      assert(a7 <= memberSum, s"day $day: active_7d $a7 > member DAU sum $memberSum")
+    }
+  }
 }
