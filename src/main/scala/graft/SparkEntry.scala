@@ -18,7 +18,7 @@ object SparkEntry {
       CdcSuite.queries ++ graft.streaming.CdcStream.queries ++
       TextSuite.queries ++ DedupSuite.queries ++ AnnSuite.queries ++ LlmExtra.queries ++
       MultimodalSuite.queries ++ ExtendedSuite.queries ++ OpsSuite.queries ++
-      SafetySuite.queries ++ CurationSuite.queries
+      SafetySuite.queries ++ CurationSuite.queries ++ GraphSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       CdcSuite.oracles ++ graft.streaming.CdcStream.oracles ++
       TextSuite.oracles ++ DedupSuite.oracles ++ AnnSuite.oracles ++ LlmExtra.oracles ++
       MultimodalSuite.oracles ++ ExtendedSuite.oracles ++ OpsSuite.oracles ++
-      SafetySuite.oracles ++ CurationSuite.oracles
+      SafetySuite.oracles ++ CurationSuite.oracles ++ GraphSuite.oracles
 }
