@@ -663,6 +663,51 @@ object ReconSuite {
           col("s.rows").as("source_rows"), col("t.rows").as("target_rows"),
           when(col("s.ck") === col("t.ck"), lit("MATCH")).otherwise(lit("MISMATCH")).as("status"))
         .orderBy("table_name")
+    },
+
+    "recon_bisect" -> { (s, d) =>
+      // Contiguous-range drill-down — the recon workflow a DBA runs by
+      // hand (checksum → halve → row-level), as two bounded passes:
+      // pass 1 checksums 32 equal slices of the SOURCE key domain per
+      // side (map-side combine; the shuffle moves 32 cells); pass 2
+      // re-checksums at 8× finer granularity ONLY rows inside slices
+      // that disagreed, pruned by a broadcast join on the parent cell
+      // (with persisted per-chunk checksums this prune becomes a
+      // pushable key-range predicate). Unlike the %32 chunk and merkle
+      // ops, the output is CLOSED KEY INTERVALS [lo_key, hi_key] —
+      // directly usable as row-level recon WHERE clauses. Bucket
+      // inversion is exact integer arithmetic (floor division both
+      // engines); target keys outside the source domain clamp into the
+      // edge slices, so injected EXTRA rows surface in the last cell.
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(min(col("o_orderkey")).as("lo"),
+        (max(col("o_orderkey")) - min(col("o_orderkey")) + 1).as("w"))
+      def cells(df: DataFrame, n: Int, pfx: String): DataFrame = df
+        .crossJoin(broadcast(bounds))
+        .groupBy(least(greatest(expr(s"((o_orderkey - lo) * $n) div w"), lit(0L)),
+          lit(n - 1L)).as("cell"))
+        .agg(checksumAgg(orowStr).as(s"${pfx}_ck"), count(lit(1)).as(s"${pfx}_rows"))
+      val bad = cells(o, 32, "src")
+        .join(cells(target(s, d), 32, "tgt"), Seq("cell"), "full_outer")
+        .filter(coalesce(col("src_ck"), lit(-1L)) =!= coalesce(col("tgt_ck"), lit(-1L)))
+        .select(col("cell").as("parent"))
+      // nested floor divs agree: (k*256 div w) div 8 = k*32 div w, so the
+      // fine cell's parent is exactly the coarse cell it drills into
+      def fine(df: DataFrame, pfx: String): DataFrame =
+        cells(df, 256, pfx)
+          .withColumn("parent", expr("cell div 8"))
+          .join(broadcast(bad), "parent")
+      fine(o, "src").drop("parent")
+        .join(fine(target(s, d), "tgt").drop("parent"), Seq("cell"), "full_outer")
+        .crossJoin(broadcast(bounds))
+        .select(col("cell"),
+          expr("lo + (cell * w + 255) div 256").as("lo_key"),
+          expr("lo + ((cell + 1) * w + 255) div 256 - 1").as("hi_key"),
+          coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+          coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
+          when(coalesce(col("src_ck"), lit(-1L)) === coalesce(col("tgt_ck"), lit(-1L)),
+            lit("MATCH")).otherwise(lit("MISMATCH")).as("status"))
+        .orderBy("cell")
     }
   )
 
@@ -1040,6 +1085,42 @@ object ReconSuite {
          |SELECT src.table_name AS table_name, src.rows_ AS source_rows, tgt.rows_ AS target_rows,
          |  CASE WHEN src.ck = tgt.ck THEN 'MATCH' ELSE 'MISMATCH' END AS status
          |FROM src JOIN tgt ON src.table_name = tgt.table_name
-         |ORDER BY table_name""".stripMargin
+         |ORDER BY table_name""".stripMargin,
+
+    "recon_bisect" ->
+      s"""WITH b AS (SELECT CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+         |             CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 AS BIGINT) AS w
+         |           FROM orders),
+         |tgt AS ($TargetSql),
+         |s0 AS (SELECT LEAST(GREATEST((o_orderkey - lo) * 32 // w, 0), 31) AS cell,
+         |         ${ckSql(orowSql)} AS ck
+         |       FROM orders, b GROUP BY 1),
+         |t0 AS (SELECT LEAST(GREATEST((o_orderkey - lo) * 32 // w, 0), 31) AS cell,
+         |         ${ckSql(orowSql)} AS ck
+         |       FROM tgt, b GROUP BY 1),
+         |bad AS (SELECT COALESCE(s0.cell, t0.cell) AS parent
+         |        FROM s0 FULL OUTER JOIN t0 ON s0.cell = t0.cell
+         |        WHERE COALESCE(s0.ck, -1) <> COALESCE(t0.ck, -1)),
+         |s1 AS (SELECT LEAST(GREATEST((o_orderkey - lo) * 256 // w, 0), 255) AS cell,
+         |         ${ckSql(orowSql)} AS ck, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM orders, b
+         |       WHERE LEAST(GREATEST((o_orderkey - lo) * 32 // w, 0), 31)
+         |             IN (SELECT parent FROM bad)
+         |       GROUP BY 1),
+         |t1 AS (SELECT LEAST(GREATEST((o_orderkey - lo) * 256 // w, 0), 255) AS cell,
+         |         ${ckSql(orowSql)} AS ck, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM tgt, b
+         |       WHERE LEAST(GREATEST((o_orderkey - lo) * 32 // w, 0), 31)
+         |             IN (SELECT parent FROM bad)
+         |       GROUP BY 1)
+         |SELECT COALESCE(s1.cell, t1.cell) AS cell,
+         |  CAST(lo + (COALESCE(s1.cell, t1.cell) * w + 255) // 256 AS BIGINT) AS lo_key,
+         |  CAST(lo + ((COALESCE(s1.cell, t1.cell) + 1) * w + 255) // 256 - 1 AS BIGINT)
+         |    AS hi_key,
+         |  COALESCE(s1.n, 0) AS src_rows, COALESCE(t1.n, 0) AS tgt_rows,
+         |  CASE WHEN COALESCE(s1.ck, -1) = COALESCE(t1.ck, -1) THEN 'MATCH'
+         |       ELSE 'MISMATCH' END AS status
+         |FROM s1 FULL OUTER JOIN t1 ON s1.cell = t1.cell CROSS JOIN b
+         |ORDER BY cell""".stripMargin
   )
 }

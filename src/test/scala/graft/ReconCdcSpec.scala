@@ -298,4 +298,42 @@ class ReconCdcSpec extends SparkSpecBase {
     assert(rows == Map("o_custkey" -> "MATCH", "o_orderpriority" -> "MATCH",
       "o_orderstatus" -> "MISMATCH"))
   }
+
+  test("recon_bisect narrows every fixture discrepancy into a MISMATCH key range") {
+    val rows = graft.operators.ReconSuite.queries("recon_bisect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val (lo, w) = (keys.min, keys.max - keys.min + 1)
+    def cell(k: Long, n: Long): Long = math.min(math.max((k - lo) * n / w, 0L), n - 1L)
+
+    // range bounds invert the bucket function exactly
+    rows.foreach { r =>
+      val (c, lk, hk) = (r.getAs[Long]("cell"), r.getAs[Long]("lo_key"), r.getAs[Long]("hi_key"))
+      assert(lk <= hk, s"cell $c: empty range")
+      assert(cell(lk, 256) == c && cell(hk, 256) == c, s"cell $c bounds don't invert")
+    }
+    // only children of mismatched parents are emitted, 8 per parent
+    val byParent = rows.groupBy(_.getAs[Long]("cell") / 8)
+    byParent.foreach { case (p, rs) =>
+      assert(rs.length == 8, s"parent $p: expected all 8 children, got ${rs.length}")
+      assert(rs.exists(_.getAs[String]("status") == "MISMATCH"),
+        s"parent $p emitted but no child mismatches")
+    }
+    // every fixture discrepancy key lands in a MISMATCH range; every
+    // MATCH range's source count equals the actual key count in range
+    val status = rows.map(r => r.getAs[Long]("cell") -> r.getAs[String]("status")).toMap
+    val discrepant =
+      keys.filter(_ % 97 == 0) ++                            // MISSING
+        keys.filter(k => k % 89 == 0 && k % 97 != 0) ++      // MODIFIED
+        keys.filter(_ % 101 == 0).map(_ + 100000000L)        // EXTRA (clamped)
+    discrepant.foreach { k =>
+      assert(status.get(cell(k, 256)).contains("MISMATCH"),
+        s"discrepant key $k not inside a MISMATCH range")
+    }
+    rows.filter(_.getAs[String]("status") == "MATCH").foreach { r =>
+      val n = keys.count(k => k >= r.getAs[Long]("lo_key") && k <= r.getAs[Long]("hi_key"))
+      assert(r.getAs[Long]("src_rows") == n, s"cell ${r.getAs[Long]("cell")}: src_rows")
+    }
+  }
 }
