@@ -338,6 +338,40 @@ object DedupSuite {
         .filter(col("rk") <= 3)
         .select(col("label_a").as("label"), col("vec_a"), col("vec_b"), col("cos"), col("rk"))
         .orderBy("label", "rk")
+    },
+
+    "dedup_keep_best" -> { (s, d) =>
+      // Canonical selection — the step AFTER duplicate detection: when
+      // copies span sources, production pipelines keep the most trusted
+      // PROVENANCE, not the smallest id (curated > crawl sources >
+      // mirror dumps). The fixture re-sources the injected copies so
+      // the policy demonstrably overrides min-id: copies of doc_id%20=0
+      // arrive as 'curated' (and win their group); the rest as 'mirror'
+      // (and lose). Shape = dedup_exact plus one policy window: one
+      // shuffle on the text hash, both window functions stream over the
+      // same sort, emitted mapping is duplicate-group members only.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("source",
+            when(col("doc_id") % 20 === 0, lit("curated")).otherwise(lit("mirror")))
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val ranked = corpus
+        .withColumn("h", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("prio", expr(
+          """CASE WHEN source = 'curated' THEN 0
+            |     WHEN source = 'mirror' THEN 1000
+            |     ELSE 1 + CAST(substr(source, 4, 8) AS BIGINT) END""".stripMargin))
+      val w = Window.partitionBy(col("h")).orderBy(col("prio"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wc = Window.partitionBy(col("h"))
+      ranked
+        .withColumn("keep_id", first(col("doc_id")).over(w))
+        .withColumn("n_copies", count(lit(1)).over(wc))
+        .filter(col("n_copies") > 1)
+        .select(col("doc_id"), col("source"), col("keep_id"), col("n_copies"),
+          when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("kept"))
+        .orderBy("doc_id")
     }
   )
 
@@ -495,6 +529,30 @@ object DedupSuite {
          |                                vec_a, vec_b) AS rk
          |  FROM pairs)
          |SELECT label, vec_a, vec_b, cos, rk FROM scored
-         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
+         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text,
+        |    CASE WHEN doc_id % 20 = 0 THEN 'curated' ELSE 'mirror' END
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |    CASE WHEN source = 'curated' THEN 0
+        |         WHEN source = 'mirror' THEN 1000
+        |         ELSE 1 + CAST(substr(source, 4, 8) AS BIGINT) END AS prio
+        |  FROM c),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    FIRST_VALUE(doc_id) OVER (PARTITION BY h ORDER BY prio, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id,
+        |    CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS n_copies
+        |  FROM r)
+        |SELECT doc_id, source, keep_id, n_copies,
+        |  CAST(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM g WHERE n_copies > 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -223,4 +223,23 @@ class LlmOpsSpec extends SparkSpecBase {
       assert(Set("image", "audio").contains(r.getAs[String]("media_type")))
     }
   }
+
+  test("dedup_keep_best: provenance policy overrides min-id exactly where it should") {
+    val rows = DedupSuite.queries("dedup_keep_best")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // groups are exactly the injected %10 pairs (the exact-dedup spec
+    // already proves there are no natural text collisions)
+    val groups = rows.groupBy(r => math.min(r.getAs[Long]("doc_id"),
+      r.getAs[Long]("doc_id") % 1000000L))
+    groups.foreach { case (orig, rs) =>
+      assert(rs.length == 2 && orig % 10 == 0)
+      assert(rs.map(_.getAs[Long]("kept")).sum == 1L, s"group $orig: exactly one canonical")
+      val expectedKeep = if (orig % 20 == 0) orig + 1000000L else orig
+      rs.foreach { r =>
+        assert(r.getAs[Long]("keep_id") == expectedKeep,
+          s"group $orig: curated copies must win, crawl copies must lose")
+        assert(r.getAs[Long]("n_copies") == 2L)
+      }
+    }
+  }
 }
