@@ -602,6 +602,83 @@ object CdcStream {
       .orderBy("id")
   }
 
+  /** Streaming last-touch attribution with per-user state across
+    * micro-batches — the live twin of events_attribution. The fold is
+    * ORDER-INSENSITIVE: state keeps the user's touches (non-purchase
+    * events) and purchases as (tus, event_id)-sorted vectors, and every
+    * trigger re-derives each purchase's channel by a scan of the touch
+    * vector, so any arrival interleaving converges to the batch answer;
+    * a generation counter marks each user's LATEST emission set (rows
+    * are only additive per trigger, so equal-count sets from different
+    * triggers could otherwise both survive — and a late-arriving touch
+    * can legitimately change an earlier purchase's channel).
+    *
+    * The finite replay keeps full per-user vectors (NoTimeout); a live
+    * feed bounds state with EventTimeTimeout: once the watermark passes
+    * a purchase's event time its attribution is final (no earlier touch
+    * can still arrive) — emit it into a per-channel accumulator and drop
+    * it — and all touches at-or-below the watermark compact to the
+    * single latest one, so retained state is O(lateness window), not
+    * O(user history).
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Scratch.dir("graft_attr_stream")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .as[(Long, Long, Long, String, Long)]
+    val qname = "attr_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long,
+         rows: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[(Vector[(Long, Long, String)], Vector[(Long, Long, Long)], Long)]) =>
+          val (touches0, purchases0, gen0) =
+            state.getOption.getOrElse((Vector.empty[(Long, Long, String)],
+              Vector.empty[(Long, Long, Long)], 0L))
+          var touches = touches0
+          var purchases = purchases0
+          rows.foreach { case (_, eid, tus, typ, v4) =>
+            if (typ == "purchase") purchases = purchases :+ ((tus, eid, v4))
+            else touches = touches :+ ((tus, eid, typ))
+          }
+          val ts = touches.sortBy(t => (t._1, t._2))
+          val ps = purchases.sortBy(p => (p._1, p._2))
+          val gen = gen0 + 1
+          state.update((ts, ps, gen))
+          // latest touch strictly before each purchase in (tus, eid) order
+          val attributed = ps.map { case (ptus, peid, v4) =>
+            val ch = ts.view
+              .takeWhile(t => t._1 < ptus || (t._1 == ptus && t._2 < peid))
+              .lastOption.map(_._3).getOrElse("direct")
+            (ch, v4)
+          }
+          attributed.groupBy(_._1).iterator.map { case (ch, xs) =>
+            (uid, ch, xs.size.toLong, xs.map(_._2).sum, gen)
+          }
+      }
+      .toDF("user_id", "channel", "n", "rev4", "gen")
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // each user's newest generation is their complete, current attribution
+    val w = Window.partitionBy(col("user_id"))
+    spark.table(qname)
+      .withColumn("mx", max(col("gen")).over(w))
+      .filter(col("gen") === col("mx"))
+      .groupBy(col("channel"))
+      .agg(sum(col("n")).as("n_purchases"),
+        (sum(col("rev4")).cast("double") / 10000.0).as("revenue"))
+      .orderBy("channel")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
     "stream_source_envelope" -> ((s, d) => sourceEnvelope(s, d)),
@@ -613,7 +690,8 @@ object CdcStream {
     "stream_recon_checksum" -> ((s, d) => reconChecksum(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_interval_join" -> ((s, d) => intervalJoin(s, d)),
-    "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d))
+    "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d)),
+    "stream_attribution" -> ((s, d) => attribution(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -651,6 +729,7 @@ object CdcStream {
         |  ON vuser = user_id AND vtus > ptus - 1800000000 AND vtus <= ptus
         |GROUP BY user_id, purchase_id, ptus
         |ORDER BY user_id, purchase_id""".stripMargin,
-    "stream_mix_monitor" -> graft.operators.LlmExtra.oracles("mix_weights")
+    "stream_mix_monitor" -> graft.operators.LlmExtra.oracles("mix_weights"),
+    "stream_attribution" -> graft.operators.ExtendedSuite.oracles("events_attribution")
   )
 }

@@ -170,6 +170,13 @@ class ReconCdcSpec extends SparkSpecBase {
       "fast rowcount must not scan data")
   }
 
+  test("streaming attribution equals the batch last-touch rollup exactly") {
+    val batch = graft.operators.ExtendedSuite.queries("events_attribution")(spark, sf)
+      .collect().map(_.toSeq)
+    val stream = CdcStream.queries("stream_attribution")(spark, sf).collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("streaming sessionize equals the batch session_window rollup exactly") {
     val batch = graft.operators.ExtendedSuite.queries("q_session_window")(spark, sf)
       .collect().map(_.toSeq)
