@@ -28,6 +28,38 @@ object LlmExtra {
   private val SsnRe = graft.api.Graft.SsnRe
   private val PhoneRe = graft.api.Graft.PhoneRe
 
+  /** Full symmetric 64×64 covariance matrix as (i, j, c = cov_e6)
+    * cells — the power iteration's input. Same single-pass shuffle
+    * shape as emb_covariance_top (per-row i≤j pair explode, map-side
+    * combine), diagonal included, mirrored across i=j afterwards so
+    * the mirror costs 4096 tiny rows, not a second corpus pass.
+    */
+  private def covCells(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val q = Tables.spread(s, Tables.embeddings(s, d))
+      .withColumn("qx", expr(
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+    val pairs = q.select(explode(expr(
+        """flatten(transform(sequence(1, 64), i ->
+          |  transform(sequence(i, 64), j -> struct(i AS i, j AS j,
+          |    element_at(qx, i) * element_at(qx, j) AS p))))""".stripMargin)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
+    val dims = q.select(posexplode(col("qx")))
+      .groupBy((col("pos") + 1).as("k"))
+      .agg(sum(col("col")).as("sx"))
+    val upper = pairs
+      .join(broadcast(dims.select(col("k").as("i"), col("sx").as("sx_i"))), "i")
+      .join(broadcast(dims.select(col("k").as("j"), col("sx").as("sx_j"))), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        floor((col("n") * col("sxy") - col("sx_i") * col("sx_j")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double") * lit(1e8))
+          * lit(1e6) + lit(0.5)).cast("long").as("c"))
+    upper.unionByName(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style repetition signals (ref analog: the quality-filter
     // family in Rae et al. 2021 §A1.1, adapted to single-line docs):
@@ -133,6 +165,37 @@ object LlmExtra {
     // covarying dimensions mean the encoder wastes capacity; a dominant
     // block signals collapse). ENGINE-PORTABLY exact: coordinates
     // quantize to 1e4 fixed point, the pair sums are exact BIGINTs
+    // Top principal direction of the embedding covariance via THREE
+    // exact-integer power-iteration steps — distributed linear algebra
+    // without MLlib and without a single float: the heavy work is the
+    // one covariance pass (same shuffle shape as emb_covariance_top —
+    // the per-row 2080-cell explode with map-side combine); the
+    // iteration itself runs on the 64×64 cov_e6 matrix (4096 tiny
+    // rows), so K more steps cost K tiny joins, never another corpus
+    // scan. Each step rescales v to ~±1e6 by integer division with the
+    // max-|component| scalar (broadcast 1-row cross join): |cov_e6| ≤
+    // 1e6·64 keeps u = C·v under 2^47, so nothing overflows in either
+    // engine; integer division truncates toward zero in BOTH Spark
+    // (div) and DuckDB (// on integers), so negatives stay portable.
+    // Sign is pinned by the deterministic all-ones start. The oracle
+    // unrolls the three steps as CTEs.
+    "emb_pca_power" -> { (s, d) =>
+      val cells = covCells(s, d).localCheckpoint()
+      var v = cells.select(col("i").as("k")).distinct()
+        .select(col("k"), lit(1000000L).as("v"))
+      for (_ <- 1 to 3) {
+        val u = cells
+          .join(v.withColumnRenamed("k", "j"), "j")
+          .groupBy(col("i").as("k"))
+          .agg(sum(expr("c * v")).as("u"))
+        val m = u.agg(greatest(expr("max(abs(u)) div 1000000"), lit(1L)).as("step"))
+        v = u.crossJoin(broadcast(m))
+          .select(col("k"), expr("u div step").as("v"))
+          .localCheckpoint()
+      }
+      v.select(col("k").as("dim"), col("v").as("v_ppm")).orderBy("dim")
+    },
+
     // (|q|≤2^13, products ≤2^26·n — no overflow in either engine), and
     // the covariance closed form does its one double division at the
     // end. One explode of the 2080 (i≤j) pair products per row with
@@ -423,6 +486,39 @@ object LlmExtra {
   }
 
   def oracles: Map[String, String] = Map(
+    "emb_pca_power" -> {
+      def step(n: Int): String =
+        s"""u$n AS (SELECT cells.i AS k, CAST(SUM(c * v) AS BIGINT) AS u
+           |  FROM cells JOIN v${n - 1} pv ON pv.k = cells.j GROUP BY cells.i),
+           |m$n AS (SELECT GREATEST(MAX(ABS(u)) // 1000000, 1) AS step FROM u$n),
+           |v$n AS (SELECT k, CAST(u // step AS BIGINT) AS v FROM u$n, m$n)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qx
+         |  FROM embeddings),
+         |ks AS (SELECT unnest(range(1, 65)) AS k),
+         |p AS (
+         |  SELECT ti.k AS i, tj.k AS j,
+         |    CAST(SUM(qx[ti.k] * qx[tj.k]) AS BIGINT) AS sxy, COUNT(*) AS n
+         |  FROM q, ks ti, ks tj
+         |  WHERE ti.k <= tj.k GROUP BY ti.k, tj.k),
+         |d AS (
+         |  SELECT k, CAST(SUM(qx[k]) AS BIGINT) AS sx
+         |  FROM q, ks GROUP BY k),
+         |up AS (
+         |  SELECT p.i AS i, p.j AS j,
+         |    CAST(FLOOR(CAST(n * sxy - di.sx * dj.sx AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e8) * 1e6 + 0.5) AS BIGINT) AS c
+         |  FROM p JOIN d di ON di.k = p.i JOIN d dj ON dj.k = p.j),
+         |cells AS (SELECT i, j, c FROM up
+         |          UNION ALL SELECT j AS i, i AS j, c FROM up WHERE i <> j),
+         |v0 AS (SELECT k, CAST(1000000 AS BIGINT) AS v FROM ks),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT k AS dim, v AS v_ppm FROM v3 ORDER BY dim""".stripMargin
+    },
+
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents),

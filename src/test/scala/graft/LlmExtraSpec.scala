@@ -261,4 +261,33 @@ class LlmExtraSpec extends SparkSpecBase {
       .collect()
     self.foreach(r => assert(r.getAs[Long]("na_fp") > 0))
   }
+
+  test("emb_pca_power: exact match against a driver-side power iteration") {
+    val rows = graft.operators.LlmExtra.queries("emb_pca_power")(spark, sf).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v_ppm")).toMap
+    assert(rows.size == 64)
+
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray)
+    val n = vecs.length.toLong
+    val sx = Array.tabulate(64)(k => vecs.map(_(k)).sum)
+    // same closed form (including the double division) as the operator
+    val cov = Array.tabulate(64, 64) { (i, j) =>
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      math.floor((n * sxy - sx(i) * sx(j)).toDouble /
+        (n.toDouble * n.toDouble * 1e8) * 1e6 + 0.5).toLong
+    }
+    var v = Array.fill(64)(1000000L)
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(64)(i => (0 until 64).map(j => cov(i)(j) * v(j)).sum)
+      val step = math.max(u.map(math.abs).max / 1000000L, 1L)
+      v = u.map(_ / step)
+    }
+    (0 until 64).foreach { k =>
+      assert(rows(k + 1L) == v(k), s"dim ${k + 1}: got ${rows(k + 1L)}, expected ${v(k)}")
+    }
+    // the fixed-point direction is non-degenerate
+    assert(v.map(math.abs).max == 1000000L || v.map(math.abs).max >= 500000L)
+  }
 }
