@@ -756,6 +756,29 @@ object ExtendedSuite {
         .orderBy("event_type")
     },
 
+    "events_cohort_matrix" -> { (s, d) =>
+      // Weekly cohort-retention matrix — the growth-analytics triangle:
+      // users grouped by FIRST-activity week, tracked across week
+      // offsets. Scale shape: one distinct to (user, week) (the only
+      // corpus-sized shuffle), per-user min for the cohort (map-side
+      // combine), then user-keyed join + (cohort, offset) rollup whose
+      // cardinality is weeks² regardless of corpus size. Weeks are
+      // integer epoch-day div 7 and retention is integer ppm — no
+      // calendar or float divergence between engines.
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000 div 7").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes.withColumnRenamed("cw", "cohort_week"), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+          expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     "events_rolling_active" -> { (s, d) =>
       // Trailing 7-day active users per day — the rolling-distinct
       // that a naive RANGE window can't do (distinct isn't
@@ -1101,6 +1124,19 @@ object ExtendedSuite {
         |  CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) * 1000000
         |       // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS ks_ppm
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_cohort_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id),
+        |s AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM c GROUP BY cw),
+        |m AS (SELECT cw AS cohort_week, wk - cw AS week_offset,
+        |        CAST(COUNT(*) AS BIGINT) AS n_active
+        |      FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_ppm
+        |FROM m JOIN s ON s.cw = m.cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "events_rolling_active" ->
       """WITH daily AS (

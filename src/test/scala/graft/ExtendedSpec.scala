@@ -499,6 +499,30 @@ class ExtendedSpec extends SparkSpecBase {
     assert(got.getAs[Long]("ks_ppm") == expect, s"purchase KS: got ${got.getAs[Long]("ks_ppm")}, expected $expect")
   }
 
+  test("events_cohort_matrix: full first-week cohorts, bounded cells, sizes partition users") {
+    val rows = graft.operators.ExtendedSuite.queries("events_cohort_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val size = rs.head.getAs[Long]("cohort_size")
+      assert(rs.map(_.getAs[Long]("cohort_size")).distinct.length == 1)
+      val zero = rs.find(_.getAs[Long]("week_offset") == 0L).get
+      assert(zero.getAs[Long]("n_active") == size,
+        s"cohort $cw: every member is active in their first week")
+      assert(zero.getAs[Long]("retention_ppm") == 1000000L)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("week_offset") >= 0L)
+        assert(r.getAs[Long]("n_active") <= size)
+        assert(r.getAs[Long]("retention_ppm") ==
+          r.getAs[Long]("n_active") * 1000000L / size)
+      }
+    }
+    assert(byCohort.values.map(_.head.getAs[Long]("cohort_size")).sum == users,
+      "cohorts partition the user base")
+  }
+
   test("events_rolling_active: trailing 7-day actives dominate DAU, bounded by user count") {
     val rows = graft.operators.ExtendedSuite.queries("events_rolling_active")(spark, sf).collect()
     assert(rows.nonEmpty)
