@@ -35,6 +35,18 @@ object CdcStream {
     Iterator((id, latest.custkey, latest.status, latest.op, latest.seq))
   }
 
+  /** The LWW upsert state machine as a reusable stream transform:
+    * per-key flatMapGroupsWithState over a change-event stream, emitting
+    * (id, custkey, status, op, seq) per trigger. Shared by the landed-log
+    * twins, the envelope-seam twin, and the checkpoint-recovery spec.
+    */
+  private[graft] def applyEventsStream(events: Dataset[ChangeEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents _)
+      .toDF("id", "custkey", "status", "op", "seq")
+  }
+
   /** Stream the synthesized change log through flatMapGroupsWithState and
     * materialize the final table state. Returns a batch DataFrame equal to
     * CdcSuite."cdc_apply_latest" (same oracle applies).
@@ -56,9 +68,7 @@ object CdcStream {
     val stream = CdcSource.loadStream(spark, SourceSpec("parquet",
       Map("path" -> tmp, "maxFilesPerTrigger" -> "1"), Some(schema))).as[ChangeEvent]
     val qname = "cdc_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents)
-      .toDF("id", "custkey", "status", "op", "seq")
+    val q = applyEventsStream(stream)
       .writeStream.format("memory").queryName(qname)
       // checkpoint under the shared scratch root — the default temp
       // checkpoint is driver-local, which silently breaks multi-node
@@ -587,9 +597,7 @@ object CdcStream {
       spec.copy(options = spec.options + ("maxFilesPerTrigger" -> "1")))
     val events = CdcSource.parseEnvelope(stream).as[ChangeEvent]
     val qname = "env_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = events.groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents)
-      .toDF("id", "custkey", "status", "op", "seq")
+    val q = applyEventsStream(events)
       .writeStream.format("memory").queryName(qname)
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
