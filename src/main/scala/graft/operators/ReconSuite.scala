@@ -665,51 +665,70 @@ object ReconSuite {
         .orderBy("table_name")
     },
 
-    "recon_bisect" -> { (s, d) =>
-      // Contiguous-range drill-down — the recon workflow a DBA runs by
-      // hand (checksum → halve → row-level), as two bounded passes:
-      // pass 1 checksums 32 equal slices of the SOURCE key domain per
-      // side (map-side combine; the shuffle moves 32 cells); pass 2
-      // re-checksums at 8× finer granularity ONLY rows inside slices
-      // that disagreed, pruned by a broadcast join on the parent cell
-      // (with persisted per-chunk checksums this prune becomes a
-      // pushable key-range predicate). Unlike the %32 chunk and merkle
-      // ops, the output is CLOSED KEY INTERVALS [lo_key, hi_key] —
-      // directly usable as row-level recon WHERE clauses. Bucket
-      // inversion is exact integer arithmetic (floor division both
-      // engines); target keys outside the source domain clamp into the
-      // edge slices, so injected EXTRA rows surface in the last cell.
-      val o = Tables.orders(s, d)
-      val bounds = o.agg(min(col("o_orderkey")).as("lo"),
-        (max(col("o_orderkey")) - min(col("o_orderkey")) + 1).as("w"))
-      def cells(df: DataFrame, n: Int, pfx: String): DataFrame = df
-        .crossJoin(broadcast(bounds))
-        .groupBy(least(greatest(expr(s"((o_orderkey - lo) * $n) div w"), lit(0L)),
-          lit(n - 1L)).as("cell"))
-        .agg(checksumAgg(orowStr).as(s"${pfx}_ck"), count(lit(1)).as(s"${pfx}_rows"))
-      val bad = cells(o, 32, "src")
-        .join(cells(target(s, d), 32, "tgt"), Seq("cell"), "full_outer")
-        .filter(coalesce(col("src_ck"), lit(-1L)) =!= coalesce(col("tgt_ck"), lit(-1L)))
-        .select(col("cell").as("parent"))
-      // nested floor divs agree: (k*256 div w) div 8 = k*32 div w, so the
-      // fine cell's parent is exactly the coarse cell it drills into
-      def fine(df: DataFrame, pfx: String): DataFrame =
-        cells(df, 256, pfx)
-          .withColumn("parent", expr("cell div 8"))
-          .join(broadcast(bad), "parent")
-      fine(o, "src").drop("parent")
-        .join(fine(target(s, d), "tgt").drop("parent"), Seq("cell"), "full_outer")
-        .crossJoin(broadcast(bounds))
-        .select(col("cell"),
-          expr("lo + (cell * w + 255) div 256").as("lo_key"),
-          expr("lo + ((cell + 1) * w + 255) div 256 - 1").as("hi_key"),
-          coalesce(col("src_rows"), lit(0L)).as("src_rows"),
-          coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
-          when(coalesce(col("src_ck"), lit(-1L)) === coalesce(col("tgt_ck"), lit(-1L)),
-            lit("MATCH")).otherwise(lit("MISMATCH")).as("status"))
-        .orderBy("cell")
-    }
+    "recon_bisect" -> { (s, d) => bisectDrill(s, Tables.orders(s, d), target(s, d)) }
   )
+
+  /** Contiguous-range drill-down — the recon workflow a DBA runs by
+    * hand (checksum → halve → row-level), as two bounded passes:
+    * pass 1 checksums 32 equal slices of the SOURCE key domain per
+    * side (map-side combine; the shuffle moves 32 cells); pass 2
+    * re-checksums at 8× finer granularity ONLY rows inside slices that
+    * disagreed. Pass 1's result is ≤ 32 rows — bounded regardless of
+    * table size — so it is collected on the driver (the one deliberate
+    * action in this operator, the analog of the reference reading its
+    * chunk table before drilling down; ref: compare/checksum.py chunk
+    * loop) and turned into explicit `o_orderkey BETWEEN lo AND hi`
+    * predicates. Pass 2's scans therefore READ only the flagged
+    * slices' pages (parquet min/max row-group pruning; an index range
+    * scan on a JDBC source), instead of re-aggregating the full table
+    * and pruning afterwards — at 100 TB with a handful of bad slices
+    * that is the difference between a second full scan and a few
+    * row groups. Unlike the %32 chunk and merkle ops, the output is
+    * CLOSED KEY INTERVALS [lo_key, hi_key] — directly usable as
+    * row-level recon WHERE clauses. Bucket inversion is exact integer
+    * arithmetic (floor division both engines); target keys outside the
+    * source domain clamp into the edge slices (their BETWEENs widen to
+    * the edge), so injected EXTRA rows surface in the last cell.
+    */
+  private[graft] def bisectDrill(s: SparkSession, src: DataFrame, tgt: DataFrame): DataFrame = {
+    val bounds = src.agg(min(col("o_orderkey")).as("lo"),
+      (max(col("o_orderkey")) - min(col("o_orderkey")) + 1).as("w"))
+    def cells(df: DataFrame, n: Int, pfx: String): DataFrame = df
+      .crossJoin(broadcast(bounds))
+      .groupBy(least(greatest(expr(s"((o_orderkey - lo) * $n) div w"), lit(0L)),
+        lit(n - 1L)).as("cell"))
+      .agg(checksumAgg(orowStr).as(s"${pfx}_ck"), count(lit(1)).as(s"${pfx}_rows"))
+    val bad = cells(src, 32, "src")
+      .join(cells(tgt, 32, "tgt"), Seq("cell"), "full_outer")
+      .filter(coalesce(col("src_ck"), lit(-1L)) =!= coalesce(col("tgt_ck"), lit(-1L)))
+      .select(col("cell").as("parent"))
+    val b = bounds.head()
+    val (loV, wV) = (b.getAs[Number]("lo").longValue, b.getAs[Number]("w").longValue)
+    def ceilDiv(a: Long, n: Long): Long = (a + n - 1) / n
+    // invert slice p to its key range: (k-lo)*32 div w = p ⟺
+    // ceil(p·w/32) ≤ k-lo < ceil((p+1)·w/32); edge slices absorb the
+    // clamped out-of-domain keys, so their bounds widen to ±∞
+    val ranges = bad.collect().map(_.getLong(0)).sorted.map { p =>
+      (if (p == 0) Long.MinValue else loV + ceilDiv(p * wV, 32),
+        if (p == 31) Long.MaxValue else loV + ceilDiv((p + 1) * wV, 32) - 1)
+    }
+    val pred = ranges.map { case (a, h) => col("o_orderkey").between(a, h) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // nested floor divs agree: (k*256 div w) div 8 = k*32 div w, so the
+    // pre-scan key-range filter admits exactly the fine cells whose
+    // parent is a flagged coarse cell — no post-aggregate join needed
+    cells(src.filter(pred), 256, "src")
+      .join(cells(tgt.filter(pred), 256, "tgt"), Seq("cell"), "full_outer")
+      .crossJoin(broadcast(bounds))
+      .select(col("cell"),
+        expr("lo + (cell * w + 255) div 256").as("lo_key"),
+        expr("lo + ((cell + 1) * w + 255) div 256 - 1").as("hi_key"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
+        when(coalesce(col("src_ck"), lit(-1L)) === coalesce(col("tgt_ck"), lit(-1L)),
+          lit("MATCH")).otherwise(lit("MISMATCH")).as("status"))
+      .orderBy("cell")
+  }
 
   /** Dialect-parameterized DuckDB analog of [[repairStatements]]:
     * `q` renders a quoted identifier for the target dialect.

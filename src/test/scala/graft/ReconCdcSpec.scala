@@ -343,4 +343,29 @@ class ReconCdcSpec extends SparkSpecBase {
       assert(r.getAs[Long]("src_rows") == n, s"cell ${r.getAs[Long]("cell")}: src_rows")
     }
   }
+
+  test("recon_bisect pass 2 reads only flagged slices, range pushed to the scan") {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.orders(spark, sf)
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0))
+    val (lo, w) = (keys.min, keys.max - keys.min + 1)
+    // corrupt only the first quarter of coarse slice 10, so exactly one
+    // parent is flagged and its later children stay clean
+    val sliceLo = lo + (10 * w + 31) / 32
+    val sliceHi = lo + (11 * w + 31) / 32 - 1
+    val tgt = o.withColumn("o_orderstatus",
+      when(col("o_orderkey").between(sliceLo, sliceLo + (sliceHi - sliceLo) / 4), lit("Z"))
+        .otherwise(col("o_orderstatus")))
+    val df = ReconSuite.bisectDrill(spark, o, tgt)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("cell") / 8 == 10),
+      "pass 2 emitted cells outside the flagged slice")
+    assert(rows.exists(_.getAs[String]("status") == "MISMATCH"))
+    assert(rows.exists(_.getAs[String]("status") == "MATCH"))
+    // the drill-down predicate must reach the parquet scan itself —
+    // pass 2 reads only the flagged slice's row groups, not the table
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_orderkey") &&
+      plan.contains("LessThanOrEqual(o_orderkey"), plan)
+  }
 }
