@@ -29,6 +29,20 @@ object Verify {
       // intermediates don't accumulate across the 70+ query run
       spark.catalog.clearCache()
     }
+    // LSH hot-bucket diagnostic: the Spark-side gate caps buckets at
+    // MaxBucket while the oracles run uncapped — surface the observed
+    // occupancy at THIS scale factor so a corpus that crosses the cap
+    // fails with a clear line here, not an opaque driver hash mismatch.
+    try graft.operators.DedupSuite.bucketDiagnostics(spark, sfDir).foreach {
+      case (fam, n) =>
+        val cap = graft.operators.DedupSuite.MaxBucket
+        val flag = if (n > cap)
+          " EXCEEDS CAP — gated dedup operators will diverge from their uncapped oracles"
+        else ""
+        System.err.println(s"[verify] max_bucket $fam=$n cap=$cap$flag")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] bucket diagnostics failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -133,6 +133,43 @@ object DedupSuite {
       .drop("__bsz")
   }
 
+  /** Observed max bucket occupancy per gated LSH family. The gate
+    * (gateHotBuckets) caps buckets Spark-side only, while every DuckDB
+    * oracle runs uncapped — on a corpus where any bucket exceeds
+    * MaxBucket the gated operators would silently drop pairs their
+    * oracles keep. Verify prints these so a fixture/scale change that
+    * crosses the cap fails with a clear diagnostic instead of an
+    * opaque hash mismatch (LshGuardSpec covers only the test-fixture
+    * scale).
+    */
+  private[graft] def bucketDiagnostics(s: SparkSession, d: String): Seq[(String, Long)] = {
+    org.apache.spark.sql.graft.Bridge.register(s)
+    def mx(df: DataFrame, keys: Seq[String]): Long =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("m")).head().getLong(0)
+    val sh = shingleSets(s, d).localCheckpoint()
+    val sim = corpusWithDups(s, d)
+      .withColumn("words", array_distinct(split(lower(col("text")), " ")))
+      .withColumn("whs", expr(
+        "transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("simhash", expr("simhash60(whs)"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), j -> (simhash div CAST(pow(2, j * 15) AS BIGINT)) % 32768)")))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val ngram = sh.withColumn("sig", expr(s"minhash_sigs(shingles, $NumPerm)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${NumPerm / NgramBandRows - 1}), b ->
+           |  md5(concat_ws(',', slice(sig, b * $NgramBandRows + 1, $NgramBandRows))))""".stripMargin)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val emb = signBands(withSignBits(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))))
+    Seq(
+      "minhash_bands" -> mx(minhashBands(sh), Seq("band", "bucket")),
+      "ngram_bands" -> mx(ngram, Seq("band", "bucket")),
+      "simhash_chunks" -> mx(sim, Seq("chunk_idx", "chunk")),
+      "embedding_bands" -> mx(emb, Seq("band", "bucket")))
+  }
+
   /** (doc_id, band, bucket) LSH band rows via the native fused
     * minhash_sigs signature (md5-60 + all perm minima in one codegen'd
     * pass — the composed transform/array_min HOF pipeline is

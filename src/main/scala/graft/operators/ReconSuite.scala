@@ -582,8 +582,12 @@ object ReconSuite {
         case x => x
       }
       // canonical → Postgres DDL spelling (the reference's sink dialect)
-      val pg = Map("integer" -> "BIGINT", "floating" -> "DOUBLE PRECISION",
+      val pgMap = Map("integer" -> "BIGINT", "floating" -> "DOUBLE PRECISION",
         "text" -> "TEXT", "timestamp" -> "TIMESTAMP")
+      // unmapped canonical types (decimal, date, boolean, …) degrade to
+      // their uppercased name as a passthrough DDL spelling — a new
+      // fixture column must emit a repair row, never crash plan build
+      def pg(t: String): String = pgMap.getOrElse(t, t.toUpperCase)
       val src = Tables.orders(s, d).schema.fields.toSeq
         .map(f => f.name -> canonical(f.dataType)).toMap
       val tgt = (src - "o_orderpriority")

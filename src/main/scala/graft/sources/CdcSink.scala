@@ -26,7 +26,10 @@ object CdcSink {
     * ReconSuite's repair emitter).
     */
   private def q(id: String, dialect: String): String =
-    if (dialect == "sqlserver") s"[$id]" else "\"" + id + "\""
+    // escape by doubling the closing quote char, as the JDBC dialects
+    // do — an embedded ] or " in an identifier must not break out
+    if (dialect == "sqlserver") "[" + id.replace("]", "]]") + "]"
+    else "\"" + id.replace("\"", "\"\"") + "\""
 
   /** Plain-append JDBC writer with the batching/parallelism contract a
     * large load needs: `numPartitions` caps concurrent connections (the

@@ -35,7 +35,13 @@ object Tables {
     */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // probe via toRdd (InternalRow), not df.rdd: both force physical
+    // planning of a probe lineage, but df.rdd additionally builds the
+    // row-deserializer layer. Callers must pass a NEAR-LEAF frame (a
+    // scan/union plus narrow projections): the probe re-plans the
+    // argument, so a wide plan would pay its planning twice.
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

@@ -122,14 +122,24 @@ object CdcStream {
       events: Iterator[ChangeEvent],
       state: GroupState[Scd2State]): Iterator[(Long, Long, String, Long, Long, Long)] = {
     val incoming = events.map(e => Scd2Ev(e.custkey, e.status, e.op, e.seq, e.ts_ms)).toSeq
+    // distinct BEFORE appending: an at-least-once source replaying an
+    // uncommitted batch must not double-count an event already folded
+    // into state (which would also break the emission-distinctness
+    // invariant the downstream dedupe relies on)
     val all = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming)
-      .sortBy(e => (e.seq, e.ts_ms))
+      .distinct.sortBy(e => (e.seq, e.ts_ms))
     state.update(Scd2State(all))
     val tag = all.length.toLong
-    all.zipWithIndex.collect { case (e, i) if e.op != "d" =>
+    val out = all.zipWithIndex.collect { case (e, i) if e.op != "d" =>
       val validTo = if (i + 1 < all.length) all(i + 1).ts_ms else -1L
       (id, e.custkey, e.status, e.ts_ms, validTo, tag)
-    }.iterator
+    }
+    // enforce (not assume) the invariant the replay-safe dropDuplicates
+    // downstream depends on: one fold never emits two identical version
+    // rows — if it did, the batch oracle would keep both
+    require(out.distinct.size == out.size,
+      s"scd2Fold: duplicate version rows emitted for key $id")
+    out.iterator
   }
 
   /** Streaming SCD Type-2: the history-preserving materialization of the
