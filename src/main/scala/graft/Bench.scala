@@ -71,38 +71,65 @@ object Bench {
     // A query that throws is reported under "errors" (never as a timing):
     // a partial elapsed-to-exception time would make a broken query look
     // fast and the regression invisible.
-    val results: Seq[(String, Either[String, Double])] = names.map { name =>
-      val runs = (0 to 3).map { i =>
-        // each run starts cache-cold: leftover persists from the previous
-        // run would otherwise make later runs time a cache read, and the
-        // accumulated entries would spill the long bench session
-        spark.catalog.clearCache()
-        // drain garbage from the previous query/run so its collection
-        // cost isn't billed to this timing
-        System.gc()
-        val t0 = System.nanoTime()
-        val err =
-          try { materialize(SparkEntry.queries(name)(spark, sfDir)); None }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-          }
-        ((System.nanoTime() - t0) / 1e9, err, i)
-      }
-      runs.collectFirst { case (_, Some(msg), _) => name -> Left(msg) }
-        .getOrElse {
-          val timed = runs.collect { case (t, None, i) if i > 0 => t }.sorted
-          name -> Right(timed(timed.length / 2))
+    def timeSet(qnames: Seq[String], dir: String): Seq[(String, Either[String, Double])] =
+      qnames.map { name =>
+        val runs = (0 to 3).map { i =>
+          // each run starts cache-cold: leftover persists from the previous
+          // run would otherwise make later runs time a cache read, and the
+          // accumulated entries would spill the long bench session
+          spark.catalog.clearCache()
+          // drain garbage from the previous query/run so its collection
+          // cost isn't billed to this timing
+          System.gc()
+          val t0 = System.nanoTime()
+          val err =
+            try { materialize(SparkEntry.queries(name)(spark, dir)); None }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+            }
+          ((System.nanoTime() - t0) / 1e9, err, i)
         }
-    }
+        runs.collectFirst { case (_, Some(msg), _) => name -> Left(msg) }
+          .getOrElse {
+            val timed = runs.collect { case (t, None, i) if i > 0 => t }.sorted
+            name -> Right(timed(timed.length / 2))
+          }
+      }
+    val results = timeSet(names, sfDir)
+
+    // Scale-curve pass: re-time the same set at a 10× smaller SF and
+    // report the per-query growth ratio — a super-linear operator (10×
+    // data → >20× time) passes a single-SF bench unnoticed until it is
+    // 100× bigger, so the curve IS the scale evidence. Skipped when the
+    // sibling SF directory is absent or when benching a custom dir.
+    val scaleDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
+      .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.dropRight(5) + "sf0.01") else None)
+      .filter(d => d != sfDir && new java.io.File(d).isDirectory)
+    val scaleResults = scaleDir.map(d => timeSet(names, d)).getOrElse(Seq.empty)
+
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def jnum(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val ok = results.collect { case (k, Right(v)) => k -> v }
-    val errs = results.collect { case (k, Left(m)) => k -> m }
+    val errs = results.collect { case (k, Left(m)) => k -> m } ++
+      scaleResults.collect { case (k, Left(m)) => (k + "@scale") -> m }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val scaleOk = scaleResults.collect { case (k, Right(v)) => k -> v }.toMap
+    val ratios = ok.flatMap { case (k, v) =>
+      scaleOk.get(k).filter(_ > 0).map(s => k -> v / s)
+    }
+    val superlinear = ratios.collect { case (k, r) if r > 20.0 => k }
+    val scaleJson = if (scaleResults.isEmpty) "" else {
+      val sq = scaleOk.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+      val rq = ratios.map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
+      val sl = superlinear.map(jstr).mkString("[", ",", "]")
+      s""","scale_sf":${jstr(scaleDir.get)},"scale_queries":$sq,"growth_ratio":$rq,"superlinear":$sl"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
