@@ -509,6 +509,35 @@ object Graft {
     * arithmetic). The global rank sorts only the vocabulary (bounded by
     * language, not corpus bytes).
     */
+  /** Top-`topK` dimension pairs of the exact-integer embedding
+    * covariance matrix, by |cov|. `dim` = 0 derives the dimension from
+    * the data (one bounded 1-row probe); pass it explicitly to keep the
+    * plan probe-free. `embCol` must be an array of floats/doubles in
+    * [-1, 1] (the e4 fixed-point quantization's overflow contract).
+    */
+  def embCovarianceTop(df: DataFrame, embCol: String,
+      topK: Int = 20, dim: Int = 0): DataFrame =
+    graft.operators.LlmExtra.covUpperOf(
+        df.select(col(embCol).as("embedding")), dim)
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("c").as("cov_e6"))
+      .orderBy(abs(col("cov_e6")).desc, col("i"), col("j"))
+      .limit(topK)
+
+  /** Leading covariance eigendirection via `iters` rounds of
+    * exact-integer power iteration (deterministic all-ones start,
+    * per-step ppm rescale — same contract as the emb_pca_power registry
+    * entry). Returns (dim, v_ppm). `dim` as in [[embCovarianceTop]].
+    */
+  def embPcaPower(df: DataFrame, embCol: String,
+      iters: Int = 3, dim: Int = 0): DataFrame = {
+    val up = graft.operators.LlmExtra.covUpperOf(
+        df.select(col(embCol).as("embedding")), dim)
+      .localCheckpoint()
+    graft.operators.LlmExtra.pcaPowerOf(
+      graft.operators.LlmExtra.mirrorCells(up), iters)
+  }
+
   def vocabCoverage(df: DataFrame, textCol: Column, ks: Seq[Long]): DataFrame = {
     import df.sparkSession.implicits._
     val counts = df.select(explode(split(lower(textCol), " ")).as("w"))

@@ -28,19 +28,23 @@ object LlmExtra {
   private val SsnRe = graft.api.Graft.SsnRe
   private val PhoneRe = graft.api.Graft.PhoneRe
 
-  /** Full symmetric 64×64 covariance matrix as (i, j, c = cov_e6)
-    * cells — the power iteration's input. Same single-pass shuffle
-    * shape as emb_covariance_top (per-row i≤j pair explode, map-side
-    * combine), diagonal included, mirrored across i=j afterwards so
-    * the mirror costs 4096 tiny rows, not a second corpus pass.
+  /** Upper-triangle (i ≤ j, diagonal included) exact-integer covariance
+    * cells (i, j, c = cov_e6) over an `embedding` array column of
+    * dimension `dim` — `dim = 0` derives it from the data with one
+    * bounded 1-row probe (the lake paths pin 64 to keep the plan
+    * probe-free). One per-row pair explode with map-side combine: the
+    * shuffle carries ≤ d(d+1)/2 · partitions rows at any corpus size;
+    * per-dim sums ride the same pass via the i = j diagonal, then
+    * broadcast-join back onto the pair rollup.
     */
-  private def covCells(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val q = Tables.spread(s, Tables.embeddings(s, d))
-      .withColumn("qx", expr(
+  private[graft] def covUpperOf(df: DataFrame, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim
+      else df.agg(max(size(col("embedding"))).as("d")).head().getInt(0)
+    val q = df.withColumn("qx", expr(
         "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
     val pairs = q.select(explode(expr(
-        """flatten(transform(sequence(1, 64), i ->
-          |  transform(sequence(i, 64), j -> struct(i AS i, j AS j,
+        s"""flatten(transform(sequence(1, $d), i ->
+          |  transform(sequence(i, $d), j -> struct(i AS i, j AS j,
           |    element_at(qx, i) * element_at(qx, j) AS p))))""".stripMargin)).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
       .groupBy(col("i"), col("j"))
@@ -48,17 +52,45 @@ object LlmExtra {
     val dims = q.select(posexplode(col("qx")))
       .groupBy((col("pos") + 1).as("k"))
       .agg(sum(col("col")).as("sx"))
-    val upper = pairs
+    pairs
       .join(broadcast(dims.select(col("k").as("i"), col("sx").as("sx_i"))), "i")
       .join(broadcast(dims.select(col("k").as("j"), col("sx").as("sx_j"))), "j")
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         floor((col("n") * col("sxy") - col("sx_i") * col("sx_j")).cast("double")
           / (col("n").cast("double") * col("n").cast("double") * lit(1e8))
           * lit(1e6) + lit(0.5)).cast("long").as("c"))
+  }
+
+  /** Mirror upper-triangle cells across i = j into the full symmetric
+    * matrix the power iteration consumes — d² tiny rows, not a second
+    * corpus pass. Mirror AFTER any checkpoint of the upper cells, or
+    * the union's two branches each re-run the corpus aggregate.
+    */
+  private[graft] def mirrorCells(upper: DataFrame): DataFrame =
     upper.unionByName(
       upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("c")))
+
+  /** `iters` rounds of exact-integer power iteration over (i, j, c)
+    * covariance cells; see the emb_pca_power registry entry for the
+    * scaling/overflow contract. Returns (dim, v_ppm).
+    */
+  private[graft] def pcaPowerOf(cells: DataFrame, iters: Int): DataFrame = {
+    var v = cells.select(col("i").as("k")).distinct()
+      .select(col("k"), lit(1000000L).as("v"))
+    for (_ <- 1 to iters) {
+      val u = cells
+        .join(v.withColumnRenamed("k", "j"), "j")
+        .groupBy(col("i").as("k"))
+        .agg(sum(expr("c * v")).as("u"))
+      val m = u.agg(greatest(expr("max(abs(u)) div 1000000"), lit(1L)).as("step"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("k"), expr("u div step").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("k").as("dim"), col("v").as("v_ppm")).orderBy("dim")
   }
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style repetition signals (ref analog: the quality-filter
@@ -180,20 +212,12 @@ object LlmExtra {
     // Sign is pinned by the deterministic all-ones start. The oracle
     // unrolls the three steps as CTEs.
     "emb_pca_power" -> { (s, d) =>
-      val cells = covCells(s, d).localCheckpoint()
-      var v = cells.select(col("i").as("k")).distinct()
-        .select(col("k"), lit(1000000L).as("v"))
-      for (_ <- 1 to 3) {
-        val u = cells
-          .join(v.withColumnRenamed("k", "j"), "j")
-          .groupBy(col("i").as("k"))
-          .agg(sum(expr("c * v")).as("u"))
-        val m = u.agg(greatest(expr("max(abs(u)) div 1000000"), lit(1L)).as("step"))
-        v = u.crossJoin(broadcast(m))
-          .select(col("k"), expr("u div step").as("v"))
-          .localCheckpoint()
-      }
-      v.select(col("k").as("dim"), col("v").as("v_ppm")).orderBy("dim")
+      // checkpoint the UPPER cells, then mirror: the union's two
+      // branches read the materialized blocks, so the corpus aggregate
+      // runs once (checkpointing the mirrored union ran it twice)
+      val up = covUpperOf(Tables.spread(s, Tables.embeddings(s, d)), 64)
+        .localCheckpoint()
+      pcaPowerOf(mirrorCells(up), 3)
     },
 
     // (|q|≤2^13, products ≤2^26·n — no overflow in either engine), and
@@ -203,30 +227,12 @@ object LlmExtra {
     // any corpus size; per-dim sums ride the SAME pass via the i=j
     // diagonal, then broadcast-join back onto the pair rollup.
     "emb_covariance_top" -> { (s, d) =>
-      val q = Tables.spread(s, Tables.embeddings(s, d))
-        .withColumn("qx", expr(
-          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
-      val pairs = q.select(explode(expr(
-          """flatten(transform(sequence(1, 64), i ->
-            |  transform(sequence(i, 64), j -> struct(i AS i, j AS j,
-            |    element_at(qx, i) * element_at(qx, j) AS p))))""".stripMargin)).as("e"))
-        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
-      val dims = q.select(posexplode(col("qx")))
-        .groupBy((col("pos") + 1).as("k"))
-        .agg(sum(col("col")).as("sx"))
-      pairs
-        .join(broadcast(dims.select(col("k").as("i"), col("sx").as("sx_i"))), "i")
-        .join(broadcast(dims.select(col("k").as("j"), col("sx").as("sx_j"))), "j")
+      // i/j are BIGINT in covUpperOf to match DuckDB's range() element
+      // type (the driver hash is type-sensitive); the (n·Sxy − Sx·Sy)
+      // numerator stays an exact BIGINT until the closed-form division
+      covUpperOf(Tables.spread(s, Tables.embeddings(s, d)), 64)
         .filter(col("i") < col("j"))
-        // i/j as BIGINT to match DuckDB's range() element type (the
-        // driver hash is type-sensitive); the (n·Sxy − Sx·Sy) numerator
-        // stays an exact BIGINT until the single closed-form division
-        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          floor((col("n") * col("sxy") - col("sx_i") * col("sx_j")).cast("double")
-            / (col("n").cast("double") * col("n").cast("double") * lit(1e8))
-            * lit(1e6) + lit(0.5)).cast("long").as("cov_e6"))
+        .select(col("i"), col("j"), col("c").as("cov_e6"))
         .orderBy(abs(col("cov_e6")).desc, col("i"), col("j"))
         .limit(20)
     },

@@ -380,4 +380,60 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out(10L).getAs[Long]("covered_tokens") == 9L)
     df.sparkSession.catalog.clearCache()
   }
+
+  /** 12 deterministic 16-dim vectors in [-0.75, 0.75] — a dimension the
+    * lake does NOT use, so these tests fail if the kernels still
+    * hard-code 64 anywhere.
+    */
+  private def vecs16: Seq[Array[Float]] =
+    (0 until 12).map(r =>
+      Array.tabulate(16)(c => (((r + 1) * (c + 3)) % 7 - 3) / 4.0f))
+
+  /** The kernels' exact integer pipeline replicated driver-side:
+    * qx = floor(x·1e4 + 0.5); cov_e6(i,j) = floor((n·Sxy − Sx·Sy) /
+    * (n²·1e8) · 1e6 + 0.5).
+    */
+  private def covE6(vs: Seq[Array[Float]]): Map[(Long, Long), Long] = {
+    val qx = vs.map(_.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong))
+    val n = qx.size.toLong
+    val sx = (0 until 16).map(i => qx.map(_(i)).sum)
+    (for (i <- 0 until 16; j <- i until 16) yield {
+      val sxy = qx.map(v => v(i) * v(j)).sum
+      ((i + 1).toLong, (j + 1).toLong) ->
+        math.floor((n * sxy - sx(i) * sx(j)).toDouble / (n.toDouble * n * 1e8)
+          * 1e6 + 0.5).toLong
+    }).toMap
+  }
+
+  test("embCovarianceTop derives the dimension and matches exact integer math") {
+    val df = vecs16.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "emb")
+    val out = Graft.embCovarianceTop(df, "emb", topK = 10).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"), r.getAs[Long]("cov_e6")))
+    val expected = covE6(vecs16).collect { case ((i, j), c) if i < j => (i, j, c) }
+      .toSeq.sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(10)
+    assert(out.toSeq == expected)
+  }
+
+  test("embPcaPower derives the dimension and matches exact integer power iteration") {
+    val df = vecs16.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "emb")
+    val out = Graft.embPcaPower(df, "emb", iters = 3).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v_ppm"))
+    // same iteration in Scala: full matrix from the upper cells, v0 = 1e6,
+    // u = C·v, rescale by (max|u| div 1e6) — Long division truncates
+    // toward zero exactly like Spark's div
+    val cov = covE6(vecs16)
+    def cell(i: Long, j: Long): Long =
+      if (i <= j) cov((i, j)) else cov((j, i))
+    var v = Array.fill(16)(1000000L)
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(16)(k =>
+        (1L to 16L).map(j => cell(k + 1, j) * v(j.toInt - 1)).sum)
+      val step = math.max(u.map(math.abs).max / 1000000L, 1L)
+      v = u.map(_ / step)
+    }
+    assert(out.toSeq == (1 to 16).map(k => k.toLong -> v(k - 1)))
+    spark.catalog.clearCache()
+  }
 }
