@@ -244,6 +244,76 @@ object Graft {
   /** Exact dedup groups over a normalized text column: one hash-groupBy
     * shuffle, survivors = min id (ref-style keep-first).
     */
+  /** Duplicate-cluster resolution: connected components over verified
+    * duplicate pairs via the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * 2014) — O(log) rounds regardless of component DIAMETER, where
+    * plain min-label propagation needs O(diameter) rounds and a
+    * pathological near-dup chain (A~B~C~…) makes that unbounded at
+    * corpus scale. Each round is two grouped-min self-joins over the
+    * edge list (which never grows beyond the symmetrized input), and
+    * convergence is the SEMANTIC criterion — every edge's endpoints
+    * carry the same label — so a wrong early stop is impossible.
+    * Returns (cluster_id, n_members, keep_id); keep_id = cluster min
+    * (provenance policies layer on top — see dedup_keep_best).
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val (labels, _) = ccLabels(pairs, aCol, bCol, maxIter)
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
+      .orderBy("cluster_id")
+  }
+
+  /** The alternation loop behind [[duplicateClusters]]; also returns
+    * the number of rounds used (spec'd to stay logarithmic on a
+    * path graph, where min-label propagation needs diameter rounds).
+    */
+  private[graft] def ccLabels(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    val base = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // symmetric edge set; localCheckpoint (eager) per round truncates
+    // both lineage and logical plan so planning stays O(1) across rounds
+    var edges = base.unionByName(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    // m(u) = min(N(u) ∪ {u}) — the node each star attaches to
+    def mins(e: DataFrame): DataFrame = e.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // one star round: attach u's larger (large) / smaller (small)
+    // neighbors to m(u), keep (u, m(u)) itself so no node ever detaches
+    // from its component; re-symmetrize for the next grouping
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val att = e.join(mins(e), "u")
+        .filter(if (large) col("v") > col("u") else col("v") < col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      val out = att.unionByName(mins(e).select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+      out.unionByName(out.select(col("b").as("a"), col("a").as("b")))
+        .distinct().select(col("a").as("u"), col("b").as("v"))
+    }
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      edges = star(star(edges, large = true), large = false).localCheckpoint()
+      val lbl = mins(edges)
+      // semantic convergence: labels constant within every component —
+      // checked on the edges themselves, so a structural fixed point
+      // that is not yet a star forest cannot stop the loop early
+      converged = edges
+        .join(lbl, "u")
+        .join(lbl.select(col("u").as("v"), col("m").as("mv")), "v")
+        .filter(col("m") =!= col("mv")).limit(1).isEmpty
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: star alternation did not converge in $maxIter rounds")
+    (mins(edges).select(col("u").as("node"), col("m").as("label")), iter)
+  }
+
   def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
       .groupBy(md5(col("__norm")).as("content_hash"))

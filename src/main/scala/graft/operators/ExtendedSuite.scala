@@ -445,46 +445,17 @@ object ExtendedSuite {
 
     "dedup_cluster" -> { (s, d) =>
       // duplicate-cluster resolution: connected components over verified
-      // duplicate pairs via iterative min-label propagation — the
-      // distributed union-find a dedup pipeline runs after pair
-      // generation. Iterations are bounded by component diameter;
-      // convergence is checked per step so the loop stops early.
+      // duplicate pairs — the distributed union-find a dedup pipeline
+      // runs after pair generation. Delegates to the public kernel's
+      // large-star/small-star alternation: O(log) rounds regardless of
+      // component diameter (min-label propagation was O(diameter) —
+      // unbounded on a pathological near-dup chain at corpus scale).
       val pairs = DedupSuite.queries("dedup_minhash_lsh")(s, d)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .withColumn("label", col("node"))
-      var converged = false
-      var iter = 0
-      val MaxIter = 30 // bounds component diameter; convergence-checked below
-      while (!converged && iter < MaxIter) {
-        val neighborMin = edges.join(labels, col("doc_b") === col("node"))
-          .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
-        // carry old_label through so the convergence check is a filter on
-        // this frame — not a second join against the previous generation.
-        // localCheckpoint (eager) truncates BOTH lineage and the logical
-        // plan each iteration, so planning cost stays constant across
-        // iterations at real scale; superseded checkpoint RDDs are
-        // released by the ContextCleaner once dereferenced.
-        val updated = labels.join(neighborMin, col("node") === col("doc_a"), "left")
-          .select(col("node"), col("label").as("old_label"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .localCheckpoint()
-        val changed = updated.filter(col("label") =!= col("old_label")).limit(1).count()
-        labels = updated.select(col("node"), col("label"))
-        converged = changed == 0
-        iter += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"dedup_cluster: label propagation did not converge in $MaxIter iterations " +
-            "(component diameter exceeds the cap); raise MaxIter")
+      val clusters = graft.api.Graft.duplicateClusters(pairs, "doc_a", "doc_b")
       pairs.unpersist()
-      labels.groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
-        .orderBy("cluster_id")
+      clusters
     },
 
     "events_user_path" -> { (s, d) =>

@@ -436,4 +436,39 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out.toSeq == (1 to 16).map(k => k.toLong -> v(k - 1)))
     spark.catalog.clearCache()
   }
+
+  test("duplicateClusters: star alternation stays logarithmic on a 64-node path") {
+    // diameter-63 chain — min-label propagation would need 63 rounds;
+    // the large-star/small-star alternation must finish in O(log n)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, iters) = Graft.ccLabels(pairs, "a", "b", maxIter = 25)
+    val lab = labels.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
+    assert(lab.length == 64 && lab.forall(_._2 == 0L))
+    assert(iters <= 10, s"expected logarithmic rounds on diameter 63, got $iters")
+    val out = Graft.duplicateClusters(pairs, "a", "b").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("cluster_id") == 0L &&
+      out(0).getAs[Long]("n_members") == 64L && out(0).getAs[Long]("keep_id") == 0L)
+  }
+
+  test("duplicateClusters matches brute-force union-find on a pseudo-random graph") {
+    var x = 12345L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % (1L << 31); x }
+    val es = (1 to 120).map(_ => (nxt() % 80, nxt() % 80)).filter(e => e._1 != e._2)
+    // driver-side union-find with union-by-min: final root IS the
+    // component min, matching the kernel's cluster_id contract
+    val parent = Array.tabulate(80)(identity)
+    def find(i: Int): Int =
+      if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(n => find(n.toInt).toLong)
+      .map { case (root, ns) => (root, ns.size.toLong, root) }.toSet
+    val out = Graft.duplicateClusters(es.toDF("a", "b"), "a", "b").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("keep_id"))).toSet
+    assert(out == expected)
+  }
 }
