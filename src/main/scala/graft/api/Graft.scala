@@ -468,6 +468,32 @@ object Graft {
     * does the exact bounds. A point's single bin meets each window at
     * most once, so no dedup is needed. Column names must be disjoint.
     */
+  /** Scale variant of an exact ntile decile rollup: bucket BOUNDARIES
+    * come from one approx_percentile aggregate pass, then a broadcast
+    * of the (buckets−1)-element boundary array assigns each row its
+    * bucket map-side — no global window sort anywhere, so the shape
+    * survives a key dimension too large to sort on one partition
+    * (the exact q_decile_stats entry is the oracle-checkable variant
+    * that validates this one). Bucket 1 = highest values, matching
+    * ntile over a descending sort. Returns per-bucket
+    * (decile, n, total, min_v, max_v); boundary-tie rows land by value
+    * (ntile splits ties by rank), which is the approximation's only
+    * systematic divergence.
+    */
+  def decileStatsApprox(df: DataFrame, valCol: String,
+      buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+    val bounds = df.agg(
+      expr(s"approx_percentile($valCol, array($probs), $accuracy)").as("__bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        expr(s"1 + size(filter(__bs, b -> b > $valCol))").cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), Portable.dsum(col(valCol)).as("total"),
+        min(col(valCol)).as("min_v"), max(col(valCol)).as("max_v"))
+      .orderBy("decile")
+  }
+
   def rangeJoinBinned(points: DataFrame, windows: DataFrame,
       pointTime: String, winStart: String, winEnd: String,
       binWidth: Long): DataFrame = {

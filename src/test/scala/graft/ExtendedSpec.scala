@@ -260,6 +260,31 @@ class ExtendedSpec extends SparkSpecBase {
     }
   }
 
+  test("decileStatsApprox stays within tolerance of the exact ntile deciles") {
+    import org.apache.spark.sql.functions._
+    // same per-customer spend frame the exact registry entry tiles
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.Portable.dsum(col("o_totalprice")).as("spend"))
+    val exact = graft.operators.ExtendedSuite.queries("q_decile_stats")(spark, sf)
+      .collect().map(r => r.getAs[Long]("decile") -> r.getAs[Long]("n_cust")).toMap
+    val approx = graft.api.Graft.decileStatsApprox(spend, "spend").collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    // every customer lands in exactly one bucket, buckets cover 1..10
+    val total = exact.values.sum
+    assert(approx.map(_._2).sum == total)
+    assert(approx.map(_._1).toSeq.sorted == (1L to 10L))
+    // per-bucket counts match the exact ntile within a tie-driven slack
+    val slack = math.max(2L, total / 20)
+    approx.foreach { case (d, n, _) =>
+      assert(math.abs(n - exact(d)) <= slack,
+        s"decile $d: approx $n vs exact ${exact(d)} beyond slack $slack")
+    }
+    // bucket 1 must hold the top spenders: its mean beats bucket 10's
+    val m = approx.map(t => t._1 -> (t._3 / t._2)).toMap
+    assert(m(1L) > m(10L))
+  }
+
   test("events_gap_histogram buckets every consecutive gap exactly once") {
     val rows = graft.operators.ExtendedSuite.queries("events_gap_histogram")(spark, sf).collect()
     assert(rows.nonEmpty)
