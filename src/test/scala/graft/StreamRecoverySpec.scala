@@ -65,7 +65,8 @@ class StreamRecoverySpec extends SparkSpecBase {
       .option("checkpointLocation", cp)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    readOut(out, Seq("id" -> "long", "custkey" -> "long", "status" -> "string",
+      "op" -> "string", "seq" -> "long"))
   }
 
   test("cdc_stream_apply recovers per-key LWW state across a restart") {
@@ -102,6 +103,64 @@ class StreamRecoverySpec extends SparkSpecBase {
     // like the JDBC sink the reference uses: upsert by key in emission
     // order, so a key's latest chronological emission wins (run 2 over
     // run 1, highest seq within a run).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(desc("run"), desc("seq"))
+    val recovered = e1.withColumn("run", lit(1))
+      .unionByName(e2.withColumn("run", lit(2)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select("id", "custkey", "status")
+      .orderBy("id")
+    val batch = CdcSuite.queries("cdc_apply_latest")(spark, sf)
+    assert(recovered.collect().map(_.toSeq).toSeq ===
+      batch.collect().map(_.toSeq).toSeq)
+  }
+
+  /** Read a foreachBatch output dir that may be empty (a run killed
+    * before its first commit, or a resume with nothing left to do).
+    */
+  private def readOut(out: String, cols: Seq[(String, String)]): DataFrame = {
+    val fs = new java.io.File(out).listFiles
+    if (fs != null && fs.exists(_.getName.startsWith("part-"))) spark.read.parquet(out)
+    else cols.foldLeft(spark.range(0).toDF)((d, c) =>
+      d.withColumn(c._1, lit(null).cast(c._2))).select(cols.map(c => col(c._1)): _*)
+  }
+
+  test("cdc_stream_apply survives a mid-flight kill: uncommitted batch replays") {
+    import SparkTestSession.spark.implicits._
+    val log = CdcSuite.changeLog(spark, sf)
+    val (_, files) = stage(log, 8)
+    val dir = files.head.getParent.toString
+    val schema = spark.read.parquet(dir).schema
+    val input = Scratch.dir("rec_kill_in")
+    val cp = Scratch.dir("rec_kill_cp")
+    copyIn(files, input) // ALL input present — the kill, not the data, splits the runs
+    val out1 = Scratch.dir("rec_kill_out")
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input).as[ChangeEvent]
+    val q = CdcStream.applyEventsStream(events)
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out1))
+      .option("checkpointLocation", cp)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(200)).start()
+    // stop() mid-stream once >= 2 batches committed: unlike AvailableNow
+    // termination this can tear an in-flight batch, whose foreachBatch
+    // side effects may have landed without an offset commit — the
+    // restart must replay it, and the upsert combine must absorb the
+    // duplicate emissions
+    val deadline = System.currentTimeMillis + 60000
+    while (q.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis < deadline) Thread.sleep(25)
+    q.stop()
+    q.awaitTermination()
+    assert(q.recentProgress.exists(_.numInputRows > 0), "query never processed a batch")
+    val emCols = Seq("id" -> "long", "custkey" -> "long", "status" -> "string",
+      "op" -> "string", "seq" -> "long")
+    val e1 = readOut(out1, emCols).localCheckpoint()
+    val e2 = runApply(input, schema, cp)
+
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(desc("run"), desc("seq"))
     val recovered = e1.withColumn("run", lit(1))
