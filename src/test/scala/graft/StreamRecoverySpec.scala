@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.{CdcSuite, DedupSuite}
-import graft.sources.Scratch
+import graft.sources.{Scratch, Tables}
 import graft.streaming.CdcStream
 import graft.streaming.CdcStream.ChangeEvent
 
@@ -170,6 +170,63 @@ class StreamRecoverySpec extends SparkSpecBase {
       .select("id", "custkey", "status")
       .orderBy("id")
     val batch = CdcSuite.queries("cdc_apply_latest")(spark, sf)
+    assert(recovered.collect().map(_.toSeq).toSeq ===
+      batch.collect().map(_.toSeq).toSeq)
+  }
+
+  test("windowed aggregation state survives a restart (built-in agg state store)") {
+    // the other tests cover flatMapGroupsWithState state; this covers
+    // the BUILT-IN streaming aggregation state (window + key → partial
+    // count), which lives in a different state-store format. Watermark
+    // delay spans the whole fixture so the RECOVERED watermark can
+    // never drop the second run's out-of-order files as late.
+    val ev = Tables.events(spark, sf).select(col("ts"), col("event_type"))
+    val (_, files) = stage(ev, 4)
+    val schema = spark.read.parquet(files.head.getParent.toString).schema
+    val input = Scratch.dir("rec_win_in")
+    val cp = Scratch.dir("rec_win_cp")
+    val (h1, h2) = files.splitAt(2)
+    def runCounts(): DataFrame = {
+      val out = Scratch.dir("rec_win_out")
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(input)
+        .withWatermark("ts", "3650 days")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .writeStream
+        .foreachBatch((df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out))
+        .option("checkpointLocation", cp)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      readOut(out, Seq("win_start" -> "timestamp", "event_type" -> "string", "n" -> "long"))
+    }
+    // discrimination: some (hour, event_type) groups must have rows on
+    // BOTH sides of the restart — their final count is only correct if
+    // run 1's partial aggregate state was recovered
+    val keys = { (h: Seq[Path]) =>
+      spark.read.parquet(h.map(_.toString): _*)
+        .select(date_trunc("hour", col("ts")).as("w"), col("event_type")).distinct()
+    }
+    assert(keys(h1).intersect(keys(h2)).count() > 0,
+      "fixture split produced no cross-restart windows")
+
+    copyIn(h1, input)
+    val c1 = runCounts()
+    copyIn(h2, input)
+    val c2 = runCounts()
+    // counts per key are monotone across emissions; the max over both
+    // runs' emissions is the final count for that key
+    val recovered = c1.unionByName(c2)
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy("win_start", "event_type")
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
     assert(recovered.collect().map(_.toSeq).toSeq ===
       batch.collect().map(_.toSeq).toSeq)
   }
