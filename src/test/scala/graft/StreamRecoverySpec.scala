@@ -231,6 +231,71 @@ class StreamRecoverySpec extends SparkSpecBase {
       batch.collect().map(_.toSeq).toSeq)
   }
 
+  test("stream-stream join state survives a restart (symmetric join state)") {
+    // fourth state format: the symmetric-hash stream-stream join buffers
+    // both sides in the state store. A match whose purchase landed
+    // before the stop and whose view lands after (or vice versa) can
+    // only be emitted if the buffered side was recovered. Watermarks
+    // span the fixture so the recovered watermark never purges or
+    // late-drops the second run's rows.
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuser"), col("ts").as("vts"))
+    val (_, pFiles) = stage(p, 4)
+    val (_, vFiles) = stage(v, 4)
+    val pIn = Scratch.dir("rec_ivj_p")
+    val vIn = Scratch.dir("rec_ivj_v")
+    val cp = Scratch.dir("rec_ivj_cp")
+    val pSchema = spark.read.parquet(pFiles.head.getParent.toString).schema
+    val vSchema = spark.read.parquet(vFiles.head.getParent.toString).schema
+    val (p1, p2) = pFiles.splitAt(2)
+    val (v1, v2) = vFiles.splitAt(2)
+    def cond = expr(
+      "vuser = user_id AND vts > pts - INTERVAL 30 MINUTES AND vts <= pts")
+
+    // discriminator: some matches must straddle the restart boundary
+    def half(h: Seq[Path]) = spark.read.parquet(h.map(_.toString): _*)
+    val straddling = half(p1).join(half(v2), cond).count() +
+      half(p2).join(half(v1), cond).count()
+    assert(straddling > 0, "fixture split produced no cross-restart matches")
+
+    def run(): DataFrame = {
+      val out = Scratch.dir("rec_ivj_out")
+      val ps = spark.readStream.schema(pSchema)
+        .option("maxFilesPerTrigger", "1").parquet(pIn)
+        .withWatermark("pts", "3650 days")
+      val vs = spark.readStream.schema(vSchema)
+        .option("maxFilesPerTrigger", "1").parquet(vIn)
+        .withWatermark("vts", "3650 days")
+      val q = ps.join(vs, cond)
+        .select(col("user_id"), col("purchase_id"), unix_micros(col("pts")).as("ptus"))
+        .writeStream
+        .foreachBatch((df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out))
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      readOut(out, Seq("user_id" -> "long", "purchase_id" -> "long", "ptus" -> "long"))
+    }
+    copyIn(p1, pIn); copyIn(v1, vIn)
+    val m1 = run()
+    copyIn(p2, pIn); copyIn(v2, vIn)
+    val m2 = run()
+    // append-mode inner join emits each (purchase, view) match exactly
+    // once across the clean-stop runs; counts roll up per purchase
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"), col("purchase_id"), col("ptus"))
+      .agg(count(lit(1)).as("n_views_30m"))
+      .orderBy("user_id", "purchase_id")
+    val recovered = rollup(m1.unionByName(m2))
+    val batch = rollup(p.join(v, cond)
+      .select(col("user_id"), col("purchase_id"), unix_micros(col("pts")).as("ptus")))
+    assert(recovered.collect().map(_.toSeq).toSeq ===
+      batch.collect().map(_.toSeq).toSeq)
+  }
+
   /** Dedup horizon matching CdcStream.dedupMinhash: effectively infinite
     * for the finite replay.
     */
