@@ -31,6 +31,16 @@ class CdcSinkSpec extends SparkSpecBase {
     assert(sql.contains("WHEN NOT MATCHED THEN INSERT ([id], [status]) VALUES (s.[id], s.[status]);"))
   }
 
+  test("embedded quote chars in identifiers are escaped by doubling") {
+    // a hostile or odd column name must not break out of the quoted
+    // identifier in generated statements
+    val pg = CdcSink.upsertTemplate("""or"ders""", Seq("""i"d""", "v"), Seq("""i"d"""))
+    assert(pg.contains("\"or\"\"ders\"") && pg.contains("\"i\"\"d\""))
+    assert(!pg.contains("\"or\"ders\""))
+    val ms = CdcSink.upsertTemplate("or]ders", Seq("i]d", "v"), Seq("i]d"), "sqlserver")
+    assert(ms.contains("[or]]ders]") && ms.contains("[i]]d]"))
+  }
+
   test("composite keys thread through both templates") {
     val up = CdcSink.upsertTemplate("li", Seq("ok", "ln", "qty"), Seq("ok", "ln"))
     assert(up.contains("""ON CONFLICT ("ok", "ln")"""))
