@@ -51,16 +51,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read natively; read it as raw nanos and truncate to microseconds
-    * (integer DIV — ns epochs exceed 2^53 so double division would lose
-    * precision), matching DuckDB's own ns→µs truncation.
+  /** events.ts has shipped as both INT64 TIMESTAMP(NANOS) (which Spark 4
+    * only reads via the nanosAsLong legacy conf, as a raw long) and
+    * plain TIMESTAMP(MICROS) NTZ across testdata generations — dispatch
+    * on the INFERRED type so either lake layout works. Nanos truncate to
+    * microseconds with integer DIV (ns epochs exceed 2^53, double
+    * division would lose precision), matching DuckDB's own ns→µs
+    * truncation; NTZ micros cast to session-local TIMESTAMP (the
+    * session is pinned UTC, so the wall-clock is the instant).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

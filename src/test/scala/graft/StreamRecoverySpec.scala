@@ -26,8 +26,15 @@ import graft.streaming.CdcStream.ChangeEvent
   * the restart. Each test also asserts the fixture actually discriminates
   * (some part of the answer is impossible without cross-run state), so a
   * silent recovery failure cannot pass.
+  *
+  * Abstract over the state-store backend: the concrete suites below run
+  * the same five scenarios on the heap-backed default provider AND on
+  * RocksDB with changelog checkpointing — the provider class is pinned
+  * into the checkpoint's offset-log metadata at first start, so setting
+  * it before run 1 proves the RESTART path (changelog replay into a
+  * fresh RocksDB instance) too, not just steady-state operation.
   */
-class StreamRecoverySpec extends SparkSpecBase {
+abstract class StreamRecoveryBehaviors extends SparkSpecBase with WithSessionConfs {
 
   /** Write df as `parts` parquet files into a staging dir; return the
     * part files sorted by name.
@@ -368,4 +375,21 @@ class StreamRecoverySpec extends SparkSpecBase {
     assert(crossOnly.count() > 0,
       "fixture split produced no cross-restart-only pairs; split differently")
   }
+}
+
+/** The five recovery scenarios on the default (heap-backed HDFS) state
+  * store provider.
+  */
+class StreamRecoverySpec extends StreamRecoveryBehaviors {
+  def sessionConfs: Map[String, String] = Map.empty
+}
+
+/** The same five recovery scenarios on RocksDB + changelog
+  * checkpointing — the backend an unbounded production CDC feed needs
+  * (ref: docker/configs/kafka-connect/postgresql-sink.json's
+  * continuous-ingest contract), where per-key state must not live on
+  * the executor heap.
+  */
+class StreamRecoveryRocksDbSpec extends StreamRecoveryBehaviors {
+  def sessionConfs: Map[String, String] = RocksDbConfs.confs
 }
