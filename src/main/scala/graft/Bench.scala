@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times the headline queries at the driver-chosen
@@ -7,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * subset (scan/agg, joins, windows, checksums, cdc apply, dedup, text,
   * ann); the quadratic-pair verification ops stay correctness-only.
   * Set SPARK_GRAFT_BENCH_ALL=1 to time every registered query.
+  *
+  * Beyond wall-time (±15% host variance, CLAUDE.md), every timed run
+  * also records DETERMINISTIC work metrics — shuffle bytes/records
+  * written and spill — via a task-metrics listener. A plan regression
+  * (lost pushdown, new exchange, broadcast turned shuffle) moves
+  * shuffle bytes exactly and reproducibly, so those are compared
+  * against the checked-in per-query budget (bench/shuffle_budget.txt,
+  * sf0.1) and reported as `shuffle_regressions` — the noise-free
+  * regression gate wall-time can't be.
   */
 object Bench {
   private val Headline = Seq(
@@ -25,6 +37,26 @@ object Bench {
     "dedup_incremental", "cdc_compact_log", "emb_centroid_drift",
     "q_median_by_group")
 
+  /** Sums task-level shuffle-write and spill metrics across every task
+    * the session runs; the timed loop snapshots it around each run.
+    * Task metrics are exact counters, not samples — identical plans
+    * produce identical byte counts run over run.
+    */
+  private final class WorkMeter extends SparkListener {
+    val bytes = new LongAdder; val records = new LongAdder; val spill = new LongAdder
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        bytes.add(m.shuffleWriteMetrics.bytesWritten)
+        records.add(m.shuffleWriteMetrics.recordsWritten)
+        spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snap: (Long, Long, Long) = (bytes.sum, records.sum, spill.sum)
+  }
+
+  private case class Work(bytes: Long, records: Long, spill: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +71,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new WorkMeter
+    spark.sparkContext.addSparkListener(meter)
 
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(list) => list.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq
@@ -61,19 +95,31 @@ object Bench {
     try materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
+    /** Snapshot the meter with the listener bus drained, so every
+      * completed task's metrics are already folded in.
+      */
+    def snapDrained(): (Long, Long, Long) = {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      meter.snap
+    }
+
     // One untimed warm run (pays per-query whole-stage-codegen
-    // compilation — a JVM artifact, not engine throughput) + three timed
-    // runs per query, report the MEDIAN: the r4 bench showed a uniform
-    // ~1.16× drift on untouched queries from GC pressure accumulating
-    // across a 28-query single-process session; a forced GC before every
-    // timed run plus the median-of-3 makes timings insensitive to both
-    // collection pauses landing inside one run and one-off JIT/IO blips.
-    // A query that throws is reported under "errors" (never as a timing):
-    // a partial elapsed-to-exception time would make a broken query look
-    // fast and the regression invisible.
-    def timeSet(qnames: Seq[String], dir: String): Seq[(String, Either[String, Double])] =
+    // compilation — a JVM artifact, not engine throughput) + `timedRuns`
+    // timed runs per query, report the MEDIAN: the r4 bench showed a
+    // uniform ~1.16× drift on untouched queries from GC pressure
+    // accumulating across a 28-query single-process session; a forced GC
+    // before every timed run plus the median makes timings insensitive
+    // to both collection pauses landing inside one run and one-off
+    // JIT/IO blips. A query that throws is reported under "errors"
+    // (never as a timing): a partial elapsed-to-exception time would
+    // make a broken query look fast and the regression invisible.
+    // Work metrics come from the LAST timed run (they are deterministic
+    // — any run would do).
+    def timeSet(qnames: Seq[String], dir: String, timedRuns: Int = 3)
+        : Seq[(String, Either[String, (Double, Work)])] =
       qnames.map { name =>
-        val runs = (0 to 3).map { i =>
+        var work = Work(0L, 0L, 0L)
+        val runs = (0 to timedRuns).map { i =>
           // each run starts cache-cold: leftover persists from the previous
           // run would otherwise make later runs time a cache read, and the
           // accumulated entries would spill the long bench session
@@ -81,6 +127,7 @@ object Bench {
           // drain garbage from the previous query/run so its collection
           // cost isn't billed to this timing
           System.gc()
+          val before = snapDrained()
           val t0 = System.nanoTime()
           val err =
             try { materialize(SparkEntry.queries(name)(spark, dir)); None }
@@ -88,12 +135,17 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: $e")
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
             }
-          ((System.nanoTime() - t0) / 1e9, err, i)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (err.isEmpty && i == timedRuns) {
+            val after = snapDrained()
+            work = Work(after._1 - before._1, after._2 - before._2, after._3 - before._3)
+          }
+          (dt, err, i)
         }
         runs.collectFirst { case (_, Some(msg), _) => name -> Left(msg) }
           .getOrElse {
             val timed = runs.collect { case (t, None, i) if i > 0 => t }.sorted
-            name -> Right(timed(timed.length / 2))
+            name -> Right((timed(timed.length / 2), work))
           }
       }
     val results = timeSet(names, sfDir)
@@ -108,28 +160,111 @@ object Bench {
       .filter(d => d != sfDir && new java.io.File(d).isDirectory)
     val scaleResults = scaleDir.map(d => timeSet(names, d)).getOrElse(Seq.empty)
 
+    // Upper scale point: a deterministic 10× tile-up of sf0.1 (~170 MB —
+    // past trivial cache effects, see graft.tools.TileUp), timed with a
+    // single timed run (growth-ratio threshold is 20×; sub-noise
+    // precision isn't needed at 10× the wall-cost per run). Generated on
+    // first use, reused after. SPARK_GRAFT_SF1=0 disables.
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .orElse(if (sfDir.endsWith("sf0.1")) Some("/root/repo/data/sf1") else None)
+      .filter(_ => sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0")
+      .filter(_ => sfDir.endsWith("sf0.1"))
+      .filter(d => graft.tools.TileUp.ensure(spark, sfDir, d))
+    val sf1Results = sf1Dir.map(d => timeSet(names, d, timedRuns = 1)).getOrElse(Seq.empty)
+
+    // Streaming throughput: run the two state-heaviest twins once at the
+    // bench SF and surface their micro-batch progress (rows/sec over
+    // trigger time, batch count, final state rows). These are evidence
+    // numbers, not regression-gated — state-store throughput rides the
+    // same host variance as everything else.
+    val streamingNames =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING", "1") == "0") Seq.empty
+      else Seq("cdc_stream_apply", "stream_dedup_minhash")
+    val streaming = streamingNames.flatMap { name =>
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val ok =
+        try { materialize(graft.streaming.CdcStream.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming $name FAILED: $e"); false
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (!ok) None
+      else graft.streaming.CdcStream.progressLog.get(name).map { prog =>
+        val rows = prog.map(_._1).sum
+        val trigMs = prog.map(_._2).sum
+        val rps = if (trigMs > 0) rows.toDouble * 1000.0 / trigMs else 0.0
+        (name, wall, rows, prog.size, rps, prog.map(_._3).lastOption.getOrElse(0L))
+      }
+    }
+
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     def jnum(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val ok = results.collect { case (k, Right((v, _))) => k -> v }
+    val workOk = results.collect { case (k, Right((_, w))) => k -> w }
     val errs = results.collect { case (k, Left(m)) => k -> m } ++
-      scaleResults.collect { case (k, Left(m)) => (k + "@scale") -> m }
+      scaleResults.collect { case (k, Left(m)) => (k + "@scale") -> m } ++
+      sf1Results.collect { case (k, Left(m)) => (k + "@sf1") -> m }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val scaleOk = scaleResults.collect { case (k, Right(v)) => k -> v }.toMap
+
+    def ratioMap(base: Seq[(String, Double)], bigger: Map[String, Double]) =
+      base.flatMap { case (k, v) => bigger.get(k).filter(_ => v > 0).map(s => k -> s / v) }
+    val scaleOk = scaleResults.collect { case (k, Right((v, _))) => k -> v }.toMap
     val ratios = ok.flatMap { case (k, v) =>
       scaleOk.get(k).filter(_ > 0).map(s => k -> v / s)
     }
-    val superlinear = ratios.collect { case (k, r) if r > 20.0 => k }
+    val sf1Ok = sf1Results.collect { case (k, Right((v, _))) => k -> v }.toMap
+    val ratiosSf1 = ratioMap(ok, sf1Ok)
+    val superlinear = ratios.collect { case (k, r) if r > 20.0 => k } ++
+      ratiosSf1.collect { case (k, r) if r > 20.0 => k + "@sf1" }
     val scaleJson = if (scaleResults.isEmpty) "" else {
       val sq = scaleOk.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
       val rq = ratios.map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      val sl = superlinear.map(jstr).mkString("[", ",", "]")
-      s""","scale_sf":${jstr(scaleDir.get)},"scale_queries":$sq,"growth_ratio":$rq,"superlinear":$sl"""
+      s""","scale_sf":${jstr(scaleDir.get)},"scale_queries":$sq,"growth_ratio":$rq"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson}""")
+    val sf1Json = if (sf1Results.isEmpty) "" else {
+      val sq = sf1Ok.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+      val rq = ratiosSf1.map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
+      s""","sf1_dir":${jstr(sf1Dir.get)},"sf1_queries":$sq,"growth_ratio_sf1":$rq"""
+    }
+    val slJson = s""","superlinear":${superlinear.map(jstr).mkString("[", ",", "]")}"""
+
+    // Deterministic regression gate: compare sf0.1 shuffle bytes against
+    // the committed budget; >10% growth = a plan changed shape. (New
+    // queries without a budget line are reported, not flagged.)
+    val budgetPath = "/root/repo/bench/shuffle_budget.txt"
+    val budget: Map[String, Long] =
+      if (!sfDir.endsWith("sf0.1") || !new java.io.File(budgetPath).isFile) Map.empty
+      else scala.io.Source.fromFile(budgetPath).getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l => l.split("\\s+") match {
+          case Array(k, v) => Some(k -> v.toLong)
+          case _ => None
+        }}.toMap
+    val shuffleRegressions = workOk.collect {
+      case (k, w) if budget.get(k).exists(b => w.bytes > b * 1.10 + 1024) =>
+        s"$k:${budget(k)}->${w.bytes}"
+    }
+    val workJson = {
+      val sb = workOk.map { case (k, w) => jstr(k) + ":" + w.bytes }.mkString("{", ",", "}")
+      val sr = workOk.map { case (k, w) => jstr(k) + ":" + w.records }.mkString("{", ",", "}")
+      val sp = workOk.filter(_._2.spill > 0)
+        .map { case (k, w) => jstr(k) + ":" + w.spill }.mkString("{", ",", "}")
+      val flags = shuffleRegressions.map(jstr).mkString("[", ",", "]")
+      s""","shuffle_bytes":$sb,"shuffle_records":$sr,"spill_bytes":$sp,"shuffle_regressions":$flags"""
+    }
+    val streamJson = if (streaming.isEmpty) "" else {
+      val entries = streaming.map { case (name, wall, rows, batches, rps, stateRows) =>
+        jstr(name) + s""":{"wall_sec":${jnum(wall)},"input_rows":$rows,"batches":$batches,"rows_per_sec":${jnum(rps)},"state_rows":$stateRows}"""
+      }.mkString("{", ",", "}")
+      s""","streaming":$entries"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$slJson$workJson$streamJson}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -695,19 +695,21 @@ object ReconSuite {
     * the edge), so injected EXTRA rows surface in the last cell.
     */
   private[graft] def bisectDrill(s: SparkSession, src: DataFrame, tgt: DataFrame): DataFrame = {
-    val bounds = src.agg(min(col("o_orderkey")).as("lo"),
-      (max(col("o_orderkey")) - min(col("o_orderkey")) + 1).as("w"))
+    // One footer-cheap driver action up front; the [lo, w) domain feeds
+    // every downstream leg as plan literals (the earlier shape re-ran
+    // this aggregate as a broadcast leg in each of the four cell passes
+    // on top of this head() — r7 nit).
+    val b = src.agg(min(col("o_orderkey")).as("lo"),
+      (max(col("o_orderkey")) - min(col("o_orderkey")) + 1).as("w")).head()
+    val (loV, wV) = (b.getAs[Number]("lo").longValue, b.getAs[Number]("w").longValue)
     def cells(df: DataFrame, n: Int, pfx: String): DataFrame = df
-      .crossJoin(broadcast(bounds))
-      .groupBy(least(greatest(expr(s"((o_orderkey - lo) * $n) div w"), lit(0L)),
+      .groupBy(least(greatest(expr(s"((o_orderkey - $loV) * $n) div $wV"), lit(0L)),
         lit(n - 1L)).as("cell"))
       .agg(checksumAgg(orowStr).as(s"${pfx}_ck"), count(lit(1)).as(s"${pfx}_rows"))
     val bad = cells(src, 32, "src")
       .join(cells(tgt, 32, "tgt"), Seq("cell"), "full_outer")
       .filter(coalesce(col("src_ck"), lit(-1L)) =!= coalesce(col("tgt_ck"), lit(-1L)))
       .select(col("cell").as("parent"))
-    val b = bounds.head()
-    val (loV, wV) = (b.getAs[Number]("lo").longValue, b.getAs[Number]("w").longValue)
     def ceilDiv(a: Long, n: Long): Long = (a + n - 1) / n
     // invert slice p to its key range: (k-lo)*32 div w = p ⟺
     // ceil(p·w/32) ≤ k-lo < ceil((p+1)·w/32); edge slices absorb the
@@ -723,10 +725,9 @@ object ReconSuite {
     // parent is a flagged coarse cell — no post-aggregate join needed
     cells(src.filter(pred), 256, "src")
       .join(cells(tgt.filter(pred), 256, "tgt"), Seq("cell"), "full_outer")
-      .crossJoin(broadcast(bounds))
       .select(col("cell"),
-        expr("lo + (cell * w + 255) div 256").as("lo_key"),
-        expr("lo + ((cell + 1) * w + 255) div 256 - 1").as("hi_key"),
+        expr(s"$loV + (cell * $wV + 255) div 256").as("lo_key"),
+        expr(s"$loV + ((cell + 1) * $wV + 255) div 256 - 1").as("hi_key"),
         coalesce(col("src_rows"), lit(0L)).as("src_rows"),
         coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
         when(coalesce(col("src_ck"), lit(-1L)) === coalesce(col("tgt_ck"), lit(-1L)),

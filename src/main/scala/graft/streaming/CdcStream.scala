@@ -15,6 +15,22 @@ import graft.sources.{CdcSource, Scratch, SourceSpec, Tables}
   */
 object CdcStream {
 
+  /** Micro-batch progress of each twin's most recent run, as
+    * (inputRows, triggerExecutionMs, stateRowsTotal) per batch — Bench
+    * reads this to publish streaming throughput (rows/sec, batch
+    * duration, state size) next to the batch wall-times.
+    */
+  val progressLog =
+    scala.collection.concurrent.TrieMap[String, Vector[(Long, Long, Long)]]()
+
+  private def recordProgress(
+      name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    progressLog(name) = q.recentProgress.toVector.map { p =>
+      val trig = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)
+      (p.numInputRows, trig, p.stateOperators.map(_.numRowsTotal).sum)
+    }
+
   case class ChangeEvent(id: Long, custkey: Long, status: String, op: String, seq: Long, ts_ms: Long)
   case class KeyState(custkey: Long, status: String, op: String, seq: Long, ts_ms: Long)
 
@@ -75,6 +91,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("cdc_stream_apply", q)
     spark.table(qname)
   }
 
@@ -349,6 +366,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_dedup_minhash", q)
     val cands = spark.table(qname).dropDuplicates("doc_a", "doc_b")
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
