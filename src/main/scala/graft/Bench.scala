@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   * regression gate wall-time can't be.
   */
 object Bench {
-  private val Headline = Seq(
+  private[graft] val Headline = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "q_window_rank", "q_events_tumbling", "q_events_sessionize",
     "recon_checksum_agg", "recon_rowlevel", "cdc_apply_latest",
@@ -172,30 +172,49 @@ object Bench {
       .filter(d => graft.tools.TileUp.ensure(spark, sfDir, d))
     val sf1Results = sf1Dir.map(d => timeSet(names, d, timedRuns = 1)).getOrElse(Seq.empty)
 
-    // Streaming throughput: run the two state-heaviest twins once at the
-    // bench SF and surface their micro-batch progress (rows/sec over
-    // trigger time, batch count, final state rows). These are evidence
-    // numbers, not regression-gated — state-store throughput rides the
-    // same host variance as everything else.
+    // Streaming throughput: run the two state-heaviest twins once per
+    // STATE BACKEND (heap-backed default vs RocksDB + changelog
+    // checkpointing) at the bench SF and surface their micro-batch
+    // progress (rows/sec over trigger time, batch count, final state
+    // rows) — head-to-head evidence for the backend a production
+    // deployment runs. Evidence numbers, not regression-gated —
+    // state-store throughput rides the same host variance as
+    // everything else.
     val streamingNames =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING", "1") == "0") Seq.empty
       else Seq("cdc_stream_apply", "stream_dedup_minhash")
-    val streaming = streamingNames.flatMap { name =>
-      spark.catalog.clearCache(); System.gc()
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(graft.streaming.CdcStream.queries(name)(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] streaming $name FAILED: $e"); false
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val backends = Seq(
+      "" -> Map.empty[String, String],
+      "@rocksdb" -> Map(
+        providerKey ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"))
+    val streaming = backends.flatMap { case (suffix, confs) =>
+      val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val out = streamingNames.flatMap { name =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(graft.streaming.CdcStream.queries(name)(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] streaming $name$suffix FAILED: $e"); false
+          }
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (!ok) None
+        else graft.streaming.CdcStream.progressLog.get(name).map { prog =>
+          val rows = prog.map(_._1).sum
+          val trigMs = prog.map(_._2).sum
+          val rps = if (trigMs > 0) rows.toDouble * 1000.0 / trigMs else 0.0
+          (name + suffix, wall, rows, prog.size, rps, prog.map(_._3).lastOption.getOrElse(0L))
         }
-      val wall = (System.nanoTime() - t0) / 1e9
-      if (!ok) None
-      else graft.streaming.CdcStream.progressLog.get(name).map { prog =>
-        val rows = prog.map(_._1).sum
-        val trigMs = prog.map(_._2).sum
-        val rps = if (trigMs > 0) rows.toDouble * 1000.0 / trigMs else 0.0
-        (name, wall, rows, prog.size, rps, prog.map(_._3).lastOption.getOrElse(0L))
       }
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      out
     }
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

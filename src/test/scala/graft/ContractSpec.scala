@@ -23,6 +23,19 @@ class ContractSpec extends SparkSpecBase {
     }
   }
 
+  test("shuffle budget covers exactly the headline bench set") {
+    // the deterministic regression gate only guards queries with a
+    // budget line — a headline addition without one would silently go
+    // ungated, and a stale line would flag a ghost
+    val budget = scala.io.Source.fromFile("/root/repo/bench/shuffle_budget.txt")
+      .getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\\s+")(0)).toSet
+    val headline = Bench.Headline.toSet
+    assert(budget == headline,
+      s"unbudgeted headline: ${headline -- budget}; stale budget lines: ${budget -- headline}")
+    assert(headline.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("oracle SQL mentions every output column name of its query") {
     // cheap guard for alias drift: each Spark column name should appear
     // verbatim in the oracle text (as alias or source column)
