@@ -237,19 +237,47 @@ object Bench {
     }
     val sf1Ok = sf1Results.collect { case (k, Right((v, _))) => k -> v }.toMap
     val ratiosSf1 = ratioMap(ok, sf1Ok)
+    // Shuffle-VOLUME growth across a 10× hop is deterministic where
+    // wall-time is noisy: a linear operator moves ~10× the bytes for
+    // 10× the data. The FLAGGED comparison is sf0.01→sf0.1 — both
+    // single-file lakes, so pre-shuffle map parallelism is equal and
+    // the ratio isolates the plan. (The sf1 hop is reported
+    // informationally below but NOT flagged: sf1 is an 8-file lake, so
+    // high-cardinality partial aggregates legitimately emit up to
+    // 8 map tasks' worth of per-group partials — a layout effect, not
+    // a plan regression; at real multi-file scale partials are bounded
+    // by groups-per-task on BOTH sides of any hop.) Bases under 64 KB
+    // are skipped — ratios on KB-sized shuffles measure framing
+    // constants, not the plan.
+    val sf1Work = sf1Results.collect { case (k, Right((_, w))) => k -> w }.toMap
+    val scaleWork = scaleResults.collect { case (k, Right((_, w))) => k -> w }.toMap
+    val shuffleGrowth = scaleWork.toSeq.flatMap { case (k, small) =>
+      workOk.toMap.get(k).filter(_ => small.bytes > 64 * 1024)
+        .map(big => k -> big.bytes.toDouble / small.bytes)
+    }
+    val shuffleGrowthSf1 = workOk.flatMap { case (k, w) =>
+      sf1Work.get(k).filter(_ => w.bytes > 64 * 1024).map(s => k -> s.bytes.toDouble / w.bytes)
+    }
     val superlinear = ratios.collect { case (k, r) if r > 20.0 => k } ++
-      ratiosSf1.collect { case (k, r) if r > 20.0 => k + "@sf1" }
+      ratiosSf1.collect { case (k, r) if r > 20.0 => k + "@sf1" } ++
+      shuffleGrowth.collect { case (k, r) if r > 15.0 => k + "@shuffle" }
     val scaleJson = if (scaleResults.isEmpty) "" else {
       val sq = scaleOk.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
       val rq = ratios.map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      s""","scale_sf":${jstr(scaleDir.get)},"scale_queries":$sq,"growth_ratio":$rq"""
+      val sg = shuffleGrowth.sortBy(_._1)
+        .map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
+      s""","scale_sf":${jstr(scaleDir.get)},"scale_queries":$sq,"growth_ratio":$rq,"shuffle_growth":$sg"""
     }
     val sf1Json = if (sf1Results.isEmpty) "" else {
       val sq = sf1Ok.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
       val rq = ratiosSf1.map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      s""","sf1_dir":${jstr(sf1Dir.get)},"sf1_queries":$sq,"growth_ratio_sf1":$rq"""
+      val sg = shuffleGrowthSf1.toSeq.sortBy(_._1)
+        .map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
+      val spill1 = sf1Work.filter(_._2.spill > 0).toSeq.sortBy(_._1)
+        .map { case (k, w) => jstr(k) + ":" + w.spill }.mkString("{", ",", "}")
+      s""","sf1_dir":${jstr(sf1Dir.get)},"sf1_queries":$sq,"growth_ratio_sf1":$rq,"shuffle_growth_sf1_info":$sg,"sf1_spill_bytes":$spill1"""
     }
     val slJson = s""","superlinear":${superlinear.map(jstr).mkString("[", ",", "]")}"""
 
