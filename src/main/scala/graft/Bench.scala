@@ -283,11 +283,15 @@ object Bench {
 
     // Deterministic regression gate: compare sf0.1 shuffle bytes against
     // the committed budget; >10% growth = a plan changed shape. (New
-    // queries without a budget line are reported, not flagged.)
+    // queries without a budget line are reported, not flagged.) Only
+    // armed at the budget's recorded config — shuffle bytes move with
+    // partition count (framing + AQE coalescing), so a different
+    // SPARK_GRAFT_CPUS must not fabricate regressions.
     val budgetPath = "/root/repo/bench/shuffle_budget.txt"
     val budget: Map[String, Long] =
-      if (!sfDir.endsWith("sf0.1") || !new java.io.File(budgetPath).isFile) Map.empty
-      else scala.io.Source.fromFile(budgetPath).getLines()
+      if (!sfDir.endsWith("sf0.1") || cpus != "32" ||
+        !new java.io.File(budgetPath).isFile) Map.empty
+      else scala.io.Source.fromFile(budgetPath, "UTF-8").getLines()
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .flatMap { l => l.split("\\s+") match {
           case Array(k, v) => Some(k -> v.toLong)

@@ -27,7 +27,7 @@ class ContractSpec extends SparkSpecBase {
     // the deterministic regression gate only guards queries with a
     // budget line — a headline addition without one would silently go
     // ungated, and a stale line would flag a ghost
-    val budget = scala.io.Source.fromFile("/root/repo/bench/shuffle_budget.txt")
+    val budget = scala.io.Source.fromFile("/root/repo/bench/shuffle_budget.txt", "UTF-8")
       .getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(_.split("\\s+")(0)).toSet
     val headline = Bench.Headline.toSet
