@@ -46,7 +46,9 @@ object Bench {
     val bytes = new LongAdder; val records = new LongAdder; val spill = new LongAdder
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null) {
+      // successful tasks only: a failed-then-retried task would count
+      // its shuffle writes twice and fabricate a gate flag
+      if (m != null && e.taskInfo != null && e.taskInfo.successful) {
         bytes.add(m.shuffleWriteMetrics.bytesWritten)
         records.add(m.shuffleWriteMetrics.recordsWritten)
         spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
@@ -168,7 +170,6 @@ object Bench {
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
       .orElse(if (sfDir.endsWith("sf0.1")) Some("/root/repo/data/sf1") else None)
       .filter(_ => sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0")
-      .filter(_ => sfDir.endsWith("sf0.1"))
       .filter(d => graft.tools.TileUp.ensure(spark, sfDir, d))
     val sf1Results = sf1Dir.map(d => timeSet(names, d, timedRuns = 1)).getOrElse(Seq.empty)
 
@@ -251,8 +252,9 @@ object Bench {
     // constants, not the plan.
     val sf1Work = sf1Results.collect { case (k, Right((_, w))) => k -> w }.toMap
     val scaleWork = scaleResults.collect { case (k, Right((_, w))) => k -> w }.toMap
+    val workMap = workOk.toMap
     val shuffleGrowth = scaleWork.toSeq.flatMap { case (k, small) =>
-      workOk.toMap.get(k).filter(_ => small.bytes > 64 * 1024)
+      workMap.get(k).filter(_ => small.bytes > 64 * 1024)
         .map(big => k -> big.bytes.toDouble / small.bytes)
     }
     val shuffleGrowthSf1 = workOk.flatMap { case (k, w) =>
@@ -294,7 +296,7 @@ object Bench {
       else scala.io.Source.fromFile(budgetPath, "UTF-8").getLines()
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .flatMap { l => l.split("\\s+") match {
-          case Array(k, v) => Some(k -> v.toLong)
+          case Array(k, v) => v.toLongOption.map(k -> _)
           case _ => None
         }}.toMap
     val shuffleRegressions = workOk.collect {

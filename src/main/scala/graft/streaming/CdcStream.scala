@@ -71,7 +71,8 @@ object CdcStream {
     * per-trigger emissions (id, custkey, status, op, seq) — shared by
     * the hard-delete materialization and the compaction twin.
     */
-  private def currentStateEmissions(spark: SparkSession, dir: String): DataFrame = {
+  private def currentStateEmissions(
+      spark: SparkSession, dir: String, progressKey: String): DataFrame = {
     import spark.implicits._
     val tmp = Scratch.dir("graft_cdc_stream")
     // Land the log as several files so AvailableNow exercises multi-batch
@@ -91,14 +92,14 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    recordProgress("cdc_stream_apply", q)
+    recordProgress(progressKey, q)
     spark.table(qname)
   }
 
   def applyLatest(spark: SparkSession, dir: String): DataFrame = {
     // Latest emission per key wins; tombstoned keys drop (hard-delete mode).
     val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
-    currentStateEmissions(spark, dir)
+    currentStateEmissions(spark, dir, "cdc_stream_apply")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "d")
       .select(col("id"), col("custkey"), col("status"))
@@ -113,7 +114,7 @@ object CdcStream {
     */
   def compactLog(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
-    currentStateEmissions(spark, dir)
+    currentStateEmissions(spark, dir, "stream_compact_log")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("op"), col("seq"),

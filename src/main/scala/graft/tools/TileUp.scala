@@ -28,12 +28,36 @@ import graft.sources.Tables
 object TileUp {
 
   /** Marker written after all tables land; `ensure` keys off it so a
-    * killed half-finished generation is redone, never trusted.
+    * killed half-finished generation is redone, never trusted. The
+    * marker CONTENT is a descriptor of (source, factor, per-file
+    * size+mtime of the source lake): the driver regenerates
+    * /root/testdata between rounds (it did — events.ts ns→µs), and a
+    * lake tiled from the OLD source would silently skew every sf1
+    * comparison, so a descriptor mismatch forces a re-tile.
     */
   private def marker(dst: String) = Paths.get(dst, "_TILEUP_OK")
 
+  private val TableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Bump when the tiling transform itself changes — a lake generated
+    * by an older transform must not satisfy `ensure`.
+    */
+  private val GenVersion = 2
+
+  private def descriptor(src: String, factor: Int): String = {
+    val files = TableNames.map { n =>
+      val f = new java.io.File(s"$src/$n.parquet")
+      s"$n ${f.length} ${f.lastModified}"
+    }
+    (s"gen=$GenVersion src=$src factor=$factor" +: files).mkString("\n")
+  }
+
   def ensure(spark: SparkSession, src: String, dst: String, factor: Int = 10): Boolean = {
-    if (Files.exists(marker(dst))) return true
+    val want = descriptor(src, factor)
+    val fresh = Files.exists(marker(dst)) &&
+      new String(Files.readAllBytes(marker(dst)), "UTF-8") == want
+    if (fresh) return true
     try { generate(spark, src, dst, factor); true }
     catch { case e: Throwable =>
       System.err.println(s"[tileup] generation failed: $e"); false
@@ -111,10 +135,13 @@ object TileUp {
       bump("user_id", sUser, i), col("event_type"), col("value"), col("props"))),
       "events")
 
-    // documents: rotate a high-frequency letter class per replica —
-    // cheap, length-preserving, and changes nearly every shingle so no
-    // replica is a near-dup of another
-    val alpha = "etaoinshrdl"
+    // documents: rotate a high-frequency letter class (+ digits, so
+    // numeric-only texts perturb too) per replica — cheap,
+    // length-preserving, and changes nearly every shingle so no replica
+    // is a near-dup of another. A text containing NONE of these
+    // characters would still tile identically; TileUpSpec's
+    // distinct-texts assertion is the canary for such a corpus.
+    val alpha = "etaoinshrdl0123456789"
     def rot(i: Int): String = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
     write(tiled(i => doc.select(bump("doc_id", sDoc, i),
       (if (i == 0) col("text") else translate(col("text"), alpha, rot(i))).as("text"),
@@ -130,7 +157,7 @@ object TileUp {
          (x, j) => when(j % factor === i, -x).otherwise(x))).as("embedding"),
       col("label"))), "embeddings")
 
-    Files.createFile(marker(dst))
+    Files.write(marker(dst), descriptor(src, factor).getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {

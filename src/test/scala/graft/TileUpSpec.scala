@@ -65,7 +65,12 @@ class TileUpSpec extends SparkSpecBase {
 
   test("embedding perturbation flips signs only: norms preserved, replicas differ") {
     val src = Tables.embeddings(spark, sf)
-    val stride = src.agg(max("vec_id")).head.getLong(0) + 1
+    // same stride rule as the generator: doc_id and vec_id share
+    // max(max doc_id, max vec_id) + 1, so decompose with THAT — the
+    // domains differ in general (sf0.1: doc 4999 vs vec 1999)
+    val stride = math.max(
+      Tables.documents(spark, sf).agg(max("doc_id")).head.getLong(0),
+      src.agg(max("vec_id")).head.getLong(0)) + 1
     val pair = t("embeddings")
       .withColumn("base", col("vec_id") % stride)
       .withColumn("replica", (col("vec_id") / stride).cast("int"))
