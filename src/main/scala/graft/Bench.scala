@@ -162,16 +162,53 @@ object Bench {
       .filter(d => d != sfDir && new java.io.File(d).isDirectory)
     val scaleResults = scaleDir.map(d => timeSet(names, d)).getOrElse(Seq.empty)
 
+    // Tiled scale lakes (graft.tools.TileUp): generated on first use,
+    // descriptor-gated thereafter. A failed generation is surfaced in
+    // the JSON `errors` map (tileup@<tag>) so a missing scale point is
+    // distinguishable from a disabled one.
+    val tileErrs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def tiledLake(tag: String, dstDefault: String, dstEnv: Option[String],
+        factor: Int, enabled: Boolean): Option[String] =
+      if (!enabled) None
+      else dstEnv.orElse(if (sfDir.endsWith("sf0.1")) Some(dstDefault) else None)
+        .flatMap { d =>
+          graft.tools.TileUp.ensure(spark, sfDir, d, factor) match {
+            case None => Some(d)
+            case Some(err) => tileErrs += tag -> err; None
+          }
+        }
+
     // Upper scale point: a deterministic 10× tile-up of sf0.1 (~170 MB —
     // past trivial cache effects, see graft.tools.TileUp), timed with a
     // single timed run (growth-ratio threshold is 20×; sub-noise
-    // precision isn't needed at 10× the wall-cost per run). Generated on
-    // first use, reused after. SPARK_GRAFT_SF1=0 disables.
-    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
-      .orElse(if (sfDir.endsWith("sf0.1")) Some("/root/repo/data/sf1") else None)
-      .filter(_ => sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0")
-      .filter(d => graft.tools.TileUp.ensure(spark, sfDir, d))
+    // precision isn't needed at 10× the wall-cost per run).
+    // SPARK_GRAFT_SF1=0 disables.
+    val sf1Dir = tiledLake("sf1", "/root/repo/data/sf1",
+      sys.env.get("SPARK_GRAFT_SF1_DIR"), factor = 10,
+      enabled = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0")
     val sf1Results = sf1Dir.map(d => timeSet(names, d, timedRuns = 1)).getOrElse(Seq.empty)
+
+    // Layout-matched base for the big shuffle hop: sf0.1 re-laid-out as
+    // an 8-file lake (factor=1 tile — identical values, sf1's file
+    // layout). The raw sf0.1→sf1 byte ratio mixes plan growth with a
+    // single-file→8-file map-task multiplier on high-cardinality
+    // partials; measured from THIS lake the multiplier cancels, so the
+    // sf0.1m→sf1 ratio isolates the plan and is FLAGGED, extending the
+    // deterministic gate across the 17 MB → 173 MB hop.
+    val sf01mDir = tiledLake("sf0.1m", "/root/repo/data/sf0.1m", None, factor = 1,
+      enabled = sf1Dir.nonEmpty && sys.env.getOrElse("SPARK_GRAFT_SF01M", "1") != "0")
+    val sf01mResults = sf01mDir.map(d => timeSet(names, d, timedRuns = 1)).getOrElse(Seq.empty)
+
+    // sf10 (~1.7 GB — the first point whose working sets exceed
+    // cache locality on a 128 GiB host): opt-in via SPARK_GRAFT_SF10=1;
+    // generation plus a timed pass add ~10 min, so the default bench
+    // wall stays ~5 min. Tiled straight from sf0.1 (factor=100) so its
+    // 8-file layout matches sf1's and the sf1→sf10 hop is
+    // layout-matched (both ratio and shuffle gates flagged).
+    val sf10Dir = tiledLake("sf10", "/root/repo/data/sf10",
+      sys.env.get("SPARK_GRAFT_SF10_DIR"), factor = 100,
+      enabled = sys.env.getOrElse("SPARK_GRAFT_SF10", "0") == "1")
+    val sf10Results = sf10Dir.map(d => timeSet(names, d, timedRuns = 1)).getOrElse(Seq.empty)
 
     // Streaming throughput: run the two state-heaviest twins once per
     // STATE BACKEND (heap-backed default vs RocksDB + changelog
@@ -183,7 +220,21 @@ object Bench {
     // everything else.
     val streamingNames =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING", "1") == "0") Seq.empty
-      else Seq("cdc_stream_apply", "stream_dedup_minhash")
+      else Seq("cdc_stream_apply", "stream_dedup_minhash",
+        // the two join/window-state twins: stream-stream join state is
+        // the heaviest state format, previously recovery-proven but
+        // with no published rows/sec
+        "stream_windowed_agg", "stream_interval_join")
+    // (name, lake dir, label suffix): every twin at the bench SF, plus
+    // the upsert twin against the sf1 lake (~10× the state rows) —
+    // the point of the @sf1 entry is state-size evidence: RocksDB's
+    // memory figure should stay flat-ish where the heap store's grows
+    // with state. SPARK_GRAFT_BENCH_STREAMING_SF1=0 skips just that.
+    val streamJobs: Seq[(String, String, String)] =
+      streamingNames.map(n => (n, sfDir, "")) ++
+        (if (streamingNames.isEmpty ||
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_SF1", "1") == "0") Seq.empty
+        else sf1Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf1")))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val backends = Seq(
       "" -> Map.empty[String, String],
@@ -194,13 +245,13 @@ object Bench {
     val streaming = backends.flatMap { case (suffix, confs) =>
       val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val out = streamingNames.flatMap { name =>
+      val out = streamJobs.flatMap { case (name, dir, dirSuffix) =>
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
         val ok =
-          try { materialize(graft.streaming.CdcStream.queries(name)(spark, sfDir)); true }
+          try { materialize(graft.streaming.CdcStream.queries(name)(spark, dir)); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] streaming $name$suffix FAILED: $e"); false
+            System.err.println(s"[bench] streaming $name$dirSuffix$suffix FAILED: $e"); false
           }
         val wall = (System.nanoTime() - t0) / 1e9
         if (!ok) None
@@ -208,7 +259,9 @@ object Bench {
           val rows = prog.map(_._1).sum
           val trigMs = prog.map(_._2).sum
           val rps = if (trigMs > 0) rows.toDouble * 1000.0 / trigMs else 0.0
-          (name + suffix, wall, rows, prog.size, rps, prog.map(_._3).lastOption.getOrElse(0L))
+          (name + dirSuffix + suffix, wall, rows, prog.size, rps,
+            prog.map(_._3).lastOption.getOrElse(0L),
+            prog.map(_._4).maxOption.getOrElse(0L))
         }
       }
       saved.foreach {
@@ -221,66 +274,77 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     def jnum(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def jmapD(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    def jmapL(xs: Seq[(String, Long)]) =
+      xs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val ok = results.collect { case (k, Right((v, _))) => k -> v }
     val workOk = results.collect { case (k, Right((_, w))) => k -> w }
     val errs = results.collect { case (k, Left(m)) => k -> m } ++
       scaleResults.collect { case (k, Left(m)) => (k + "@scale") -> m } ++
-      sf1Results.collect { case (k, Left(m)) => (k + "@sf1") -> m }
+      sf1Results.collect { case (k, Left(m)) => (k + "@sf1") -> m } ++
+      sf01mResults.collect { case (k, Left(m)) => (k + "@sf0.1m") -> m } ++
+      sf10Results.collect { case (k, Left(m)) => (k + "@sf10") -> m } ++
+      tileErrs.map { case (tag, m) => s"tileup@$tag" -> m }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
 
-    def ratioMap(base: Seq[(String, Double)], bigger: Map[String, Double]) =
-      base.flatMap { case (k, v) => bigger.get(k).filter(_ => v > 0).map(s => k -> s / v) }
+    /** Per-query bigger-lake/smaller-lake wall ratio, sorted by key. */
+    def ratioMap(base: Map[String, Double], bigger: Map[String, Double]): Seq[(String, Double)] =
+      base.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        bigger.get(k).filter(_ => v > 0).map(b => k -> b / v)
+      }
+    val okMap = ok.toMap
     val scaleOk = scaleResults.collect { case (k, Right((v, _))) => k -> v }.toMap
-    val ratios = ok.flatMap { case (k, v) =>
-      scaleOk.get(k).filter(_ > 0).map(s => k -> v / s)
-    }
     val sf1Ok = sf1Results.collect { case (k, Right((v, _))) => k -> v }.toMap
-    val ratiosSf1 = ratioMap(ok, sf1Ok)
+    val sf10Ok = sf10Results.collect { case (k, Right((v, _))) => k -> v }.toMap
+    val ratios = ratioMap(scaleOk, okMap)
+    val ratiosSf1 = ratioMap(okMap, sf1Ok)
+    val ratiosSf10 = ratioMap(sf1Ok, sf10Ok)
     // Shuffle-VOLUME growth across a 10× hop is deterministic where
     // wall-time is noisy: a linear operator moves ~10× the bytes for
-    // 10× the data. The FLAGGED comparison is sf0.01→sf0.1 — both
-    // single-file lakes, so pre-shuffle map parallelism is equal and
-    // the ratio isolates the plan. (The sf1 hop is reported
-    // informationally below but NOT flagged: sf1 is an 8-file lake, so
-    // high-cardinality partial aggregates legitimately emit up to
-    // 8 map tasks' worth of per-group partials — a layout effect, not
-    // a plan regression; at real multi-file scale partials are bounded
-    // by groups-per-task on BOTH sides of any hop.) Bases under 64 KB
-    // are skipped — ratios on KB-sized shuffles measure framing
-    // constants, not the plan.
-    val sf1Work = sf1Results.collect { case (k, Right((_, w))) => k -> w }.toMap
-    val scaleWork = scaleResults.collect { case (k, Right((_, w))) => k -> w }.toMap
+    // 10× the data — but only a LAYOUT-MATCHED hop isolates the plan
+    // (pre-shuffle map parallelism equal on both sides; a single-file →
+    // 8-file hop multiplies high-cardinality partial aggregates by map
+    // task count, a layout effect, not a plan regression). FLAGGED
+    // hops: sf0.01→sf0.1 (both single-file), sf0.1m→sf1 and sf1→sf10
+    // (all 8-file tiles) — together the deterministic gate spans
+    // 2 MB → 1.7 GB. The raw sf0.1→sf1 ratio stays informational.
+    // Bases under 64 KB are skipped — ratios on KB-sized shuffles
+    // measure framing constants, not the plan.
+    def workOf(rs: Seq[(String, Either[String, (Double, Work)])]): Map[String, Work] =
+      rs.collect { case (k, Right((_, w))) => k -> w }.toMap
     val workMap = workOk.toMap
-    val shuffleGrowth = scaleWork.toSeq.flatMap { case (k, small) =>
-      workMap.get(k).filter(_ => small.bytes > 64 * 1024)
-        .map(big => k -> big.bytes.toDouble / small.bytes)
-    }
-    val shuffleGrowthSf1 = workOk.flatMap { case (k, w) =>
-      sf1Work.get(k).filter(_ => w.bytes > 64 * 1024).map(s => k -> s.bytes.toDouble / w.bytes)
-    }
+    val scaleWork = workOf(scaleResults)
+    val sf1Work = workOf(sf1Results)
+    val sf01mWork = workOf(sf01mResults)
+    val sf10Work = workOf(sf10Results)
+    def shuffleGrowthOf(base: Map[String, Work], bigger: Map[String, Work]): Seq[(String, Double)] =
+      base.toSeq.sortBy(_._1).flatMap { case (k, s) =>
+        bigger.get(k).filter(_ => s.bytes > 64 * 1024)
+          .map(b => k -> b.bytes.toDouble / s.bytes)
+      }
+    val shuffleGrowth = shuffleGrowthOf(scaleWork, workMap)
+    val shuffleGrowthSf1 = shuffleGrowthOf(workMap, sf1Work)
+    val shuffleGrowthBig = shuffleGrowthOf(sf01mWork, sf1Work)
+    val shuffleGrowthSf10 = shuffleGrowthOf(sf1Work, sf10Work)
     val superlinear = ratios.collect { case (k, r) if r > 20.0 => k } ++
       ratiosSf1.collect { case (k, r) if r > 20.0 => k + "@sf1" } ++
-      shuffleGrowth.collect { case (k, r) if r > 15.0 => k + "@shuffle" }
-    val scaleJson = if (scaleResults.isEmpty) "" else {
-      val sq = scaleOk.toSeq.sortBy(_._1)
-        .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
-      val rq = ratios.map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      val sg = shuffleGrowth.sortBy(_._1)
-        .map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      s""","scale_sf":${jstr(scaleDir.get)},"scale_queries":$sq,"growth_ratio":$rq,"shuffle_growth":$sg"""
-    }
-    val sf1Json = if (sf1Results.isEmpty) "" else {
-      val sq = sf1Ok.toSeq.sortBy(_._1)
-        .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
-      val rq = ratiosSf1.map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      val sg = shuffleGrowthSf1.toSeq.sortBy(_._1)
-        .map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      val spill1 = sf1Work.filter(_._2.spill > 0).toSeq.sortBy(_._1)
-        .map { case (k, w) => jstr(k) + ":" + w.spill }.mkString("{", ",", "}")
-      s""","sf1_dir":${jstr(sf1Dir.get)},"sf1_queries":$sq,"growth_ratio_sf1":$rq,"shuffle_growth_sf1_info":$sg,"sf1_spill_bytes":$spill1"""
-    }
+      ratiosSf10.collect { case (k, r) if r > 20.0 => k + "@sf10" } ++
+      shuffleGrowth.collect { case (k, r) if r > 15.0 => k + "@shuffle" } ++
+      shuffleGrowthBig.collect { case (k, r) if r > 15.0 => k + "@shuffle_big" } ++
+      shuffleGrowthSf10.collect { case (k, r) if r > 15.0 => k + "@shuffle_sf10" }
+    def spillsOf(work: Map[String, Work]): Seq[(String, Long)] =
+      work.filter(_._2.spill > 0).toSeq.sortBy(_._1).map { case (k, w) => k -> w.spill }
+    val scaleJson = if (scaleResults.isEmpty) "" else
+      s""","scale_sf":${jstr(scaleDir.get)},"scale_queries":${jmapD(scaleOk.toSeq.sortBy(_._1))},"growth_ratio":${jmapD(ratios)},"shuffle_growth":${jmapD(shuffleGrowth)}"""
+    val sf1Json = if (sf1Results.isEmpty) "" else
+      s""","sf1_dir":${jstr(sf1Dir.get)},"sf1_queries":${jmapD(sf1Ok.toSeq.sortBy(_._1))},"growth_ratio_sf1":${jmapD(ratiosSf1)},"shuffle_growth_sf1_info":${jmapD(shuffleGrowthSf1)},"sf1_spill_bytes":${jmapL(spillsOf(sf1Work))}"""
+    val sf01mJson = if (sf01mResults.isEmpty) "" else
+      s""","sf01m_dir":${jstr(sf01mDir.get)},"shuffle_growth_big":${jmapD(shuffleGrowthBig)}"""
+    val sf10Json = if (sf10Results.isEmpty) "" else
+      s""","sf10_dir":${jstr(sf10Dir.get)},"sf10_queries":${jmapD(sf10Ok.toSeq.sortBy(_._1))},"growth_ratio_sf10":${jmapD(ratiosSf10)},"shuffle_growth_sf10":${jmapD(shuffleGrowthSf10)},"sf10_spill_bytes":${jmapL(spillsOf(sf10Work))}"""
     val slJson = s""","superlinear":${superlinear.map(jstr).mkString("[", ",", "]")}"""
 
     // Deterministic regression gate: compare sf0.1 shuffle bytes against
@@ -312,12 +376,21 @@ object Bench {
       s""","shuffle_bytes":$sb,"shuffle_records":$sr,"spill_bytes":$sp,"shuffle_regressions":$flags"""
     }
     val streamJson = if (streaming.isEmpty) "" else {
-      val entries = streaming.map { case (name, wall, rows, batches, rps, stateRows) =>
-        jstr(name) + s""":{"wall_sec":${jnum(wall)},"input_rows":$rows,"batches":$batches,"rows_per_sec":${jnum(rps)},"state_rows":$stateRows}"""
+      val entries = streaming.map { case (name, wall, rows, batches, rps, stateRows, stateMem) =>
+        jstr(name) + s""":{"wall_sec":${jnum(wall)},"input_rows":$rows,"batches":$batches,"rows_per_sec":${jnum(rps)},"state_rows":$stateRows,"state_mem_bytes":$stateMem}"""
       }.mkString("{", ",", "}")
       s""","streaming":$entries"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$slJson$workJson$streamJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$sf01mJson$sf10Json$slJson$workJson$streamJson}"""
+    println(line)
+    // Persist the line: the driver's stdout capture keeps only a tail,
+    // which truncated the per-query maps out of two rounds' artifacts —
+    // the committed file makes round-over-round comparison self-contained.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench/last_bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

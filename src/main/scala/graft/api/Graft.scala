@@ -422,6 +422,19 @@ object Graft {
       idCol: String, embCol: String, nprobe: Int = 2, topK: Int = 3): DataFrame =
     graft.operators.AnnSuite.ivfQuery(index, queries, idCol, embCol, nprobe, topK)
 
+  /** Persist a built IVF index (centroids + cell-partitioned corpus
+    * assignments) as parquet — build once, serve from any later
+    * session via [[ivfLoad]].
+    */
+  def ivfSave(index: graft.operators.AnnSuite.IvfIndex, dir: String): Unit =
+    graft.operators.AnnSuite.ivfSave(index, dir)
+
+  /** Reload an [[ivfSave]]d index; serves [[ivfQuery]] identically to
+    * the freshly built one.
+    */
+  def ivfLoad(spark: SparkSession, dir: String): graft.operators.AnnSuite.IvfIndex =
+    graft.operators.AnnSuite.ivfLoad(spark, dir)
+
   // ---- Joins ---------------------------------------------------------
 
   /** AS-OF LEFT JOIN through the custom physical operator

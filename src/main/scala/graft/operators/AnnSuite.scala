@@ -139,6 +139,32 @@ object AnnSuite {
       .orderBy("query_id", "rk")
   }
 
+  /** Persist a built index as two parquet tables — the operational
+    * shape at 100 TB is build-once-serve-many ACROSS sessions, so the
+    * index must survive the building session. `assigned` is
+    * cell-partitioned on disk: a probe of `nprobe` cells then prunes
+    * whole files/partitions at the scan (cell is the partition column),
+    * instead of re-filtering the full corpus.
+    */
+  private[graft] def ivfSave(idx: IvfIndex, dir: String): Unit = {
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    idx.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assigned.parquet")
+  }
+
+  /** Reload a persisted index; the result serves [[ivfQuery]] exactly
+    * like the freshly built one (build is deterministic and the
+    * round-trip is lossless — IvfPersistSpec pins row-level equality).
+    * `cell` comes back as a partition column; restore its BIGINT type
+    * (partition-value inference would otherwise widen/narrow per lake).
+    */
+  private[graft] def ivfLoad(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/assigned.parquet")
+        .withColumn("cell", col("cell").cast("long"))
+        .select("cand_id", "cell", "ce2"),
+      spark.read.parquet(s"$dir/centroids.parquet"))
+
   /** Lake-pinned registry instance of [[ivfSearch]]. */
   private[graft] def ivf(k: Int, nprobe: Int): (SparkSession, String) => DataFrame = { (s, d) =>
     val e = Tables.embeddings(s, d)

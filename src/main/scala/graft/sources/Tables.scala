@@ -68,7 +68,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail loudly on the NEXT drift: a blanket cast would silently
+        // coerce e.g. a STRING or DATE ts (possibly to nulls) instead of
+        // surfacing the layout change the way the NANOS/MICROS one did
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other in $d — " +
+            "extend Tables.events' dispatch for this lake generation")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

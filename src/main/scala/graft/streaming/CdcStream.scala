@@ -16,19 +16,24 @@ import graft.sources.{CdcSource, Scratch, SourceSpec, Tables}
 object CdcStream {
 
   /** Micro-batch progress of each twin's most recent run, as
-    * (inputRows, triggerExecutionMs, stateRowsTotal) per batch — Bench
-    * reads this to publish streaming throughput (rows/sec, batch
-    * duration, state size) next to the batch wall-times.
+    * (inputRows, triggerExecutionMs, stateRowsTotal, stateMemoryBytes)
+    * per batch — Bench reads this to publish streaming throughput
+    * (rows/sec, batch duration, state size and memory footprint) next
+    * to the batch wall-times. memoryUsedBytes is the provider's own
+    * figure (heap estimate for the default store, RocksDB
+    * total-memory-usage for the RocksDB provider), which is exactly the
+    * flat-vs-growing comparison the backend choice is about.
     */
   val progressLog =
-    scala.collection.concurrent.TrieMap[String, Vector[(Long, Long, Long)]]()
+    scala.collection.concurrent.TrieMap[String, Vector[(Long, Long, Long, Long)]]()
 
   private def recordProgress(
       name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     progressLog(name) = q.recentProgress.toVector.map { p =>
       val trig = Option(p.durationMs.get("triggerExecution"))
         .map(_.longValue).getOrElse(0L)
-      (p.numInputRows, trig, p.stateOperators.map(_.numRowsTotal).sum)
+      (p.numInputRows, trig, p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.memoryUsedBytes).sum)
     }
 
   case class ChangeEvent(id: Long, custkey: Long, status: String, op: String, seq: Long, ts_ms: Long)
@@ -227,6 +232,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_windowed_agg", q)
     spark.table(qname)
       .groupBy(col("win_start"), col("event_type"))
       .agg(max(col("n")).as("n"))
@@ -602,6 +608,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_interval_join", q)
     spark.table(qname)
       .groupBy(col("user_id"), col("purchase_id"), col("ptus"))
       .agg(count(lit(1)).as("n_views_30m"))

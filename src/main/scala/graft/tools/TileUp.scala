@@ -42,25 +42,45 @@ object TileUp {
 
   /** Bump when the tiling transform itself changes — a lake generated
     * by an older transform must not satisfy `ensure`.
+    * 3: factor-100-safe perturbations (two-alphabet text rotation,
+    * hash-signed embedding flips) for the sf10 tile.
     */
-  private val GenVersion = 2
+  private val GenVersion = 3
 
   private def descriptor(src: String, factor: Int): String = {
     val files = TableNames.map { n =>
       val f = new java.io.File(s"$src/$n.parquet")
-      s"$n ${f.length} ${f.lastModified}"
+      if (!f.exists)
+        // fail fast: a missing source would fingerprint as 0/0 and a
+        // stale lake tiled from an older generation could be trusted
+        throw new IllegalStateException(s"[tileup] source missing: $f")
+      if (f.isDirectory) {
+        // directory-shaped parquet: the directory's own length/mtime do
+        // not reflect content — fingerprint the sorted (name, length)
+        // of its files so a mutated part file forces a re-tile
+        val parts = f.listFiles.toSeq.filter(_.isFile)
+          .map(p => s"${p.getName}:${p.length}").sorted.mkString(",")
+        s"$n dir[$parts]"
+      } else s"$n ${f.length} ${f.lastModified}"
     }
     (s"gen=$GenVersion src=$src factor=$factor" +: files).mkString("\n")
   }
 
-  def ensure(spark: SparkSession, src: String, dst: String, factor: Int = 10): Boolean = {
-    val want = descriptor(src, factor)
-    val fresh = Files.exists(marker(dst)) &&
-      new String(Files.readAllBytes(marker(dst)), "UTF-8") == want
-    if (fresh) return true
-    try { generate(spark, src, dst, factor); true }
-    catch { case e: Throwable =>
-      System.err.println(s"[tileup] generation failed: $e"); false
+  /** Generate-if-stale. Returns None on success (lake at `dst` matches
+    * the current descriptor), Some(error) on failure — callers surface
+    * the message (Bench records it under `errors`) so a broken
+    * generation is distinguishable from a disabled scale point.
+    */
+  def ensure(spark: SparkSession, src: String, dst: String, factor: Int = 10): Option[String] = {
+    try {
+      val want = descriptor(src, factor)
+      val fresh = Files.exists(marker(dst)) &&
+        new String(Files.readAllBytes(marker(dst)), "UTF-8") == want
+      if (!fresh) generate(spark, src, dst, factor)
+      None
+    } catch { case e: Throwable =>
+      System.err.println(s"[tileup] generation failed: $e")
+      Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
     }
   }
 
@@ -135,26 +155,38 @@ object TileUp {
       bump("user_id", sUser, i), col("event_type"), col("value"), col("props"))),
       "events")
 
-    // documents: rotate a high-frequency letter class (+ digits, so
-    // numeric-only texts perturb too) per replica — cheap,
-    // length-preserving, and changes nearly every shingle so no replica
-    // is a near-dup of another. A text containing NONE of these
+    // documents: rotate two DISJOINT letter classes per replica — alpha
+    // (high-frequency letters + digits, so numeric-only texts perturb
+    // too) by i mod 21 and beta by i div 21, giving 21·10 = 210 distinct
+    // length-preserving bijections (a single 21-wide rotation would make
+    // replicas i and i+21 exact copies at factor 100, squaring dedup
+    // candidate volume). Cheap, and changes nearly every shingle so no
+    // replica is a near-dup of another. A text containing NONE of these
     // characters would still tile identically; TileUpSpec's
     // distinct-texts assertion is the canary for such a corpus.
     val alpha = "etaoinshrdl0123456789"
-    def rot(i: Int): String = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
-    write(tiled(i => doc.select(bump("doc_id", sDoc, i),
-      (if (i == 0) col("text") else translate(col("text"), alpha, rot(i))).as("text"),
+    val beta = "cumwfgypbv"
+    require(factor <= alpha.length * beta.length,
+      s"text perturbation supports at most ${alpha.length * beta.length} replicas")
+    def rot(s: String, i: Int): String = s.drop(i % s.length) + s.take(i % s.length)
+    def perturbText(i: Int): Column =
+      if (i == 0) col("text")
+      else translate(translate(col("text"), alpha, rot(alpha, i % alpha.length)),
+        beta, rot(beta, i / alpha.length))
+    write(tiled(i => doc.select(bump("doc_id", sDoc, i), perturbText(i).as("text"),
       col("lang"), col("source"), col("n_chars"))), "documents")
 
-    // embeddings: flip one dim class (j ≡ i mod factor, i ≥ 1) per
-    // replica — norm-preserving, and any two replicas differ in 2/factor
-    // of their dims so cross-replica cosine falls well below near-dup
-    // thresholds
+    // embeddings: flip the sign of dim j iff murmur3(i, j) is odd —
+    // norm-preserving, deterministic, and any two replicas' 64-bit flip
+    // patterns differ (collision odds 2^-64; the old j ≡ i mod factor
+    // class left replicas ≥ dim-count unperturbed at factor 100, i.e.
+    // exact copies), so cross-replica cosine sits near 0, far below any
+    // near-dup threshold.
     write(tiled(i => emb.select(bump("vec_id", sDoc, i),
       (if (i == 0) col("embedding")
        else transform(col("embedding"),
-         (x, j) => when(j % factor === i, -x).otherwise(x))).as("embedding"),
+         (x, j) => when(pmod(hash(lit(i), j), lit(2)) === 1, -x).otherwise(x)))
+        .as("embedding"),
       col("label"))), "embeddings")
 
     Files.write(marker(dst), descriptor(src, factor).getBytes("UTF-8"))

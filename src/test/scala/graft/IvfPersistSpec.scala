@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnSuite
+import graft.sources.{Scratch, Tables}
+
+/** IVF index disk round-trip: build once, parquet-persist, reload in a
+  * FRESH session, serve queries from the loaded index — the
+  * build-once-serve-many shape a 100 TB deployment needs (the index
+  * build scans the corpus; query batches must not). `newSession()`
+  * gives an isolated SQLConf/catalog/temp-view state over the shared
+  * test SparkContext — the cross-session boundary that matters here,
+  * since the reload goes through parquet, not through any in-session
+  * object.
+  */
+class IvfPersistSpec extends SparkSpecBase {
+
+  test("persisted index serves ivfQuery identically to the built one") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 5)
+    val built = AnnSuite.ivfBuild(e, "vec_id", "embedding", AnnSuite.IvfK)
+    val fromBuilt = AnnSuite.ivfQuery(built, queries, "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect()
+    assert(fromBuilt.nonEmpty)
+
+    val dir = Scratch.dir("ivf_persist_spec")
+    AnnSuite.ivfSave(built, dir)
+
+    val fresh = spark.newSession()
+    val loaded = AnnSuite.ivfLoad(fresh, dir)
+    // the loaded assignments must round-trip losslessly (schema + rows)
+    assert(loaded.assigned.columns.toSeq === built.assigned.columns.toSeq)
+    assert(loaded.assigned.schema("cell").dataType ===
+      built.assigned.schema("cell").dataType)
+    assert(loaded.assigned.count() === built.assigned.count())
+    val fromLoaded = AnnSuite.ivfQuery(loaded,
+      Tables.embeddings(fresh, sf).filter(col("vec_id") < 5),
+      "vec_id", "embedding", AnnSuite.IvfNProbe, 3).collect()
+    assert(fromLoaded.map(_.toString).toSeq === fromBuilt.map(_.toString).toSeq)
+  }
+
+  test("cell-partitioned layout prunes unprobed cells at the scan") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_persist_prune")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e, "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val loaded = AnnSuite.ivfLoad(spark, dir)
+    // a single-cell probe must prune at the DIRECTORY level: the cell
+    // predicate becomes a PartitionFilter on the scan (same
+    // string-level surface PlanShapeSpec locks), so a probe reads
+    // ~nprobe/k of the index files instead of filtering the full corpus
+    val oneCell = loaded.assigned
+      .filter(col("cell") === loaded.centroids.select(min("cid")).head.getLong(0))
+    val p = oneCell.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val partLine = p.linesIterator.filter(_.trim.startsWith("PartitionFilters"))
+      .mkString("\n")
+    assert(partLine.contains("cell"),
+      s"cell predicate did not become a partition filter:\n$p")
+  }
+}

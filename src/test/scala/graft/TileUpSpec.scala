@@ -113,8 +113,56 @@ class TileUpSpec extends SparkSpecBase {
     // ensure() on an already-generated dir trusts the marker (no rewrite)
     val before = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(d2, "documents.parquet"))
-    assert(TileUp.ensure(spark, sf, d2, Factor))
+    assert(TileUp.ensure(spark, sf, d2, Factor).isEmpty)
     assert(java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(d2, "documents.parquet")) === before)
+  }
+
+  test("directory-parquet source: a mutated part-file set forces a re-tile") {
+    // second-level tile: the first tile's tables are DIRECTORY parquet,
+    // so this exercises the per-part-file descriptor (the directory's
+    // own length/mtime never reflect content)
+    val d3 = Scratch.dir("tileup_spec3")
+    assert(TileUp.ensure(spark, dst, d3, 1).isEmpty)
+    val marker = java.nio.file.Paths.get(d3, "_TILEUP_OK")
+    val markerBytes = java.nio.file.Files.readAllBytes(marker).toSeq
+    // unchanged source → marker trusted, byte-identical
+    assert(TileUp.ensure(spark, dst, d3, 1).isEmpty)
+    assert(java.nio.file.Files.readAllBytes(marker).toSeq === markerBytes)
+    // mutate the source directory's file set (an underscore-prefixed
+    // name so Spark's scan ignores it and regeneration still succeeds)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dst, "documents.parquet", "_mutation"),
+      "x".getBytes("UTF-8"))
+    try {
+      assert(TileUp.ensure(spark, dst, d3, 1).isEmpty)
+      assert(java.nio.file.Files.readAllBytes(marker).toSeq !== markerBytes,
+        "descriptor must change when a source part file set changes")
+    } finally java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dst, "documents.parquet", "_mutation"))
+  }
+
+  test("missing source table fails fast instead of fingerprinting 0/0") {
+    val bogus = Scratch.dir("tileup_spec_missing")
+    val err = TileUp.ensure(spark, bogus, Scratch.dir("tileup_spec_missing_dst"), 2)
+    assert(err.isDefined && err.get.contains("source missing"))
+  }
+
+  test("factor past the alpha-rotation width keeps replica images disjoint") {
+    // factor 25 crosses the 21-wide alpha wrap (replicas 4 and 25 would
+    // collide under a single rotation) and exceeds the 10-dim-class
+    // embedding scheme this generator used before hash-signed flips —
+    // the invariants sf10's factor=100 tile rests on, at spec cost
+    val BigF = 25
+    val d = Scratch.dir("tileup_spec_bigf")
+    TileUp.generate(spark, sf, d, BigF)
+    val srcDistinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(Tables.table(spark, d, "documents").select("text").distinct().count()
+      === srcDistinctTexts * BigF)
+    // every replica's flip pattern is distinct, so |distinct embeddings|
+    // scales by the factor too (magnitudes equal, signs differ)
+    val srcDistinctEmb = Tables.embeddings(spark, sf).select("embedding").distinct().count()
+    assert(Tables.table(spark, d, "embeddings").select("embedding").distinct().count()
+      === srcDistinctEmb * BigF)
   }
 }

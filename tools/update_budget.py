@@ -8,6 +8,7 @@ regression baseline.
 """
 import json
 import sys
+from pathlib import Path
 
 HEADER = """\
 # Per-query shuffle bytes written at sf0.1 (deterministic task-metric
@@ -22,7 +23,11 @@ def main() -> None:
     if not data.get("sf", "").endswith("sf0.1"):
         sys.exit(f"refusing: bench ran at {data.get('sf')} (budget is sf0.1-only)")
     rows = sorted(data["shuffle_bytes"].items())
-    with open("bench/shuffle_budget.txt", "w") as f:
+    # anchor to the repo root (this script's parent's parent), not the
+    # CWD: run from elsewhere, a CWD-relative path would silently write
+    # a new file while Bench keeps reading the stale committed budget
+    out = Path(__file__).resolve().parent.parent / "bench" / "shuffle_budget.txt"
+    with open(out, "w") as f:
         f.write(HEADER)
         for name, byts in rows:
             f.write(f"{name} {byts}\n")
