@@ -329,12 +329,51 @@ object Bench {
     val shuffleGrowthSf1 = shuffleGrowthOf(workMap, sf1Work)
     val shuffleGrowthBig = shuffleGrowthOf(sf01mWork, sf1Work)
     val shuffleGrowthSf10 = shuffleGrowthOf(sf1Work, sf10Work)
+
+    /** Static join signature of a query's plan against one lake — the
+      * planner's broadcast-vs-shuffle choices, which depend on the
+      * lake's table sizes. Planning only (no execution), so it's cheap
+      * enough to derive on demand for flagged queries.
+      */
+    def joinSig(name: String, dir: String): String = {
+      val nodes = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.sparkPlan.collect { case n => n.nodeName }
+      Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin")
+        .map(j => j.filter(_.isUpper).toLowerCase -> nodes.count(_.contains(j)))
+        .collect { case (tag, n) if n > 0 => s"$tag=$n" }.mkString(",")
+    }
+    // Root-cause discrimination for flagged shuffle hops: crossing the
+    // broadcast threshold between lakes (dim side fits at the small SF,
+    // must shuffle at the big one) produces a one-time superlinear
+    // WRITE hop that IS the correct at-scale plan — e.g. TPC-H Q3's
+    // orders leg broadcasts at sf1 (≈50 MB) and shuffle-joins at sf10.
+    // Compare the static join signature on both lakes: entries whose
+    // signature changed are reported as shuffle_plan_transitions (with
+    // the signatures as evidence) and excluded from `superlinear`;
+    // same-plan blowups — the actual regressions — stay flagged.
+    val shuffleHops: Seq[(String, Seq[(String, Double)], Option[String], Option[String])] = Seq(
+      ("@shuffle", shuffleGrowth, scaleDir, Some(sfDir)),
+      ("@shuffle_big", shuffleGrowthBig, sf01mDir, sf1Dir),
+      ("@shuffle_sf10", shuffleGrowthSf10, sf1Dir, sf10Dir))
+    val (shuffleFlags, planTransitions) = {
+      val classified = shuffleHops.flatMap { case (suffix, growth, loDir, hiDir) =>
+        growth.collect { case (k, r) if r > 15.0 =>
+          val sigs = for { lo <- loDir; hi <- hiDir } yield (joinSig(k, lo), joinSig(k, hi))
+          sigs match {
+            case Some((sLo, sHi)) if sLo != sHi =>
+              Right(k + suffix -> s"${jnum(r)}x; joins $sLo -> $sHi")
+            case _ => Left(k + suffix)
+          }
+        }
+      }
+      (classified.collect { case Left(k) => k },
+        classified.collect { case Right(kv) => kv })
+    }
     val superlinear = ratios.collect { case (k, r) if r > 20.0 => k } ++
       ratiosSf1.collect { case (k, r) if r > 20.0 => k + "@sf1" } ++
       ratiosSf10.collect { case (k, r) if r > 20.0 => k + "@sf10" } ++
-      shuffleGrowth.collect { case (k, r) if r > 15.0 => k + "@shuffle" } ++
-      shuffleGrowthBig.collect { case (k, r) if r > 15.0 => k + "@shuffle_big" } ++
-      shuffleGrowthSf10.collect { case (k, r) if r > 15.0 => k + "@shuffle_sf10" }
+      shuffleFlags
     def spillsOf(work: Map[String, Work]): Seq[(String, Long)] =
       work.filter(_._2.spill > 0).toSeq.sortBy(_._1).map { case (k, w) => k -> w.spill }
     val scaleJson = if (scaleResults.isEmpty) "" else
@@ -345,7 +384,9 @@ object Bench {
       s""","sf01m_dir":${jstr(sf01mDir.get)},"shuffle_growth_big":${jmapD(shuffleGrowthBig)}"""
     val sf10Json = if (sf10Results.isEmpty) "" else
       s""","sf10_dir":${jstr(sf10Dir.get)},"sf10_queries":${jmapD(sf10Ok.toSeq.sortBy(_._1))},"growth_ratio_sf10":${jmapD(ratiosSf10)},"shuffle_growth_sf10":${jmapD(shuffleGrowthSf10)},"sf10_spill_bytes":${jmapL(spillsOf(sf10Work))}"""
-    val slJson = s""","superlinear":${superlinear.map(jstr).mkString("[", ",", "]")}"""
+    val slJson = s""","superlinear":${superlinear.map(jstr).mkString("[", ",", "]")}""" +
+      s""","shuffle_plan_transitions":${
+        planTransitions.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")}"""
 
     // Deterministic regression gate: compare sf0.1 shuffle bytes against
     // the committed budget; >10% growth = a plan changed shape. (New

@@ -188,10 +188,30 @@ object AnnSuite {
         .orderBy("query_id", "rk")
     },
 
-    "ann_ivf" -> ivf(IvfK, IvfNProbe)
+    "ann_ivf" -> ivf(IvfK, IvfNProbe),
+
+    // the cross-session serving path, oracle-checked end-to-end: build,
+    // parquet-persist, reload, THEN query — same deterministic result
+    // as the fused ann_ivf, so the same oracle applies. This is the
+    // operational shape at 100 TB (one index build scans the corpus;
+    // query batches served from the persisted index never do).
+    "ann_ivf_persisted" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir("ann_ivf_persisted")
+      ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK), dir)
+      ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", IvfNProbe, 3)
+    }
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase +
+    // the persisted-index path is value-identical to the fused build+
+    // query (the round-trip is lossless and the build deterministic),
+    // so the same oracle checks it — what makes "reload serves the
+    // same answers" a driver-checked claim instead of a spec-only one
+    ("ann_ivf_persisted" -> oraclesBase("ann_ivf"))
+
+  private def oraclesBase: Map[String, String] = Map(
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS cand_id, label, embedding AS ce FROM embeddings),
