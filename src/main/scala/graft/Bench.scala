@@ -98,10 +98,17 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     /** Snapshot the meter with the listener bus drained, so every
-      * completed task's metrics are already folded in.
+      * completed task's metrics are already folded in. A drain timeout
+      * means the snapshot may fold one query's task metrics into the
+      * next query's delta — counted and published as `drain_timeouts`
+      * so a nonzero count marks the run's byte attribution (and any
+      * flag derived from it) as unreliable, instead of only a stderr
+      * line the driver's tail capture can drop.
       */
+    val drainTimeouts = new java.util.concurrent.atomic.AtomicLong
     def snapDrained(): (Long, Long, Long) = {
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      if (!org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext))
+        drainTimeouts.incrementAndGet()
       meter.snap
     }
 
@@ -332,8 +339,10 @@ object Bench {
 
     /** Static join signature of a query's plan against one lake — the
       * planner's broadcast-vs-shuffle choices, which depend on the
-      * lake's table sizes. Planning only (no execution), so it's cheap
-      * enough to derive on demand for flagged queries.
+      * lake's table sizes. Planning only for most queries; a few
+      * registry entries run bounded prep jobs at construction time
+      * (the same cost every timed run already paid), and it is invoked
+      * only for flagged queries, so the cost stays bounded.
       */
     def joinSig(name: String, dir: String): String = {
       val nodes = SparkEntry.queries(name)(spark, dir)
@@ -343,37 +352,52 @@ object Bench {
         .map(j => j.filter(_.isUpper).toLowerCase -> nodes.count(_.contains(j)))
         .collect { case (tag, n) if n > 0 => s"$tag=$n" }.mkString(",")
     }
-    // Root-cause discrimination for flagged shuffle hops: crossing the
-    // broadcast threshold between lakes (dim side fits at the small SF,
-    // must shuffle at the big one) produces a one-time superlinear
-    // WRITE hop that IS the correct at-scale plan — e.g. TPC-H Q3's
-    // orders leg broadcasts at sf1 (≈50 MB) and shuffle-joins at sf10.
-    // Compare the static join signature on both lakes: entries whose
-    // signature changed are reported as shuffle_plan_transitions (with
-    // the signatures as evidence) and excluded from `superlinear`;
-    // same-plan blowups — the actual regressions — stay flagged.
-    val shuffleHops: Seq[(String, Seq[(String, Double)], Option[String], Option[String])] = Seq(
-      ("@shuffle", shuffleGrowth, scaleDir, Some(sfDir)),
-      ("@shuffle_big", shuffleGrowthBig, sf01mDir, sf1Dir),
-      ("@shuffle_sf10", shuffleGrowthSf10, sf1Dir, sf10Dir))
-    val (shuffleFlags, planTransitions) = {
-      val classified = shuffleHops.flatMap { case (suffix, growth, loDir, hiDir) =>
-        growth.collect { case (k, r) if r > 15.0 =>
-          val sigs = for { lo <- loDir; hi <- hiDir } yield (joinSig(k, lo), joinSig(k, hi))
-          sigs match {
-            case Some((sLo, sHi)) if sLo != sHi =>
-              Right(k + suffix -> s"${jnum(r)}x; joins $sLo -> $sHi")
-            case _ => Left(k + suffix)
-          }
+    /** Both lakes' signatures when they DIFFER; None when equal, a lake
+      * is absent, or signature derivation throws — classification must
+      * never discard a completed bench run, so a failure degrades to
+      * "flag retained" with a stderr note.
+      */
+    def sigChange(k: String, loDir: Option[String], hiDir: Option[String])
+        : Option[(String, String)] =
+      try for {
+        lo <- loDir; hi <- hiDir
+        sLo = joinSig(k, lo); sHi = joinSig(k, hi)
+        if sLo != sHi
+      } yield (sLo, sHi)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] joinSig failed for $k: $e (flag retained)")
+        None
+      }
+    // Root-cause discrimination for flagged hops (shuffle-byte AND
+    // wall-ratio): crossing the broadcast threshold between lakes (dim
+    // side fits at the small SF, must shuffle at the big one) produces
+    // a one-time superlinear hop that IS the correct at-scale plan —
+    // e.g. TPC-H Q3's orders leg broadcasts at sf1 (≈50 MB) and
+    // shuffle-joins at sf10. Entries whose static join signature
+    // changed across the hop are reported as shuffle_plan_transitions
+    // (with the signatures as evidence) and excluded from
+    // `superlinear`; same-plan blowups — actual regressions — stay
+    // flagged. Byte threshold 15× (deterministic), wall threshold 20×
+    // (±15% host noise).
+    val allHops: Seq[(String, Seq[(String, Double)], Double, Option[String], Option[String])] =
+      Seq(
+        ("@shuffle", shuffleGrowth, 15.0, scaleDir, Some(sfDir)),
+        ("@shuffle_big", shuffleGrowthBig, 15.0, sf01mDir, sf1Dir),
+        ("@shuffle_sf10", shuffleGrowthSf10, 15.0, sf1Dir, sf10Dir),
+        ("", ratios, 20.0, scaleDir, Some(sfDir)),
+        ("@sf1", ratiosSf1, 20.0, Some(sfDir), sf1Dir),
+        ("@sf10", ratiosSf10, 20.0, sf1Dir, sf10Dir))
+    val classified = allHops.flatMap { case (suffix, growth, thr, loDir, hiDir) =>
+      growth.collect { case (k, r) if r > thr =>
+        sigChange(k, loDir, hiDir) match {
+          case Some((sLo, sHi)) =>
+            Right(k + suffix -> s"${jnum(r)}x; joins $sLo -> $sHi")
+          case None => Left(k + suffix)
         }
       }
-      (classified.collect { case Left(k) => k },
-        classified.collect { case Right(kv) => kv })
     }
-    val superlinear = ratios.collect { case (k, r) if r > 20.0 => k } ++
-      ratiosSf1.collect { case (k, r) if r > 20.0 => k + "@sf1" } ++
-      ratiosSf10.collect { case (k, r) if r > 20.0 => k + "@sf10" } ++
-      shuffleFlags
+    val superlinear = classified.collect { case Left(k) => k }
+    val planTransitions = classified.collect { case Right(kv) => kv }
     def spillsOf(work: Map[String, Work]): Seq[(String, Long)] =
       work.filter(_._2.spill > 0).toSeq.sortBy(_._1).map { case (k, w) => k -> w.spill }
     val scaleJson = if (scaleResults.isEmpty) "" else
@@ -414,7 +438,7 @@ object Bench {
       val sp = workOk.filter(_._2.spill > 0)
         .map { case (k, w) => jstr(k) + ":" + w.spill }.mkString("{", ",", "}")
       val flags = shuffleRegressions.map(jstr).mkString("[", ",", "]")
-      s""","shuffle_bytes":$sb,"shuffle_records":$sr,"spill_bytes":$sp,"shuffle_regressions":$flags"""
+      s""","shuffle_bytes":$sb,"shuffle_records":$sr,"spill_bytes":$sp,"shuffle_regressions":$flags,"drain_timeouts":${drainTimeouts.get}"""
     }
     val streamJson = if (streaming.isEmpty) "" else {
       val entries = streaming.map { case (name, wall, rows, batches, rps, stateRows, stateMem) =>
@@ -427,11 +451,16 @@ object Bench {
     println(line)
     // Persist the line: the driver's stdout capture keeps only a tail,
     // which truncated the per-query maps out of two rounds' artifacts —
-    // the committed file makes round-over-round comparison self-contained.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench/last_bench.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
+    // the committed file makes round-over-round comparison
+    // self-contained. Only full default-config runs persist: an ad-hoc
+    // SPARK_GRAFT_BENCH_ONLY / off-SF debug run must not clobber the
+    // committed per-round artifact with a near-empty line.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty &&
+      !sys.env.contains("SPARK_GRAFT_BENCH_ALL") && sfDir.endsWith("sf0.1"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench/last_bench.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

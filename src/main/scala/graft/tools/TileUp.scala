@@ -11,8 +11,8 @@ import graft.sources.Tables
   * times, each replica a self-contained key universe — every PK and the
   * FKs that reference it shift by `replica * stride` (stride = source
   * max key + 1), so joins stay valid and result cardinalities scale
-  * linearly. Content columns are perturbed per replica (letter-rotated
-  * text, sign-flipped embedding dims, time-shifted events) so the
+  * linearly. Content columns are perturbed per replica (letter-permuted
+  * text, hash-sign-flipped embedding dims, time-shifted events) so the
   * near-dup/ANN operators don't see 10 exact copies of every document —
   * cross-replica collisions would square the candidate volume and make
   * the scale curve measure a data artifact instead of the plan.
@@ -42,10 +42,44 @@ object TileUp {
 
   /** Bump when the tiling transform itself changes — a lake generated
     * by an older transform must not satisfy `ensure`.
-    * 3: factor-100-safe perturbations (two-alphabet text rotation,
-    * hash-signed embedding flips) for the sf10 tile.
+    * 4: per-replica text PERMUTATIONS (rotations cap at |alpha|
+    * distinct bijections, colliding low-entropy texts at factor >21)
+    * + hash-signed embedding flips for the sf10 tile.
     */
-  private val GenVersion = 3
+  private val GenVersion = 4
+
+  /** The perturbed character class: high-frequency letters + digits. */
+  private[graft] val TextAlpha = "etaoinshrdl0123456789"
+
+  /** One deterministic permutation of [[TextAlpha]] per replica
+    * (index 0 = identity), built by sorting positions by a splitmix64
+    * hash of (replica, position) — no RNG state, byte-stable across
+    * runs. REQUIREs that the permutations, and their restrictions to
+    * the letter and digit sub-classes, are pairwise distinct, so a
+    * letters-only or digits-only text still tiles to `factor` distinct
+    * images; checked up front, before any table is written.
+    */
+  private[graft] def textPerms(factor: Int): IndexedSeq[String] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val perms = (0 until factor).map { i =>
+      if (i == 0) TextAlpha
+      else TextAlpha.indices.sortBy(j => mix(i.toLong << 32 | j))
+        .map(TextAlpha).mkString
+    }
+    def restriction(p: String, cls: Char => Boolean): String =
+      TextAlpha.indices.collect { case j if cls(TextAlpha(j)) => p(j) }.mkString
+    Seq[Char => Boolean](_.isLetter, _.isDigit).foreach { cls =>
+      val r = perms.map(restriction(_, cls))
+      require(r.distinct.length == r.length,
+        s"textPerms: sub-class restrictions collide at factor $factor — change the hash salt")
+    }
+    perms
+  }
 
   private def descriptor(src: String, factor: Int): String = {
     val files = TableNames.map { n =>
@@ -85,6 +119,9 @@ object TileUp {
   }
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // all input validation before the first (expensive) table write:
+    // a bad factor must not die 7 tables in
+    val perms = textPerms(factor)
     Files.createDirectories(Paths.get(dst))
     Files.deleteIfExists(marker(dst))
 
@@ -155,26 +192,28 @@ object TileUp {
       bump("user_id", sUser, i), col("event_type"), col("value"), col("props"))),
       "events")
 
-    // documents: rotate two DISJOINT letter classes per replica — alpha
-    // (high-frequency letters + digits, so numeric-only texts perturb
-    // too) by i mod 21 and beta by i div 21, giving 21·10 = 210 distinct
-    // length-preserving bijections (a single 21-wide rotation would make
-    // replicas i and i+21 exact copies at factor 100, squaring dedup
-    // candidate volume). Cheap, and changes nearly every shingle so no
-    // replica is a near-dup of another. A text containing NONE of these
-    // characters would still tile identically; TileUpSpec's
-    // distinct-texts assertion is the canary for such a corpus.
-    val alpha = "etaoinshrdl0123456789"
-    val beta = "cumwfgypbv"
-    require(factor <= alpha.length * beta.length,
-      s"text perturbation supports at most ${alpha.length * beta.length} replicas")
-    def rot(s: String, i: Int): String = s.drop(i % s.length) + s.take(i % s.length)
-    def perturbText(i: Int): Column =
-      if (i == 0) col("text")
-      else translate(translate(col("text"), alpha, rot(alpha, i % alpha.length)),
-        beta, rot(beta, i / alpha.length))
-    write(tiled(i => doc.select(bump("doc_id", sDoc, i), perturbText(i).as("text"),
+    // documents: apply a per-replica PERMUTATION of a high-frequency
+    // character class (letters + digits, so numeric-only texts perturb
+    // too) — length-preserving, changes nearly every shingle, and
+    // unlike rotations (only |alpha| of them — replicas ≡ mod 21 would
+    // tile low-entropy texts as exact cross-replica duplicates at
+    // factor 100, squaring dedup candidate volume) the permutation
+    // family is large enough that [[textPerms]] can REQUIRE the letter
+    // and digit restrictions pairwise distinct for every factor. Texts
+    // whose characters all fall outside the class (or low-entropy ones
+    // sharing a single char) could still collide — the distinct-count
+    // canary after the write turns that from silent corruption of the
+    // scale curve into a loud failure on the actual corpus.
+    write(tiled(i => doc.select(bump("doc_id", sDoc, i),
+      (if (i == 0) col("text") else translate(col("text"), TextAlpha, perms(i)))
+        .as("text"),
       col("lang"), col("source"), col("n_chars"))), "documents")
+    val srcDistinctTexts = doc.select("text").distinct().count()
+    val outDistinctTexts = spark.read.parquet(s"$dst/documents.parquet")
+      .select("text").distinct().count()
+    require(outDistinctTexts == srcDistinctTexts * factor,
+      s"replica text images collided on this corpus: $outDistinctTexts" +
+        s" distinct tiled texts != $srcDistinctTexts src * $factor")
 
     // embeddings: flip the sign of dim j iff murmur3(i, j) is odd —
     // norm-preserving, deterministic, and any two replicas' 64-bit flip

@@ -58,13 +58,11 @@ class AqeSkewJoinSpec extends SparkSpecBase with WithSessionConfs {
 
   test("the skew split changes the plan, not the answer") {
     val withSplit = skewedJoin().collect()
-    val saved = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    try {
+    withConfs("spark.sql.adaptive.skewJoin.enabled" -> "false") {
       val q = skewedJoin()
       val without = q.collect()
       assert(!q.queryExecution.executedPlan.toString.contains("skew=true"))
       assert(withSplit.map(_.toString).toSeq === without.map(_.toString).toSeq)
-    } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved)
+    }
   }
 }

@@ -22,6 +22,21 @@ object SparkTestSession {
 abstract class SparkSpecBase extends AnyFunSuite {
   def spark: SparkSession = SparkTestSession.spark
   def sf: String = SparkTestSession.sf
+
+  /** Block-scoped session confs: set, run, ALWAYS restore — the test
+    * session is shared across suites, so a conf leaked past one block
+    * would silently change every later suite's engine. Use this for a
+    * single test body; use [[WithSessionConfs]] for suite-wide confs.
+    */
+  def withConfs[A](confs: (String, String)*)(body: => A): A = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 /** The production streaming state backend: RocksDB keeps per-key state

@@ -39,37 +39,21 @@ class SpillSpec extends SparkSpecBase {
     .orderBy("user_id", "rk")
 
   test("window operator spills under a tiny buffer and stays row-identical") {
-    val confs = Seq(
-      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
-      "spark.sql.windowExec.buffer.spill.threshold" -> "16")
     val expected = ranked().collect()
-
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val meter = new SpillMeter
     spark.sparkContext.addSparkListener(meter)
-    try {
+    try withConfs(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "16") {
       val spilled = ranked().collect()
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       assert(meter.spill.sum > 0L,
         "buffer threshold of 16 rows did not force a spill — the spec is not testing the spill path")
       assert(spilled.map(_.toString).toSeq === expected.map(_.toString).toSeq)
-    } finally {
-      spark.sparkContext.removeSparkListener(meter)
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+    } finally spark.sparkContext.removeSparkListener(meter)
   }
 
   test("sort-merge join spills under a tiny buffer and stays row-identical") {
-    val confs = Seq(
-      // force SMJ (no broadcast) and shrink its buffered-match buffer
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "16",
-      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "16")
     def joined() = {
       val ev = Tables.events(spark, sf).select(col("user_id"), col("event_id"))
       // self-join on user_id: every user's events match each other, so
@@ -80,23 +64,19 @@ class SpillSpec extends SparkSpecBase {
         .orderBy("user_id")
     }
     val expected = joined().collect()
-
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val meter = new SpillMeter
     spark.sparkContext.addSparkListener(meter)
-    try {
+    try withConfs(
+      // force SMJ (no broadcast) and shrink its buffered-match buffer
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "16") {
       val spilled = joined().collect()
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       assert(meter.spill.sum > 0L,
         "join buffer threshold of 16 rows did not force a spill")
       assert(spilled.map(_.toString).toSeq === expected.map(_.toString).toSeq)
-    } finally {
-      spark.sparkContext.removeSparkListener(meter)
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+    } finally spark.sparkContext.removeSparkListener(meter)
   }
 }

@@ -148,6 +148,19 @@ class TileUpSpec extends SparkSpecBase {
     assert(err.isDefined && err.get.contains("source missing"))
   }
 
+  test("textPerms at sf10's factor: permutations and sub-class restrictions distinct") {
+    // pure-function check that the fixed hash yields 100 pairwise
+    // distinct bijections INCLUDING their letters-only and digits-only
+    // restrictions (textPerms REQUIREs this internally — this pins the
+    // property at the factor the sf10 tile actually uses, plus iden-
+    // tity at replica 0 and bijectivity of every permutation)
+    val perms = TileUp.textPerms(100)
+    assert(perms.length === 100)
+    assert(perms.head === TileUp.TextAlpha)
+    perms.foreach(p => assert(p.sorted === TileUp.TextAlpha.sorted, s"not a bijection: $p"))
+    assert(perms.distinct.length === 100)
+  }
+
   test("factor past the alpha-rotation width keeps replica images disjoint") {
     // factor 25 crosses the 21-wide alpha wrap (replicas 4 and 25 would
     // collide under a single rotation) and exceeds the 10-dim-class
