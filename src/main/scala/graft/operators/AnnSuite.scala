@@ -197,7 +197,11 @@ object AnnSuite {
     // query batches served from the persisted index never do).
     "ann_ivf_persisted" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val dir = graft.sources.Scratch.dir("ann_ivf_persisted")
+      // stable per-lake path + overwrite writes: repeated Verify/bench
+      // passes reuse one directory instead of leaking a fresh index
+      // copy into the scratch root per invocation
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivf_persisted/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK), dir)
       ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", IvfNProbe, 3)

@@ -90,10 +90,12 @@ object TileUp {
         throw new IllegalStateException(s"[tileup] source missing: $f")
       if (f.isDirectory) {
         // directory-shaped parquet: the directory's own length/mtime do
-        // not reflect content — fingerprint the sorted (name, length)
-        // of its files so a mutated part file forces a re-tile
+        // not reflect content — fingerprint the sorted (name, length,
+        // mtime) of its files so a mutated part file forces a re-tile
+        // (mtime included so even an equal-length in-place rewrite is
+        // caught, matching the single-file branch)
         val parts = f.listFiles.toSeq.filter(_.isFile)
-          .map(p => s"${p.getName}:${p.length}").sorted.mkString(",")
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}").sorted.mkString(",")
         s"$n dir[$parts]"
       } else s"$n ${f.length} ${f.lastModified}"
     }

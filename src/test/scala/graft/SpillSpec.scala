@@ -46,7 +46,8 @@ class SpillSpec extends SparkSpecBase {
       "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
       "spark.sql.windowExec.buffer.spill.threshold" -> "16") {
       val spilled = ranked().collect()
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      assert(org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext),
+        "listener bus failed to drain — spill metrics not attributable")
       assert(meter.spill.sum > 0L,
         "buffer threshold of 16 rows did not force a spill — the spec is not testing the spill path")
       assert(spilled.map(_.toString).toSeq === expected.map(_.toString).toSeq)
@@ -73,7 +74,8 @@ class SpillSpec extends SparkSpecBase {
       "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "16",
       "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "16") {
       val spilled = joined().collect()
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      assert(org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext),
+        "listener bus failed to drain — spill metrics not attributable")
       assert(meter.spill.sum > 0L,
         "join buffer threshold of 16 rows did not force a spill")
       assert(spilled.map(_.toString).toSeq === expected.map(_.toString).toSeq)
