@@ -263,6 +263,14 @@ class GraftApiSpec extends SparkSpecBase {
       val q2 = e.filter(col("vec_id") >= 5 && col("vec_id") < 8)
       val b2 = Graft.ivfQuery(idx, q2, "vec_id", "embedding").collect()
       assert(b2.nonEmpty && b2.forall(_.getInt(4) <= 3))
+      // and the disk round-trip through the public API serves the same
+      // answers (the deeper fresh-session/pruning proofs live in
+      // IvfPersistSpec — this pins the API symmetry)
+      val dir = graft.sources.Scratch.dir("graft_api_ivf")
+      Graft.ivfSave(idx, dir)
+      val reloaded = Graft.ivfQuery(Graft.ivfLoad(spark, dir), q,
+        "vec_id", "embedding").collect().map(_.toSeq)
+      assert(reloaded.sameElements(fused), "saved+loaded index must equal the fused search")
     } finally { idx.assigned.unpersist(); idx.centroids.unpersist() }
   }
 
