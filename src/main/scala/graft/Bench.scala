@@ -227,6 +227,13 @@ object Bench {
     // everything else.
     val streamingNames =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING", "1") == "0") Seq.empty
+      // SPARK_GRAFT_BENCH_STREAMING_ALL=1 benches the FULL twin
+      // registry (12 twins × 2 backends — every state format has a
+      // published rows/sec; artifact committed as
+      // bench/streaming_all.json). Default stays the 4 state-heaviest
+      // so the default bench wall holds ~5 min.
+      else if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_ALL", "0") == "1")
+        graft.streaming.CdcStream.queries.keys.toSeq.sorted
       else Seq("cdc_stream_apply", "stream_dedup_minhash",
         // the two join/window-state twins: stream-stream join state is
         // the heaviest state format, previously recovery-proven but
@@ -241,7 +248,14 @@ object Bench {
       streamingNames.map(n => (n, sfDir, "")) ++
         (if (streamingNames.isEmpty ||
           sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_SF1", "1") == "0") Seq.empty
-        else sf1Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf1")))
+        else sf1Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf1"))) ++
+        // the memory-cliff point for STREAMING state: ~15 M state rows
+        // at sf10 — where the heap store's estimate keeps growing with
+        // state and RocksDB's working set stays bounded. Rides the
+        // sf10 opt-in (SPARK_GRAFT_SF10=1).
+        (if (streamingNames.isEmpty ||
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_SF10", "1") == "0") Seq.empty
+        else sf10Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf10")))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val backends = Seq(
       "" -> Map.empty[String, String],
@@ -476,7 +490,12 @@ object Bench {
         java.nio.file.Paths.get(s"/root/repo/bench/$name"),
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] persist $name failed: $e") }
-    if (fullDefaultRun) {
+    val streamingAll = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_ALL", "0") == "1"
+    if (fullDefaultRun && streamingAll) {
+      // full-registry streaming run: its own artifact — the default
+      // last_bench.json keeps the 4-twin shape round-over-round
+      persist("streaming_all.json")
+    } else if (fullDefaultRun) {
       persist("last_bench.json")
       if (sf10Results.nonEmpty) persist("sf10_bench.json")
     }

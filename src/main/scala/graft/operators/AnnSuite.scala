@@ -205,6 +205,40 @@ object AnnSuite {
       ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK), dir)
       ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", IvfNProbe, 3)
+    },
+
+    // ANN quality evaluation: recall@3 of the IVF path against the
+    // exact brute-force ground truth — the accept/reject gate every
+    // production ANN deployment runs before trading exactness for
+    // pruning (raise nprobe until recall clears the bar). Both legs are
+    // the deterministic kernels above, so recall itself is
+    // engine-exact and oracle-checked, not a spec-only bound. Cost is
+    // one brute-force pass over the corpus for the (small) query set
+    // plus one IVF search — at 100 TB the truth leg runs on a sampled
+    // query set, which is exactly this shape (queries ≪ corpus;
+    // corpus never shuffles).
+    "ann_recall_eval" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val truth = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))))
+        .filter(col("rk") <= 3)
+        .select("query_id", "cand_id")
+      val got = ivfSearch(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", IvfK, IvfNProbe, 3)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+      truth.join(got, Seq("query_id", "cand_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall_e6",
+          floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5).cast("long"))
+        .orderBy("query_id")
     }
   )
 
@@ -291,6 +325,85 @@ object AnnSuite {
          |  FROM scored)
          |SELECT query_id, cand_id, cell, cos, rk FROM ranked
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_recall_eval" -> {
+      // the IVF CTE chain (identical to ann_ivf's, i-prefixed) joined
+      // against the exact brute-force top-3 (b-prefixed); recall is
+      // matched/|truth| in portable fixed-point
+      val sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))"
+      def dist(c: String) =
+        s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
+           |      i -> ${sq.format(c)} * ${sq.format(c)}))""".stripMargin
+      val norm = "sqrt(list_sum(list_transform(%s, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM e
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+         |  LIMIT $IvfK),
+         |d0 AS (
+         |  SELECT e.vec_id, s.cid, e.embedding,
+         |    ${dist("s.ce")} AS dist
+         |  FROM e, seeds s),
+         |a0 AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d0) t WHERE rn = 1),
+         |dims AS (
+         |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM a0, range(1, 65) r(i)),
+         |cents AS (
+         |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
+         |    SELECT cid, i,
+         |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
+         |    FROM dims GROUP BY cid, i) t GROUP BY cid),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cid, e.embedding,
+         |    ${dist("c.ce")} AS dist
+         |  FROM e, cents c),
+         |a1 AS (
+         |  SELECT vec_id AS cand_id, cid AS cell, embedding AS ce2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell, embedding AS qe FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 5) t WHERE rn <= $IvfNProbe),
+         |iscored AS (
+         |  SELECT query_id, cand_id,
+         |    FLOOR(
+         |      list_sum(list_transform(range(1, len(qe) + 1),
+         |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE))) /
+         |      (${norm.format("qe")} * ${norm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
+         |  FROM a1 JOIN probes ON a1.cell = probes.cell
+         |  WHERE query_id <> cand_id),
+         |ivf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, cand_id) AS rk
+         |    FROM iscored) t WHERE rk <= 3),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    FLOOR(
+         |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |      (${norm.format("q.embedding")} * ${norm.format("c.embedding")})
+         |      * 1e6 + 0.5)/1e6 AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, cand_id) AS rk
+         |    FROM bscored) t WHERE rk <= 3)
+         |SELECT t.query_id AS query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(FLOOR(
+         |    CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_e6
+         |FROM truth t LEFT JOIN ivf i
+         |  ON i.query_id = t.query_id AND i.cand_id = t.cand_id
+         |GROUP BY t.query_id ORDER BY query_id""".stripMargin
     }
   )
 }

@@ -150,6 +150,37 @@ object TextSuite {
         .orderBy("lang")
     },
 
+    "text_tfidf_topterms" -> { (s, d) =>
+      // TF-IDF top-3 terms per document — the keyword/relevance signal a
+      // curation pipeline uses for topic tagging and domain mixing.
+      // Rational arithmetic only: score = tf · n_docs · 1e6 div df (all
+      // BIGINT, exact and engine-portable; log-idf would be a
+      // transcendental). Two shuffles, both necessary: (doc, term)
+      // counts (map-side combined) and the per-doc rollup. The document
+      // frequency table is vocabulary-sized (Zipf-bounded — the same
+      // argument as text_rare_words), so it broadcasts back onto the
+      // (doc, term) counts; top-3 selection sorts ≤ per-doc-vocab
+      // structs inside one array expression — no window exchange.
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(n))
+        .withColumn("score", expr("(tf * n_docs * 1000000L) div df"))
+        .groupBy(col("doc_id"))
+        .agg(slice(array_sort(collect_list(struct(
+          (-col("score")).as("ns"), col("w"), col("tf"), col("df"),
+          col("score")))), 1, 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), (col("pos") + 1).as("rk"),
+          col("col.w").as("term"), col("col.tf").as("tf"),
+          col("col.df").as("df"), col("col.score").as("score"))
+        .orderBy("doc_id", "rk")
+    },
+
     "text_fingerprint" -> { (s, d) =>
       // three portable fingerprints: 60-bit content hash, bag-of-words
       // hash (whitespace/order-insensitive), and a 1-permutation MinHash
@@ -252,6 +283,23 @@ object TextSuite {
         |  MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN n_words END) AS p90,
         |  MAX(CASE WHEN rn = CEIL(cnt * 0.99) THEN n_words END) AS p99
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, w),
+        |dfreq AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w, tf, df, CAST(tf * n_docs * 1000000 // df AS BIGINT) AS score
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, w AS term, tf, df, score FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (

@@ -188,6 +188,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_scd2", q)
     // Authoritative rows = the key's last (highest-tag) emission.
     val wt = Window.partitionBy(col("id"))
     spark.table(qname)
@@ -269,6 +270,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_dedup_exact", q)
     // final emission per key: count is monotone, min-id non-increasing
     spark.table(qname)
       .groupBy(col("h"))
@@ -427,6 +429,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_recon_checksum", q)
     // final emission per chunk = the emission with the highest count
     val w = Window.partitionBy(col("chunk")).orderBy(desc("source_rows"))
     spark.table(qname)
@@ -514,6 +517,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_sessionize", q)
     // latest (= most-events) emission per key is the complete rollup
     val w = Window.partitionBy(col("user_id")).orderBy(desc("n_events"))
     spark.table(qname)
@@ -564,6 +568,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_mix_monitor", q)
     // final emission per source (counts are monotone), then the same
     // exact ppm algebra as Graft.mixWeights over the k-row state
     val per = spark.table(qname)
@@ -638,6 +643,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_source_envelope", q)
     val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
     spark.table(qname)
       .withColumn("rn", row_number().over(w))
@@ -712,6 +718,7 @@ object CdcStream {
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordProgress("stream_attribution", q)
     // each user's newest generation is their complete, current attribution
     val w = Window.partitionBy(col("user_id"))
     spark.table(qname)

@@ -224,6 +224,46 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("tfidf top-terms: ranked, score-consistent, and terms unique per doc") {
+    import org.apache.spark.sql.functions._
+    val rows = TextSuite.queries("text_tfidf_topterms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.length <= 3 && byRk.map(_.getAs[Int]("rk")).toSeq == (1 to byRk.length),
+        s"doc $doc: rk must be a dense 1..n prefix")
+      val scores = byRk.map(_.getAs[Long]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc: scores must be descending")
+      val terms = rs.map(_.getAs[String]("term"))
+      assert(terms.distinct.length == terms.length, s"doc $doc: duplicate top term")
+    }
+    rows.foreach { r =>
+      // score is exactly tf·N·1e6 div df — re-derive from the row's own counts
+      assert(r.getAs[Long]("score") ==
+        r.getAs[Long]("tf") * nDocs * 1000000L / r.getAs[Long]("df"))
+      assert(r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= nDocs)
+    }
+  }
+
+  test("ann recall eval: matches the intersection of the ivf and brute-force registry results") {
+    val eval = AnnSuite.queries("ann_recall_eval")(spark, sf).collect()
+    assert(eval.length == 5, "one row per query vector")
+    // independent recomputation from the two registry legs this op composes
+    val truth = LlmOpsSpec.topPairs(
+      AnnSuite.queries("ann_bruteforce")(spark, sf).collect(), 3)
+    val got = LlmOpsSpec.topPairs(AnnSuite.queries("ann_ivf")(spark, sf).collect(), 3)
+    eval.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_truth") == 3L)
+      val expectHits = (truth(q) intersect got.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getAs[Long]("hits") == expectHits,
+        s"query $q: hits ${r.getAs[Long]("hits")} != recomputed $expectHits")
+      assert(r.getAs[Long]("recall_e6") ==
+        math.floor(expectHits.toDouble * 1e6 / 3 + 0.5).toLong)
+    }
+  }
+
   test("dedup_keep_best: provenance policy overrides min-id exactly where it should") {
     val rows = DedupSuite.queries("dedup_keep_best")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -242,4 +282,12 @@ class LlmOpsSpec extends SparkSpecBase {
       }
     }
   }
+}
+
+object LlmOpsSpec {
+  /** (query_id → set of cand_id) for rows with rk <= k. */
+  private[graft] def topPairs(rows: Array[org.apache.spark.sql.Row], k: Int): Map[Long, Set[Long]] =
+    rows.filter(_.getAs[Int]("rk") <= k)
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
 }
