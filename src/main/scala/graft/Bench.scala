@@ -267,10 +267,34 @@ object Bench {
       val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val out = streamJobs.flatMap { case (name, dir, dirSuffix) =>
+        // The sf10 point (~15 M state rows) runs the THROUGHPUT PROBE
+        // (noop sink) instead of the memory-sink twin: ~18 M emissions
+        // OOM even a 16 GB JVM at the sink before the state store is
+        // the bottleneck (measured — the production sink runs
+        // off-driver, so the probe's cost model is the honest one).
+        // The HEAP state store itself still holds ~4–5 GB of live map
+        // entries at that size, so the heap backend additionally
+        // requires ≥ 12 GB of headroom (SPARK_DRIVER_MEM=16g); the
+        // RocksDB backend runs the point regardless — off-heap state
+        // is exactly what it is for.
+        if (dirSuffix == "@sf10" && suffix == "" &&
+          Runtime.getRuntime.maxMemory < 12L * 1024 * 1024 * 1024) {
+          System.err.println(
+            s"[bench] streaming $name$dirSuffix skipped on heap backend: " +
+              s"maxMemory ${Runtime.getRuntime.maxMemory >> 20} MB < 12288 MB " +
+              "(set SPARK_DRIVER_MEM=16g)")
+          None
+        } else {
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
         val ok =
-          try { materialize(graft.streaming.CdcStream.queries(name)(spark, dir)); true }
+          try {
+            materialize(
+              if (dirSuffix == "@sf10")
+                graft.streaming.CdcStream.applyThroughputProbe(spark, dir)
+              else graft.streaming.CdcStream.queries(name)(spark, dir))
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] streaming $name$dirSuffix$suffix FAILED: $e"); false
           }
@@ -283,6 +307,7 @@ object Bench {
           (name + dirSuffix + suffix, wall, rows, prog.size, rps,
             prog.map(_._3).lastOption.getOrElse(0L),
             prog.map(_._4).maxOption.getOrElse(0L))
+        }
         }
       }
       saved.foreach {
@@ -499,6 +524,12 @@ object Bench {
       persist("last_bench.json")
       if (sf10Results.nonEmpty) persist("sf10_bench.json")
     }
+    // Unload state-store providers BEFORE stopping the context: a
+    // RocksDB maintenance thread that outlives the JVM's teardown can
+    // SIGSEGV in its JNI logger (observed at the sf10 point — after
+    // the JSON line printed, but turning a clean exit into code 134).
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] StateStore.stop: $e") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -481,17 +481,42 @@ object ExtendedSuite {
       // Exact per-group median, engine-portably: prices become integer
       // cents, the median is the value (odd n) or sum (even n) of the
       // middle ranks — rank selection is deterministic over the sorted
-      // multiset even with duplicate values. One shuffle on the group
-      // key; the rank window streams, no per-group buffering. (Spark's
+      // multiset even with duplicate values. (Spark's
       // percentile/approx_percentile interpolate differently from
       // DuckDB's quantile — rank arithmetic sidesteps that entirely.)
+      //
+      // Shape: DISTRIBUTED SELECTION, not a per-group rank window. A
+      // window partitioned by the 5-value group key sorts each group
+      // on ONE task (5 tasks busy at any cluster size) and its
+      // count-over-partition frame buffers the whole group — the
+      // sf1→sf10 wall gate flagged exactly that (20.8× for 10× data).
+      // Instead: RANGE partitioning on (group, value) spreads every
+      // group across all tasks while keeping partitions value-ordered
+      // BETWEEN themselves; local ranks come from a window over
+      // (group, range-partition id) — many small cells, each sorted in
+      // parallel — and broadcast per-partition offsets lift them to
+      // global ranks (offsets are valid precisely because partition
+      // p's values never exceed partition p+1's). Both branches share
+      // one deterministic exchange (reused, or identically recomputed),
+      // so no caching is needed at any size.
       val base = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val w = Window.partitionBy(col("prio")).orderBy(col("cents"))
-      val wc = Window.partitionBy(col("prio"))
-      base
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(wc))
+      val ranged = base.repartitionByRange(64, col("prio"), col("cents"))
+        .withColumn("pid", spark_partition_id())
+      // per-(group, partition) counts → cumulative start offset and
+      // group total, all on a ≤ 64×|groups|-row frame that broadcasts
+      val cnts = ranged.groupBy(col("prio"), col("pid")).agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy(col("prio")).orderBy(col("pid"))
+      val offs = cnts
+        .withColumn("off", coalesce(
+          sum(col("c")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("prio"))))
+        .select(col("prio"), col("pid"), col("off"), col("cnt"))
+      val wLocal = Window.partitionBy(col("prio"), col("pid")).orderBy(col("cents"))
+      ranged
+        .withColumn("rn_local", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("prio", "pid"))
+        .withColumn("rn", col("off") + col("rn_local"))
         .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
         .withColumn("wt",
           when(expr("(cnt + 1) div 2 = (cnt + 2) div 2"), lit(2L)).otherwise(lit(1L)))

@@ -101,6 +101,34 @@ object CdcStream {
     spark.table(qname)
   }
 
+  /** Throughput probe for the upsert state machine at lake sizes whose
+    * EMISSIONS no longer fit a memory sink (~18 M rows at sf10 OOM a
+    * 16 GB JVM before the state store is even the bottleneck —
+    * measured). Same landed log, same flatMapGroupsWithState state
+    * machine, same per-batch progress metrics (rows/sec, state rows,
+    * state memory — the numbers the bench publishes); only the sink
+    * differs: Spark's `noop` streaming sink, which is the production
+    * shape's cost model anyway (a real deployment's JDBC/parquet sink
+    * runs off-driver, so driver memory never holds the emissions).
+    * Returns a 1-row handle for the bench's materialize().
+    */
+  private[graft] def applyThroughputProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Scratch.dir("graft_cdc_stream_probe")
+    CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = CdcSource.loadStream(spark, SourceSpec("parquet",
+      Map("path" -> tmp, "maxFilesPerTrigger" -> "1"), Some(schema))).as[ChangeEvent]
+    val qname = "cdc_stream_probe_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = applyEventsStream(stream)
+      .writeStream.format("noop")
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("cdc_stream_apply", q)
+    spark.range(1).toDF("ok")
+  }
+
   def applyLatest(spark: SparkSession, dir: String): DataFrame = {
     // Latest emission per key wins; tombstoned keys drop (hard-delete mode).
     val w = Window.partitionBy(col("id")).orderBy(desc("seq"))

@@ -54,4 +54,24 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("q_asof_join_native")
     assert(p.toLowerCase.contains("asof"), "native asof node missing from plan")
   }
+
+  test("tfidf broadcasts the document-frequency table and uses no window exchange") {
+    val p = plan("text_tfidf_topterms")
+    // the vocabulary-sized df table and the 1-row corpus count must ride
+    // broadcast joins back onto the (doc, term) counts — a shuffle join
+    // here would move the whole count table twice at 100 TB
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"tfidf: no broadcast join in\n$p")
+    // top-3 per doc is an in-array struct sort, not a rank window — a
+    // Window node would mean an extra per-doc sort exchange crept in
+    assert(!p.contains("Window"), s"tfidf: window exchange crept in\n$p")
+    assert(!p.contains("CartesianProduct"), "tfidf: cartesian product")
+  }
+
+  test("ann recall eval broadcasts both small legs and has no cartesian blowup") {
+    val p = plan("ann_recall_eval")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"recall_eval: no broadcast join in\n$p")
+    assert(!p.contains("CartesianProduct"), "recall_eval: cartesian product")
+  }
 }

@@ -93,4 +93,19 @@ class RocksDbTwinsSpec extends SparkSpecBase with WithSessionConfs {
       .orderBy("user_id", "purchase_id")
     assertTwin(CdcStream.queries("stream_interval_join")(spark, sf), batch)
   }
+
+  test("throughput probe (noop sink) runs the upsert state machine and records progress") {
+    // the bench's sf10 streaming point runs this probe instead of the
+    // memory-sink twin (emissions no longer fit a driver sink there);
+    // pin that it drives the same state machine: progress recorded,
+    // input rows == the landed change log, state rows == distinct keys
+    CdcStream.progressLog.remove("cdc_stream_apply")
+    CdcStream.applyThroughputProbe(spark, sf).collect()
+    val prog = CdcStream.progressLog.get("cdc_stream_apply")
+      .getOrElse(fail("probe recorded no progress"))
+    val logDf = graft.operators.CdcSuite.changeLog(spark, sf)
+    assert(prog.map(_._1).sum == logDf.count(), "probe must ingest the full change log")
+    assert(prog.map(_._3).last == logDf.select("id").distinct.count(),
+      "final state rows must equal distinct keys")
+  }
 }
