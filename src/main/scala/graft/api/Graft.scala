@@ -481,6 +481,45 @@ object Graft {
     * does the exact bounds. A point's single bin meets each window at
     * most once, so no dedup is needed. Column names must be disjoint.
     */
+  /** Exact global or per-group row ranks AT SCALE — the
+    * distributed-selection kernel behind the exact median / quartile /
+    * percentile / decile operators. The naive shape (a rank window
+    * partitioned by a low-cardinality group key) sorts each group on
+    * ONE task — parallelism = group count on any cluster size — and
+    * buffers whole partitions for its count-over-partition frame; the
+    * r9 sf1→sf10 gate measured 20.8× wall for 10× data on exactly
+    * that. Here instead: range-partition on (group, order) so every
+    * group spreads across all tasks while partitions stay ordered
+    * BETWEEN themselves, rank locally per (group, range-partition id)
+    * cell — many small cells, each sorted in parallel — then lift
+    * local ranks to global ones with broadcast per-partition offsets
+    * (valid precisely because range partition p's keys never exceed
+    * p+1's). Appends `rn` (1-based rank by `order` within each group;
+    * give `order` a unique tiebreak when rank ASSIGNMENT matters, not
+    * just the value at a rank) and `cnt` (group size). Both internal
+    * branches share one deterministic exchange. `groupCols` empty =
+    * one global ranking.
+    */
+  def rankedByGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], parts: Int = 64): DataFrame = {
+    val gs = groupCols.map(col)
+    val ranged = df.repartitionByRange(parts, (gs ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val cnts = ranged.groupBy((gs :+ col("__pid")): _*).agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(gs: _*).orderBy(col("__pid"))
+    val offs = cnts
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cnt", sum(col("__c")).over(Window.partitionBy(gs: _*)))
+      .select((gs :+ col("__pid") :+ col("__off") :+ col("cnt")): _*)
+    val wLocal = Window.partitionBy((gs :+ col("__pid")): _*).orderBy(order: _*)
+    ranged
+      .withColumn("__rnl", row_number().over(wLocal))
+      .join(broadcast(offs), groupCols :+ "__pid")
+      .withColumn("rn", col("__off") + col("__rnl"))
+      .drop("__pid", "__rnl", "__off")
+  }
+
   /** Scale variant of an exact ntile decile rollup: bucket BOUNDARIES
     * come from one approx_percentile aggregate pass, then a broadcast
     * of the (buckets−1)-element boundary array assigns each row its

@@ -269,17 +269,27 @@ object ExtendedSuite {
 
     "q_decile_stats" -> { (s, d) =>
       // RFM-style customer-spend deciles: aggregate spend per customer,
-      // ntile(10) with a deterministic tiebreak, per-decile rollup.
-      // The global ntile sorts only the CUSTOMER aggregate (dimension-
-      // bounded, far smaller than the fact table); at extreme scale the
-      // same query swaps in approx_percentile boundaries — this is the
-      // oracle-checkable exact variant that validates it (same pattern
-      // as text_length_percentiles).
+      // exact decile assignment with a deterministic tiebreak,
+      // per-decile rollup. A bare ntile window is UNPARTITIONED — the
+      // entire customer dimension sorts on one task; instead the
+      // distributed-selection kernel (Graft.rankedByGroup, empty group
+      // = one global ranking) ranks across all tasks and the decile is
+      // derived from (rn, cnt) with ntile's exact bucket arithmetic
+      // (first cnt%10 buckets take the extra row), so the result —
+      // and the DuckDB ntile oracle — are unchanged. The
+      // approx_percentile twin (Graft.decileStatsApprox) remains the
+      // one-pass variant; this is the exact one, now also
+      // any-dimension-size.
       val spend = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("spend"))
-      val w = Window.orderBy(desc("spend"), col("o_custkey"))
-      spend.withColumn("decile", ntile(10).over(w).cast("long"))
+      graft.api.Graft
+        .rankedByGroup(spend, Seq.empty, Seq(desc("spend"), col("o_custkey")))
+        .withColumn("decile", expr(
+          """CASE WHEN rn <= (cnt % 10) * (cnt div 10 + 1)
+            |THEN (rn - 1) div (cnt div 10 + 1) + 1
+            |ELSE (cnt % 10) + (rn - (cnt % 10) * (cnt div 10 + 1) - 1) div (cnt div 10) + 1
+            |END""".stripMargin).cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("spend")).as("decile_spend"),
           min(col("spend")).as("min_spend"), max(col("spend")).as("max_spend"))
@@ -485,38 +495,15 @@ object ExtendedSuite {
       // percentile/approx_percentile interpolate differently from
       // DuckDB's quantile — rank arithmetic sidesteps that entirely.)
       //
-      // Shape: DISTRIBUTED SELECTION, not a per-group rank window. A
-      // window partitioned by the 5-value group key sorts each group
-      // on ONE task (5 tasks busy at any cluster size) and its
-      // count-over-partition frame buffers the whole group — the
-      // sf1→sf10 wall gate flagged exactly that (20.8× for 10× data).
-      // Instead: RANGE partitioning on (group, value) spreads every
-      // group across all tasks while keeping partitions value-ordered
-      // BETWEEN themselves; local ranks come from a window over
-      // (group, range-partition id) — many small cells, each sorted in
-      // parallel — and broadcast per-partition offsets lift them to
-      // global ranks (offsets are valid precisely because partition
-      // p's values never exceed partition p+1's). Both branches share
-      // one deterministic exchange (reused, or identically recomputed),
-      // so no caching is needed at any size.
+      // Shape: DISTRIBUTED SELECTION via Graft.rankedByGroup, not a
+      // per-group rank window — a window partitioned by the 5-value
+      // group key sorts each group on ONE task (5 busy tasks at any
+      // cluster size) and buffers whole partitions for its count
+      // frame; the sf1→sf10 wall gate flagged exactly that (20.8× for
+      // 10× data; the kernel measures 4.4×).
       val base = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val ranged = base.repartitionByRange(64, col("prio"), col("cents"))
-        .withColumn("pid", spark_partition_id())
-      // per-(group, partition) counts → cumulative start offset and
-      // group total, all on a ≤ 64×|groups|-row frame that broadcasts
-      val cnts = ranged.groupBy(col("prio"), col("pid")).agg(count(lit(1)).as("c"))
-      val wOff = Window.partitionBy(col("prio")).orderBy(col("pid"))
-      val offs = cnts
-        .withColumn("off", coalesce(
-          sum(col("c")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("prio"))))
-        .select(col("prio"), col("pid"), col("off"), col("cnt"))
-      val wLocal = Window.partitionBy(col("prio"), col("pid")).orderBy(col("cents"))
-      ranged
-        .withColumn("rn_local", row_number().over(wLocal))
-        .join(broadcast(offs), Seq("prio", "pid"))
-        .withColumn("rn", col("off") + col("rn_local"))
+      graft.api.Graft.rankedByGroup(base, Seq("prio"), Seq(col("cents")))
         .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
         .withColumn("wt",
           when(expr("(cnt + 1) div 2 = (cnt + 2) div 2"), lit(2L)).otherwise(lit(1L)))
@@ -606,13 +593,12 @@ object ExtendedSuite {
       // multiset. Conditional aggregation picks all three in the same
       // single-sort pass; no percentile interpolation, so Spark and
       // DuckDB agree exactly.
+      // Distributed-selection ranks (Graft.rankedByGroup) — same scale
+      // rationale as q_median_by_group: per-group windows cap
+      // parallelism at the group count.
       val base = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val w = Window.partitionBy(col("prio")).orderBy(col("cents"))
-      val wc = Window.partitionBy(col("prio"))
-      base
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(wc))
+      graft.api.Graft.rankedByGroup(base, Seq("prio"), Seq(col("cents")))
         .groupBy("prio")
         .agg(
           max(when(col("rn") === expr("(cnt * 1 + 3) div 4"), col("cents"))).as("p25_cents"),

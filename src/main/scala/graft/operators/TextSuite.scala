@@ -132,16 +132,18 @@ object TextSuite {
     "text_length_percentiles" -> { (s, d) =>
       // exact per-language token-length percentiles via the rank
       // formulation (percentile_disc semantics: value at
-      // rn = ceil(p·n)) — engine-exact, no interpolation. Exact
-      // percentiles need a per-language sort; at 100 TB the same query
-      // swaps in approx_percentile's t-digest — this is the
-      // oracle-checkable exact variant that validates it.
-      val w = Window.partitionBy(col("lang")).orderBy(col("n_words"), col("doc_id"))
-      val cw = Window.partitionBy(col("lang"))
-      Tables.documents(s, d)
+      // rn = ceil(p·n)) — engine-exact, no interpolation. Ranks come
+      // from the distributed-selection kernel (Graft.rankedByGroup):
+      // a window partitioned by the handful of language values would
+      // sort each language on one task; the kernel spreads every
+      // language across all tasks. approx_percentile's t-digest is the
+      // one-pass twin at 100 TB — this exact variant validates it and
+      // now scales too.
+      val base = Tables.documents(s, d)
         .withColumn("n_words", size(split(col("text"), " ")))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(cw))
+        .select(col("lang"), col("doc_id"), col("n_words"))
+      graft.api.Graft
+        .rankedByGroup(base, Seq("lang"), Seq(col("n_words"), col("doc_id")))
         .groupBy(col("lang"))
         .agg(max(col("cnt")).as("n_docs"),
           max(when(col("rn") === ceil(col("cnt") * 0.5), col("n_words"))).as("p50"),

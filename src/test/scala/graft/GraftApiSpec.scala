@@ -479,4 +479,41 @@ class GraftApiSpec extends SparkSpecBase {
         r.getAs[Long]("keep_id"))).toSet
     assert(out == expected)
   }
+
+  test("rankedByGroup equals the naive per-group rank window, including ties") {
+    import org.apache.spark.sql.expressions.Window
+    // 2 groups × uneven sizes with duplicate values; tiebreak on id
+    // makes the rank assignment unique so the comparison is exact
+    val rows = (1 to 37).map(i => (if (i % 3 == 0) "a" else "b", (i * 7) % 11, i.toLong))
+    val df = rows.toDF("g", "v", "id")
+    val naive = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select("g", "id", "rn", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2).toLong, r.getLong(3))).toMap
+    val kernel = Graft.rankedByGroup(df, Seq("g"), Seq(col("v"), col("id")), parts = 7)
+      .select("g", "id", "rn", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(kernel == naive)
+  }
+
+  test("distributed decile arithmetic equals ntile, uneven buckets included") {
+    import org.apache.spark.sql.expressions.Window
+    // 37 rows: cnt % 10 = 7 → first 7 buckets take the extra row; the
+    // registry's test lake has 10-divisible customer counts, so the
+    // uneven branch is only exercised here
+    val df = (1 to 37).map(i => ((i * 13) % 37, i.toLong)).toDF("v", "id")
+    val viaNtile = df
+      .withColumn("decile", ntile(10).over(Window.orderBy(desc("v"), col("id"))).cast("long"))
+      .select("id", "decile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = Graft.rankedByGroup(df, Seq.empty, Seq(desc("v"), col("id")), parts = 5)
+      .withColumn("decile", expr(
+        """CASE WHEN rn <= (cnt % 10) * (cnt div 10 + 1)
+          |THEN (rn - 1) div (cnt div 10 + 1) + 1
+          |ELSE (cnt % 10) + (rn - (cnt % 10) * (cnt div 10 + 1) - 1) div (cnt div 10) + 1
+          |END""".stripMargin).cast("long"))
+      .select("id", "decile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaNtile)
+  }
 }
