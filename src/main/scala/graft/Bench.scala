@@ -522,8 +522,10 @@ object Bench {
       persist("streaming_all.json")
     } else if (fullDefaultRun) {
       persist("last_bench.json")
-      if (sf10Results.nonEmpty) persist("sf10_bench.json")
     }
+    // the sf10 evidence refreshes on ANY full run that computed it —
+    // a streaming-all run must not silently drop a ~10-minute sf10 pass
+    if (fullDefaultRun && sf10Results.nonEmpty) persist("sf10_bench.json")
     // Unload state-store providers BEFORE stopping the context: a
     // RocksDB maintenance thread that outlives the JVM's teardown can
     // SIGSEGV in its JNI logger (observed at the sf10 point — after

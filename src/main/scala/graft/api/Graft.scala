@@ -496,14 +496,47 @@ object Graft {
     * (valid precisely because range partition p's keys never exceed
     * p+1's). Appends `rn` (1-based rank by `order` within each group;
     * give `order` a unique tiebreak when rank ASSIGNMENT matters, not
-    * just the value at a rank) and `cnt` (group size). Both internal
-    * branches share one deterministic exchange. `groupCols` empty =
-    * one global ranking.
+    * just the value at a rank) and `cnt` (group size).
+    *
+    * CONTRACT (checked where possible): the offsets branch and the
+    * rank branch must observe the SAME range bounds, which holds
+    * because their exchanges are canonically identical and Spark's
+    * exchange-reuse executes them once (RangePartitioner SAMPLES it's
+    * input with an rdd-id-derived seed, so two independent executions
+    * may pick different bounds). Therefore: exchange reuse must be
+    * enabled (required below), and `df` must carry ONLY the group and
+    * order columns — a payload column would be pruned below one
+    * branch's exchange but not the other's, breaking the canonical
+    * match (also required below, which doubles as the guard against
+    * the appended/internal name collisions). PlanShapeSpec pins the
+    * ReusedExchange node on the registry instances.
+    *
+    * `parts` = 0 (default) resolves to max(64, 2 × shuffle
+    * partitions). At extreme scale pass it explicitly: each (group,
+    * partition) cell sorts on one task and carries an Int local rank,
+    * so parts must keep cells comfortably under 2^31 rows (e.g.
+    * ~10^12-row groups want parts ≥ ~10^4). `groupCols` empty = one
+    * global ranking.
     */
   def rankedByGroup(df: DataFrame, groupCols: Seq[String],
-      order: Seq[Column], parts: Int = 64): DataFrame = {
+      order: Seq[Column], parts: Int = 0): DataFrame = {
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true") == "true",
+      "rankedByGroup needs spark.sql.exchange.reuse=true: its two branches must " +
+        "observe one shared range exchange (independent executions may sample " +
+        "different range bounds, silently corrupting the offset join)")
+    val reserved = Seq("rn", "cnt", "__pid", "__rnl", "__off", "__c")
+    val clash = df.columns.filter(c => reserved.contains(c) ||
+      !(groupCols.contains(c) || order.exists(_.toString.contains(c))))
+    // toString-containment is a heuristic for "appears in order" (desc()
+    // wraps the name), so only OBVIOUS payload/reserved columns reject
+    require(clash.isEmpty,
+      s"rankedByGroup input must carry only group+order columns (project first); " +
+        s"offending: ${clash.mkString(", ")} — payload columns break exchange " +
+        "dedup (bounds divergence) and reserved names would be overwritten")
+    val nParts = if (parts > 0) parts
+      else math.max(64, 2 * df.sparkSession.sessionState.conf.numShufflePartitions)
     val gs = groupCols.map(col)
-    val ranged = df.repartitionByRange(parts, (gs ++ order): _*)
+    val ranged = df.repartitionByRange(nParts, (gs ++ order): _*)
       .withColumn("__pid", spark_partition_id())
     val cnts = ranged.groupBy((gs :+ col("__pid")): _*).agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(gs: _*).orderBy(col("__pid"))

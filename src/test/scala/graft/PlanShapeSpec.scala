@@ -68,6 +68,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "tfidf: cartesian product")
   }
 
+  test("rankedByGroup operators execute ONE shared range exchange (ReusedExchange)") {
+    // Graft.rankedByGroup's offsets are only consistent with its local
+    // ranks when both branches observe the same range bounds — which
+    // Spark guarantees via exchange reuse (independent executions
+    // sample bounds with rdd-id-derived seeds). Pin the ReusedExchange
+    // node in the EXECUTED plan so a change that breaks the canonical
+    // match (e.g. a payload column pruned below one branch) fails CI
+    // instead of silently mis-ranking at partial-sampling sizes.
+    Seq("q_median_by_group", "q_decile_stats").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("reused"),
+        s"$q: no reused exchange in the executed plan — range bounds may diverge:\n$p")
+    }
+  }
+
   test("ann recall eval broadcasts both small legs and has no cartesian blowup") {
     val p = plan("ann_recall_eval")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
