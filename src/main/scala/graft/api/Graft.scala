@@ -520,15 +520,19 @@ object Graft {
     */
   def rankedByGroup(df: DataFrame, groupCols: Seq[String],
       order: Seq[Column], parts: Int = 0): DataFrame = {
-    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true") == "true",
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
       "rankedByGroup needs spark.sql.exchange.reuse=true: its two branches must " +
         "observe one shared range exchange (independent executions may sample " +
         "different range bounds, silently corrupting the offset join)")
     val reserved = Seq("rn", "cnt", "__pid", "__rnl", "__off", "__c")
+    // exact order-column names: strip the sort-direction suffix desc()/
+    // asc() append to a bare column's toString; a computed order
+    // expression won't normalize to a column name and its inputs then
+    // reject — pre-project computed sort keys to named columns first
+    val orderNames = order.map(
+      _.toString.replaceAll(" (ASC|DESC)( NULLS (FIRST|LAST))?$", "")).toSet
     val clash = df.columns.filter(c => reserved.contains(c) ||
-      !(groupCols.contains(c) || order.exists(_.toString.contains(c))))
-    // toString-containment is a heuristic for "appears in order" (desc()
-    // wraps the name), so only OBVIOUS payload/reserved columns reject
+      !(groupCols.contains(c) || orderNames.contains(c)))
     require(clash.isEmpty,
       s"rankedByGroup input must carry only group+order columns (project first); " +
         s"offending: ${clash.mkString(", ")} — payload columns break exchange " +

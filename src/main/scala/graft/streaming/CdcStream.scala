@@ -90,11 +90,15 @@ object CdcStream {
   private val landedLogs = scala.collection.concurrent.TrieMap[String, String]()
   private def landedLogStream(spark: SparkSession, dir: String): Dataset[ChangeEvent] = {
     import spark.implicits._
-    val tmp = landedLogs.getOrElseUpdate(dir, {
-      val t = Scratch.dir("graft_cdc_stream")
-      CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(t)
-      t
-    })
+    // synchronized: TrieMap.getOrElseUpdate runs the thunk unlocked, so
+    // two concurrent first callers would BOTH land (and one copy leaks)
+    val tmp = landedLogs.synchronized {
+      landedLogs.getOrElseUpdate(dir, {
+        val t = Scratch.dir("graft_cdc_stream")
+        CdcSuite.changeLog(spark, dir).repartition(4).write.mode("overwrite").parquet(t)
+        t
+      })
+    }
     val schema = spark.read.parquet(tmp).schema
     CdcSource.loadStream(spark, SourceSpec("parquet",
       Map("path" -> tmp, "maxFilesPerTrigger" -> "1"), Some(schema))).as[ChangeEvent]

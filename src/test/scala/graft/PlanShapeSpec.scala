@@ -80,8 +80,25 @@ class PlanShapeSpec extends SparkSpecBase {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange") || p.contains("reused"),
-        s"$q: no reused exchange in the executed plan — range bounds may diverge:\n$p")
+      // Look only at the FINAL adaptive plan (the toString appends the
+      // "== Initial Plan ==" section, where the not-yet-deduped pair
+      // legitimately appears twice). The kernel's explicit repartition
+      // prints REPARTITION_BY_NUM (the final orderBy's range exchange
+      // is ENSURE_REQUIREMENTS): exactly ONE such Exchange may execute,
+      // and the reused consumer must be a ReusedExchange OF a range
+      // exchange — a generic contains("ReusedExchange") would pass
+      // vacuously off some other deduped exchange (e.g. q_decile_stats'
+      // aggregate shuffle) while the range bounds silently diverge.
+      val finalP = p.split("== Initial Plan ==")(0)
+      val executedKernelExchanges = finalP.linesIterator.count(l =>
+        l.contains("Exchange rangepartitioning") && l.contains("REPARTITION_BY_NUM") &&
+          !l.contains("ReusedExchange"))
+      assert(executedKernelExchanges == 1,
+        s"$q: expected exactly 1 executed kernel range exchange, got " +
+          s"$executedKernelExchanges — the kernel's branches may sample divergent bounds:\n$finalP")
+      assert(finalP.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains("rangepartitioning")),
+        s"$q: no ReusedExchange of the range exchange in the final plan:\n$finalP")
     }
   }
 
