@@ -498,6 +498,24 @@ class GraftApiSpec extends SparkSpecBase {
     assert(kernel == naive)
   }
 
+  test("rankedByGroup rejects payload and reserved columns, near-name substrings included") {
+    val df = Seq(("a", 1, 9L)).toDF("g", "v", "extra")
+    val e1 = intercept[IllegalArgumentException](
+      Graft.rankedByGroup(df, Seq("g"), Seq(col("v"))))
+    assert(e1.getMessage.contains("extra"))
+    // "vv" is a substring-cousin of order column "v" — the guard must
+    // match exact names, not substrings (a payload slipping through
+    // breaks exchange dedup and silently mis-ranks)
+    val df2 = Seq(("a", 1, 2)).toDF("g", "vv", "v")
+    val e2 = intercept[IllegalArgumentException](
+      Graft.rankedByGroup(df2, Seq("g"), Seq(col("v"))))
+    assert(e2.getMessage.contains("vv"))
+    val df3 = Seq(("a", 1, 7L)).toDF("g", "v", "cnt")
+    val e3 = intercept[IllegalArgumentException](
+      Graft.rankedByGroup(df3, Seq("g"), Seq(col("v"), col("cnt"))))
+    assert(e3.getMessage.contains("cnt"), "reserved output names must reject even when ordered on")
+  }
+
   test("distributed decile arithmetic equals ntile, uneven buckets included") {
     import org.apache.spark.sql.expressions.Window
     // 37 rows: cnt % 10 = 7 → first 7 buckets take the extra row; the
