@@ -77,23 +77,39 @@ object AnnSuite {
       .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
-    // argmin by sequential scan with strict '<' over the cid-ascending
-    // array: ties keep the lowest cid, identical to ORDER BY dist, cid
-    def assign(points: DataFrame, cents: DataFrame): DataFrame =
-      points.crossJoin(broadcast(centArray(cents)))
-        .withColumn("dists", expr(DistsExpr))
-        .withColumn("best", expr(
-          """aggregate(dists, named_struct('dist', CAST('Infinity' AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
-            |  (b, x) -> IF(x.dist < b.dist, x, b))""".stripMargin))
-        .withColumn("cid", col("best.cid"))
-        .drop("cents", "dists", "best")
+    val assign0 = kmeansAssign(e, seeds).select(col("vec_id"), col("cid"), col("embedding"))
+    val refined = lloydStep(assign0)
+    val assign1 = kmeansAssign(e, refined)
+      .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
+        col("embedding").as("ce2"))
+    IvfIndex(assign1, refined)
+  }
 
-    val assign0 = assign(e, seeds).select(col("vec_id"), col("cid"), col("embedding"))
-    // Lloyd step: per-(cluster, dim) mean, rebuilt into vectors. The
-    // mean uses exact fixed-point accumulation (a bare avg() over
-    // floats is reduction-order nondeterministic, which would make the
-    // whole index irreproducible).
-    val refined = assign0
+  /** Nearest-centroid assignment: argmin by sequential scan with strict
+    * '<' over the cid-ascending array — ties keep the lowest cid,
+    * identical to ORDER BY dist, cid. Keeps the winning squared
+    * distance as `dist` (emb_kmeans' inertia reads it; ivfBuild drops
+    * it). Narrow per-row expression over the broadcast centroid array:
+    * no n·k row explosion, no window exchange.
+    */
+  private[graft] def kmeansAssign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(centArray(cents)))
+      .withColumn("dists", expr(DistsExpr))
+      .withColumn("best", expr(
+        """aggregate(dists, named_struct('dist', CAST('Infinity' AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
+          |  (b, x) -> IF(x.dist < b.dist, x, b))""".stripMargin))
+      .withColumn("cid", col("best.cid"))
+      .withColumn("dist", col("best.dist"))
+      .drop("cents", "dists", "best")
+
+  /** Lloyd step: per-(cluster, dim) mean, rebuilt into float vectors.
+    * The mean uses exact fixed-point accumulation (a bare avg() over
+    * floats is reduction-order nondeterministic, which would make the
+    * result irreproducible); the one exact double division per
+    * (cluster, dim) is engine-deterministic.
+    */
+  private[graft] def lloydStep(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cid"), posexplode(col("embedding")))
       .groupBy(col("cid"), col("pos"))
       .agg((sum(floor(col("col").cast("double") * 1e6 + 0.5)).cast("double")
@@ -101,11 +117,6 @@ object AnnSuite {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
-    val assign1 = assign(e, refined)
-      .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
-        col("embedding").as("ce2"))
-    IvfIndex(assign1, refined)
-  }
 
   /** Single-row cid-ascending centroid array, broadcast to every task. */
   private def centArray(cents: DataFrame): DataFrame =
@@ -239,6 +250,43 @@ object AnnSuite {
         .withColumn("recall_e6",
           floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5).cast("long"))
         .orderBy("query_id")
+    },
+
+    // Deterministic k-means over the embedding corpus (k = IvfK, TWO
+    // Lloyd iterations — one past ivfBuild's single step): the
+    // clustering primitive behind domain mixing, corpus cartography,
+    // and IVF nlist tuning. Seeds, assignment, and centroid updates
+    // are ivfBuild's exact-arithmetic kernels, so the whole clustering
+    // — including per-cluster inertia — is engine-exact and
+    // oracle-checked, not a "close enough" sketch. Per-member squared
+    // distances quantize to integers BEFORE the cluster sum (a double
+    // group-sum is reduction-order nondeterministic); centroid norms
+    // fold dims in array order (deterministic on both engines). Scale
+    // shape = ivfBuild's: per-iteration cost is one narrow corpus scan
+    // against broadcast centroids plus a (k × dims)-row aggregate —
+    // no n·k explosion anywhere.
+    "emb_kmeans" -> { (s, d) =>
+      import graft.functions.Portable.rowHash60
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val seeds = e
+        .orderBy(rowHash60(col("vec_id").cast("string")), col("vec_id"))
+        .limit(IvfK)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val a0 = kmeansAssign(e, seeds).select(col("vec_id"), col("cid"), col("embedding"))
+      val c1 = lloydStep(a0)
+      val a1 = kmeansAssign(e, c1).select(col("vec_id"), col("cid"), col("embedding"))
+      val c2 = lloydStep(a1)
+      val a2 = kmeansAssign(e, c2)
+      val norms = c2.select(col("cid"), expr(
+        """CAST(FLOOR(aggregate(ce, CAST(0 AS DOUBLE),
+          |  (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"""
+          .stripMargin).as("norm_e6"))
+      a2.withColumn("dist_e6", floor(col("dist") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist_e6")).as("inertia_e6"))
+        .join(broadcast(norms), "cid")
+        .select("cid", "n_members", "inertia_e6", "norm_e6")
+        .orderBy("cid")
     }
   )
 
@@ -404,6 +452,51 @@ object AnnSuite {
          |FROM truth t LEFT JOIN ivf i
          |  ON i.query_id = t.query_id AND i.cand_id = t.cand_id
          |GROUP BY t.query_id ORDER BY query_id""".stripMargin
+    },
+
+    "emb_kmeans" -> {
+      // the ann_ivf chain extended one Lloyd round, then the
+      // per-cluster rollup; distances quantize to e6 integers before
+      // the cluster SUM so the inertia is reduction-order-proof
+      val sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))"
+      def dist(c: String) =
+        s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
+           |      i -> ${sq.format(c)} * ${sq.format(c)}))""".stripMargin
+      def lloyd(from: String, dimsN: String, centsN: String) =
+        s"""$dimsN AS (
+           |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
+           |  FROM $from, range(1, 65) r(i)),
+           |$centsN AS (
+           |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
+           |    SELECT cid, i,
+           |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
+           |    FROM $dimsN GROUP BY cid, i) t GROUP BY cid)""".stripMargin
+      def assign(centsN: String, outN: String) =
+        s"""$outN AS (
+           |  SELECT vec_id, cid, embedding, dist FROM (
+           |    SELECT e.vec_id, c.cid, e.embedding, ${dist("c.ce")} AS dist,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |                         ORDER BY ${dist("c.ce")}, c.cid) AS rn
+           |    FROM e, $centsN c) t WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM e
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+         |  LIMIT $IvfK),
+         |${assign("seeds", "a0")},
+         |${lloyd("a0", "dims1", "cents1")},
+         |${assign("cents1", "a1")},
+         |${lloyd("a1", "dims2", "cents2")},
+         |${assign("cents2", "a2")},
+         |norms AS (
+         |  SELECT cid, CAST(FLOOR(list_sum(list_transform(ce,
+         |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS norm_e6
+         |  FROM cents2)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CAST(FLOOR(dist*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS inertia_e6,
+         |  norm_e6
+         |FROM a2 JOIN norms USING (cid)
+         |GROUP BY cid, norm_e6 ORDER BY cid""".stripMargin
     }
   )
 }

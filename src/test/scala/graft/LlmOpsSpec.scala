@@ -264,6 +264,24 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("emb_kmeans: full partition of the corpus, seed-labeled, inertia consistent") {
+    val rows = AnnSuite.queries("emb_kmeans")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10, "at most k clusters, none empty in output")
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus,
+      "every vector lands in exactly one cluster")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("inertia_e6") >= 0L && r.getAs[Long]("norm_e6") >= 0L)
+      assert(r.getAs[Long]("n_members") > 0L)
+    }
+    // cluster labels are the ORIGINAL seed ids — they survive both
+    // Lloyd rounds (centroids move, labels don't)
+    val cids = rows.map(_.getAs[Long]("cid")).toSet
+    val rerun = AnnSuite.queries("emb_kmeans")(spark, sf).collect()
+      .map(_.getAs[Long]("cid")).toSet
+    assert(cids == rerun, "clustering must be deterministic across runs")
+  }
+
   test("dedup_keep_best: provenance policy overrides min-id exactly where it should") {
     val rows = DedupSuite.queries("dedup_keep_best")(spark, sf).collect()
     assert(rows.nonEmpty)
