@@ -65,24 +65,28 @@ object AnnSuite {
     */
   private[graft] def ivfBuild(corpus: DataFrame,
       idCol: String, embCol: String, k: Int): IvfIndex = {
-    import graft.functions.Portable.rowHash60
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-
-    // deterministic hash-ordered sample: the k vectors with the smallest
-    // 60-bit hash of vec_id — an unbiased pseudo-random seed set (the
-    // first-k-rows init would sample one corner of the file), still
-    // reproducible in the oracle. TakeOrdered keeps only k rows.
-    val seeds = e
-      .orderBy(rowHash60(col("vec_id").cast("string")), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-
-    val assign0 = kmeansAssign(e, seeds).select(col("vec_id"), col("cid"), col("embedding"))
+    val assign0 = kmeansAssign(e, kmeansSeeds(e, k))
+      .select(col("vec_id"), col("cid"), col("embedding"))
     val refined = lloydStep(assign0)
     val assign1 = kmeansAssign(e, refined)
       .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
         col("embedding").as("ce2"))
     IvfIndex(assign1, refined)
+  }
+
+  /** Deterministic hash-ordered seed sample: the k vectors with the
+    * smallest 60-bit hash of vec_id — an unbiased pseudo-random seed
+    * set (the first-k-rows init would sample one corner of the file),
+    * still reproducible in the oracle's md5-prefix ORDER BY. Shared by
+    * ivfBuild and emb_kmeans so their shared-oracle seeding can never
+    * drift apart. TakeOrdered keeps only k rows.
+    */
+  private[graft] def kmeansSeeds(e: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Portable.rowHash60
+    e.orderBy(rowHash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
   }
 
   /** Nearest-centroid assignment: argmin by sequential scan with strict
@@ -266,13 +270,9 @@ object AnnSuite {
     // against broadcast centroids plus a (k × dims)-row aggregate —
     // no n·k explosion anywhere.
     "emb_kmeans" -> { (s, d) =>
-      import graft.functions.Portable.rowHash60
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val seeds = e
-        .orderBy(rowHash60(col("vec_id").cast("string")), col("vec_id"))
-        .limit(IvfK)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val a0 = kmeansAssign(e, seeds).select(col("vec_id"), col("cid"), col("embedding"))
+      val a0 = kmeansAssign(e, kmeansSeeds(e, IvfK))
+        .select(col("vec_id"), col("cid"), col("embedding"))
       val c1 = lloydStep(a0)
       val a1 = kmeansAssign(e, c1).select(col("vec_id"), col("cid"), col("embedding"))
       val c2 = lloydStep(a1)
@@ -297,6 +297,19 @@ object AnnSuite {
     // same answers" a driver-checked claim instead of a spec-only one
     ("ann_ivf_persisted" -> oraclesBase("ann_ivf"))
 
+  /** Shared DuckDB-oracle fragments for the embedding-distance family —
+    * one source of truth for the formula that ann_ivf, ann_recall_eval,
+    * and emb_kmeans all mirror (a fix applied to one copy and not the
+    * others would produce a hash mismatch that is expensive to
+    * localize). `e` is the conventional embeddings-CTE alias.
+    */
+  private val OracleSq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))"
+  private def oracleDist(c: String) =
+    s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> ${OracleSq.format(c)} * ${OracleSq.format(c)}))""".stripMargin
+  private val OracleNorm =
+    "sqrt(list_sum(list_transform(%s, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
   private def oraclesBase: Map[String, String] = Map(
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -320,11 +333,6 @@ object AnnSuite {
     // Lloyd means, tie-broken argmins), so even the index build is
     // oracle-checkable end-to-end
     "ann_ivf" -> {
-      val sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))"
-      def dist(c: String) =
-        s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
-           |      i -> ${sq.format(c)} * ${sq.format(c)}))""".stripMargin
-      val norm = "sqrt(list_sum(list_transform(%s, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          |seeds AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM e
@@ -332,7 +340,7 @@ object AnnSuite {
          |  LIMIT $IvfK),
          |d0 AS (
          |  SELECT e.vec_id, s.cid, e.embedding,
-         |    ${dist("s.ce")} AS dist
+         |    ${oracleDist("s.ce")} AS dist
          |  FROM e, seeds s),
          |a0 AS (
          |  SELECT vec_id, cid, embedding FROM (
@@ -349,7 +357,7 @@ object AnnSuite {
          |    FROM dims GROUP BY cid, i) t GROUP BY cid),
          |d1 AS (
          |  SELECT e.vec_id, c.cid, e.label, e.embedding,
-         |    ${dist("c.ce")} AS dist
+         |    ${oracleDist("c.ce")} AS dist
          |  FROM e, cents c),
          |a1 AS (
          |  SELECT vec_id AS cand_id, cid AS cell, label, embedding AS ce2 FROM (
@@ -364,7 +372,7 @@ object AnnSuite {
          |    FLOOR(
          |      list_sum(list_transform(range(1, len(qe) + 1),
          |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE))) /
-         |      (${norm.format("qe")} * ${norm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
+         |      (${OracleNorm.format("qe")} * ${OracleNorm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
          |  FROM a1 JOIN probes ON a1.cell = probes.cell
          |  WHERE query_id <> cand_id),
          |ranked AS (
@@ -379,11 +387,6 @@ object AnnSuite {
       // the IVF CTE chain (identical to ann_ivf's, i-prefixed) joined
       // against the exact brute-force top-3 (b-prefixed); recall is
       // matched/|truth| in portable fixed-point
-      val sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))"
-      def dist(c: String) =
-        s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
-           |      i -> ${sq.format(c)} * ${sq.format(c)}))""".stripMargin
-      val norm = "sqrt(list_sum(list_transform(%s, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |seeds AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM e
@@ -391,7 +394,7 @@ object AnnSuite {
          |  LIMIT $IvfK),
          |d0 AS (
          |  SELECT e.vec_id, s.cid, e.embedding,
-         |    ${dist("s.ce")} AS dist
+         |    ${oracleDist("s.ce")} AS dist
          |  FROM e, seeds s),
          |a0 AS (
          |  SELECT vec_id, cid, embedding FROM (
@@ -407,7 +410,7 @@ object AnnSuite {
          |    FROM dims GROUP BY cid, i) t GROUP BY cid),
          |d1 AS (
          |  SELECT e.vec_id, c.cid, e.embedding,
-         |    ${dist("c.ce")} AS dist
+         |    ${oracleDist("c.ce")} AS dist
          |  FROM e, cents c),
          |a1 AS (
          |  SELECT vec_id AS cand_id, cid AS cell, embedding AS ce2 FROM (
@@ -422,7 +425,7 @@ object AnnSuite {
          |    FLOOR(
          |      list_sum(list_transform(range(1, len(qe) + 1),
          |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE))) /
-         |      (${norm.format("qe")} * ${norm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
+         |      (${OracleNorm.format("qe")} * ${OracleNorm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
          |  FROM a1 JOIN probes ON a1.cell = probes.cell
          |  WHERE query_id <> cand_id),
          |ivf AS (
@@ -435,7 +438,7 @@ object AnnSuite {
          |    FLOOR(
          |      list_sum(list_transform(range(1, len(q.embedding) + 1),
          |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
-         |      (${norm.format("q.embedding")} * ${norm.format("c.embedding")})
+         |      (${OracleNorm.format("q.embedding")} * ${OracleNorm.format("c.embedding")})
          |      * 1e6 + 0.5)/1e6 AS cos
          |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
          |truth AS (
@@ -458,10 +461,6 @@ object AnnSuite {
       // the ann_ivf chain extended one Lloyd round, then the
       // per-cluster rollup; distances quantize to e6 integers before
       // the cluster SUM so the inertia is reduction-order-proof
-      val sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))"
-      def dist(c: String) =
-        s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
-           |      i -> ${sq.format(c)} * ${sq.format(c)}))""".stripMargin
       def lloyd(from: String, dimsN: String, centsN: String) =
         s"""$dimsN AS (
            |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
@@ -474,9 +473,9 @@ object AnnSuite {
       def assign(centsN: String, outN: String) =
         s"""$outN AS (
            |  SELECT vec_id, cid, embedding, dist FROM (
-           |    SELECT e.vec_id, c.cid, e.embedding, ${dist("c.ce")} AS dist,
+           |    SELECT e.vec_id, c.cid, e.embedding, ${oracleDist("c.ce")} AS dist,
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |                         ORDER BY ${dist("c.ce")}, c.cid) AS rn
+           |                         ORDER BY ${oracleDist("c.ce")}, c.cid) AS rn
            |    FROM e, $centsN c) t WHERE rn = 1)""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |seeds AS (
