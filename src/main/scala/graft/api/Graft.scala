@@ -525,12 +525,17 @@ object Graft {
         "observe one shared range exchange (independent executions may sample " +
         "different range bounds, silently corrupting the offset join)")
     val reserved = Seq("rn", "cnt", "__pid", "__rnl", "__off", "__c")
-    // exact order-column names: strip the sort-direction suffix desc()/
-    // asc() append to a bare column's toString; a computed order
-    // expression won't normalize to a column name and its inputs then
-    // reject — pre-project computed sort keys to named columns first
-    val orderNames = order.map(
-      _.toString.replaceAll(" (ASC|DESC)( NULLS (FIRST|LAST))?$", "")).toSet
+    // order-column names from the EXPRESSION TREE, not toString-munging
+    // (a column literally named "x DESC" or needing backtick quoting
+    // would mis-strip under a regex): every attribute an order
+    // expression references is an order input — this also admits the
+    // inputs of a computed sort key (e.g. col("a") + col("b")), which
+    // feed the sort and are therefore not payload
+    val orderNames = order.flatMap(
+      org.apache.spark.sql.graft.Bridge.expressionOf(_).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      }).toSet
     val clash = df.columns.filter(c => reserved.contains(c) ||
       !(groupCols.contains(c) || orderNames.contains(c)))
     require(clash.isEmpty,

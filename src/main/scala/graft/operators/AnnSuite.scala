@@ -238,11 +238,17 @@ object AnnSuite {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      val truth = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-        .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))))
-        .filter(col("rk") <= 3)
+      // truth-leg top-3 via the distributed-selection kernel: a window
+      // partitioned by query_id would sort each query's FULL-corpus
+      // candidate list on one task (parallelism = query count at any
+      // cluster size); rankedByGroup spreads every query's candidates
+      // across all tasks (cand_id is the unique tiebreak)
+      val truth = graft.api.Graft.rankedByGroup(
+          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+            .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
+            .select(col("query_id"), col("cos"), col("cand_id")),
+          Seq("query_id"), Seq(col("cos").desc, col("cand_id")))
+        .filter(col("rn") <= 3)
         .select("query_id", "cand_id")
       val got = ivfSearch(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", IvfK, IvfNProbe, 3)

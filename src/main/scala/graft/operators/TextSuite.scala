@@ -169,9 +169,20 @@ object TextSuite {
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
+      // fixed-point bound (CLAUDE.md: keep hash/score arithmetic under
+      // 2^60 — Spark silently wraps BIGINT where DuckDB errors, so an
+      // overflow would DIVERGE silently, not fail): tf·n_docs·1e6 stays
+      // exact iff tf ≤ 2^60/1e6/n_docs ≈ 1.15e12/n_docs (e.g. 1e9 docs
+      // allow tf ≤ 1152). The guard raises loudly at the first row past
+      // the bound instead of mis-ranking; corpora beyond it should
+      // reduce the precision factor (1e6 → 1e3 buys 1000× headroom).
       tf.join(broadcast(dfreq), "w")
         .crossJoin(broadcast(n))
-        .withColumn("score", expr("(tf * n_docs * 1000000L) div df"))
+        .withColumn("score", expr(
+          """(IF(tf > 1152921504606L DIV n_docs,
+            |    CAST(raise_error(concat('text_tfidf_topterms: tf * n_docs exceeds ',
+            |      'the 2^60/1e6 fixed-point bound - reduce the precision factor')) AS BIGINT),
+            |    tf) * n_docs * 1000000L) div df""".stripMargin))
         .groupBy(col("doc_id"))
         .agg(slice(array_sort(collect_list(struct(
           (-col("score")).as("ns"), col("w"), col("tf"), col("df"),

@@ -16,6 +16,15 @@ object Bridge {
   /** Wrap a raw Catalyst expression as a user-facing Column. */
   def columnOf(e: Expression): Column = new Column(ExpressionColumnNode(e))
 
+  /** Unwrap a user-facing Column back to its Catalyst expression (the
+    * inverse seam — Spark 4 removed the public Column.expr). Converted
+    * EAGERLY: ExpressionUtils.expression wraps the ColumnNode lazily
+    * (an opaque ColumnNodeExpression whose tree a collect can't walk),
+    * while the converter yields the real Catalyst tree.
+    */
+  def expressionOf(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register graft's native expressions on an existing session (the
     * runtime path; cluster deployments can instead set
     * spark.sql.extensions=graft.plans.GraftExtensions).

@@ -516,6 +516,20 @@ class GraftApiSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("cnt"), "reserved output names must reject even when ordered on")
   }
 
+  test("rankedByGroup order names come from the expression tree, not toString munging") {
+    // a column literally named "x DESC" used to be mis-stripped by the
+    // old regex derivation (" DESC$" looked like a sort direction)
+    val df = Seq(("a", 1L, 2L), ("a", 3L, 1L)).toDF("g", "x DESC", "y")
+    val out = Graft.rankedByGroup(df, Seq("g"), Seq(col("`x DESC`").desc, col("y")))
+    assert(out.count() == 2)
+    // a computed sort key's input attributes count as order inputs
+    // (they feed the sort — not payload), so this no longer rejects
+    val df2 = Seq(("a", 1L, 2L), ("a", 2L, 1L)).toDF("g", "x", "y")
+    val out2 = Graft.rankedByGroup(df2, Seq("g"), Seq(col("x") + col("y"), col("x")))
+      .orderBy("rn").select("x").as[Long].collect()
+    assert(out2.toSeq == Seq(1L, 2L))
+  }
+
   test("distributed decile arithmetic equals ntile, uneven buckets included") {
     import org.apache.spark.sql.expressions.Window
     // 37 rows: cnt % 10 = 7 → first 7 buckets take the extra row; the
