@@ -48,11 +48,17 @@ object TextSuite {
     "text_quality" -> { (s, d) =>
       // length / punctuation / stopword signals → rational-arithmetic
       // score (no transcendentals: libm results aren't engine-portable).
+      // Stopword counting via the native hash-membership expression:
+      // the composed size(filter(words, isin(Stop))) walked the stop
+      // list per WORD through a CodegenFallback lambda — O(|words| ·
+      // |Stop|) interpreted comparisons per doc, which made this the
+      // most expensive sf10 headline query (36.5 s of narrow CPU).
+      org.apache.spark.sql.graft.Bridge.register(s)
       Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
         .withColumn("n_words", size(col("words")))
-        .withColumn("n_stop", size(filter(col("words"),
-          w => w.isin(Stop: _*))))
+        .withColumn("n_stop", expr(
+          s"stopword_count(words, array(${Stop.map(w => s"'$w'").mkString(", ")}))"))
         .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))))
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"),
           (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),

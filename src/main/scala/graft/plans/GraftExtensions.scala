@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.graft.LevenBand].getName, "leven_band"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.LevenBand(
         exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("stopword_count"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.StopwordCount].getName, "stopword_count"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.StopwordCount(
+        exprs(0), org.apache.spark.sql.graft.Bridge.stringList(exprs(1)))))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
     // composed array_min(transform(xs, md5-60)) → fused Hash60Min

@@ -62,5 +62,19 @@ object Bridge {
       (exprs: Seq[Expression]) =>
         LevenBand(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "stopword_count",
+      (exprs: Seq[Expression]) => StopwordCount(exprs(0), stringList(exprs(1))),
+      "built-in")
+  }
+
+  /** Evaluate a foldable array-of-strings argument (e.g.
+    * `array('the','a')`) into the Scala list a construction-time
+    * parameter needs.
+    */
+  def stringList(e: Expression): Seq[String] = {
+    require(e.foldable, s"expected a literal string array, got: $e")
+    val xs = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until xs.numElements()).map(i => xs.getUTF8String(i).toString)
   }
 }
