@@ -422,6 +422,40 @@ object Graft {
       idCol: String, embCol: String, nprobe: Int = 2, topK: Int = 3): DataFrame =
     graft.operators.AnnSuite.ivfQuery(index, queries, idCol, embCol, nprobe, topK)
 
+  /** Deterministic k-means over an embedding column: hash-ordered seed
+    * sample, `iters` exact fixed-point Lloyd iterations, then a
+    * per-cluster rollup (member count, e6-quantized inertia summed as
+    * integers so the result is reduction-order-proof, centroid squared
+    * norm). Same kernels as the oracle-checked `emb_kmeans` registry
+    * entry — `iters = 2` reproduces it row-for-row (GraftApiSpec pins
+    * this).
+    *
+    * Iteration-safe lineage for arbitrary `iters` (the graph_pagerank
+    * pattern): each Lloyd round's centroids — k × dims rows — are
+    * `localCheckpoint`ed eagerly, truncating both lineage and logical
+    * plan, so iteration N's plan scans the corpus ONCE against
+    * materialized centroids instead of re-deriving every earlier
+    * round's aggregate (the unrolled registry form instead leans on
+    * exchange reuse, which only Spark's canonical-plan matching
+    * guarantees — fine at 2 rounds, fragile at 20). Per-iteration cost
+    * at any scale: one narrow corpus scan vs broadcast centroids plus
+    * a (k × dims)-row aggregate; total corpus scans = iters + 2
+    * (seed pass, one per Lloyd round, final assignment).
+    */
+  def kmeans(df: DataFrame, idCol: String, embCol: String,
+      k: Int = 10, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"kmeans: need k > 0, iters >= 0 (got $k/$iters)")
+    import graft.operators.AnnSuite
+    val e = df.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    var cents = AnnSuite.kmeansSeeds(e, k).localCheckpoint()
+    for (_ <- 1 to iters)
+      cents = AnnSuite.lloydStep(
+        AnnSuite.kmeansAssign(e, cents)
+          .select(col("vec_id"), col("cid"), col("embedding")))
+        .localCheckpoint()
+    AnnSuite.kmeansRollup(AnnSuite.kmeansAssign(e, cents), cents)
+  }
+
   /** Persist a built IVF index (centroids + cell-partitioned corpus
     * assignments) as parquet — build once, serve from any later
     * session via [[ivfLoad]].

@@ -126,6 +126,26 @@ object AnnSuite {
   private def centArray(cents: DataFrame): DataFrame =
     cents.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 
+  /** Per-cluster rollup over a final assignment: member count, exact
+    * e6-quantized inertia (distances quantize to integers BEFORE the
+    * cluster sum, so the result is reduction-order-proof), and the
+    * centroid's squared norm. Shared by the emb_kmeans registry entry
+    * and the k-iteration Graft.kmeans API so their shared oracle can
+    * never drift apart.
+    */
+  private[graft] def kmeansRollup(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val norms = cents.select(col("cid"), expr(
+      """CAST(FLOOR(aggregate(ce, CAST(0 AS DOUBLE),
+        |  (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"""
+        .stripMargin).as("norm_e6"))
+    assigned.withColumn("dist_e6", floor(col("dist") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist_e6")).as("inertia_e6"))
+      .join(broadcast(norms), "cid")
+      .select("cid", "n_members", "inertia_e6", "norm_e6")
+      .orderBy("cid")
+  }
+
   /** Query phase against a built index: probe `nprobe` nearest cells,
     * exact-cosine re-rank inside them only. The index never rebuilds.
     */
@@ -282,17 +302,7 @@ object AnnSuite {
       val c1 = lloydStep(a0)
       val a1 = kmeansAssign(e, c1).select(col("vec_id"), col("cid"), col("embedding"))
       val c2 = lloydStep(a1)
-      val a2 = kmeansAssign(e, c2)
-      val norms = c2.select(col("cid"), expr(
-        """CAST(FLOOR(aggregate(ce, CAST(0 AS DOUBLE),
-          |  (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"""
-          .stripMargin).as("norm_e6"))
-      a2.withColumn("dist_e6", floor(col("dist") * 1e6 + 0.5).cast("long"))
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_members"), sum(col("dist_e6")).as("inertia_e6"))
-        .join(broadcast(norms), "cid")
-        .select("cid", "n_members", "inertia_e6", "norm_e6")
-        .orderBy("cid")
+      kmeansRollup(kmeansAssign(e, c2), c2)
     }
   )
 

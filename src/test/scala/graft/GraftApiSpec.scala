@@ -530,6 +530,37 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out2.toSeq == Seq(1L, 2L))
   }
 
+  test("kmeans(iters=2) reproduces the oracle-checked registry entry row-for-row") {
+    val viaApi = Graft.kmeans(
+      graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      k = 10, iters = 2).collect().map(_.toString).toSeq
+    val viaRegistry = SparkEntry.queries("emb_kmeans")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaApi == viaRegistry)
+  }
+
+  test("kmeans iteration N does not rescan the corpus for iterations < N") {
+    // per-iteration localCheckpoint truncates lineage: the returned
+    // frame's plan must hold exactly ONE corpus (parquet) scan — the
+    // final assignment — with every earlier Lloyd round materialized
+    // as a checkpointed RDD (the unrolled registry form would instead
+    // show iters+1 scans here). Deeper iterations must not widen it.
+    Seq(2, 4).foreach { iters =>
+      val out = Graft.kmeans(
+        graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding",
+        k = 5, iters = iters)
+      val p = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // count detail headers ("(n) Scan parquet") — the formatted
+      // explain also repeats each node in the tree sketch
+      val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans == 1,
+        s"iters=$iters: expected 1 corpus scan in the final plan, got $scans:\n$p")
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"iters=$iters: checkpointed centroids missing from the plan:\n$p")
+    }
+  }
+
   test("distributed decile arithmetic equals ntile, uneven buckets included") {
     import org.apache.spark.sql.expressions.Window
     // 37 rows: cnt % 10 = 7 → first 7 buckets take the extra row; the
