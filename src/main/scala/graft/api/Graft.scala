@@ -469,6 +469,19 @@ object Graft {
   def ivfLoad(spark: SparkSession, dir: String): graft.operators.AnnSuite.IvfIndex =
     graft.operators.AnnSuite.ivfLoad(spark, dir)
 
+  /** Incremental IVF maintenance: assign an arriving batch at a
+    * persisted index's FIXED centroids and append it into the
+    * cell-partitioned layout — queries then see old + new corpus with
+    * no rebuild. Cost ∝ batch (the standing assignments are never
+    * read); equal to a full assignment of the unioned corpus at the
+    * same centroids (the oracle-checked `ann_ivf_append` contract).
+    * Re-cluster (a fresh [[ivfBuild]]) when drift degrades recall —
+    * `ann_recall_eval` is the gate.
+    */
+  def ivfAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, embCol: String): Unit =
+    graft.operators.AnnSuite.ivfAppend(spark, dir, batch, idCol, embCol)
+
   // ---- Joins ---------------------------------------------------------
 
   /** AS-OF LEFT JOIN through the custom physical operator

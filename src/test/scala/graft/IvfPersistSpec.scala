@@ -40,6 +40,39 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(fromLoaded.map(_.toString).toSeq === fromBuilt.map(_.toString).toSeq)
   }
 
+  test("ivfAppend assigns only the batch and never rescans the standing index") {
+    val e = Tables.embeddings(spark, sf)
+    val base = e.filter(col("vec_id") % 7 =!= 3)
+    val batch = e.filter(col("vec_id") % 7 === 3)
+    val dir = Scratch.dir("ivf_append_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(base, "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val baseRows = spark.read.parquet(s"$dir/assigned.parquet").count()
+
+    // cost ∝ batch: the append plan reads the batch leg and the (tiny)
+    // centroids table — two parquet scans — and must NOT touch the
+    // standing cell-partitioned assignments
+    val assignPlan = AnnSuite.ivfAssignBatch(spark, dir, batch, "vec_id", "embedding")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!assignPlan.contains("assigned.parquet"),
+      s"append plan rescans the standing assignments:\n$assignPlan")
+    val scans = assignPlan.linesIterator.count(
+      _.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 2,
+      s"append plan should scan batch + centroids only, got $scans scans:\n$assignPlan")
+
+    AnnSuite.ivfAppend(spark, dir, batch, "vec_id", "embedding")
+    val loaded = AnnSuite.ivfLoad(spark, dir)
+    assert(loaded.assigned.count() === baseRows + batch.count())
+    // the appended index equals a full assignment of the unioned corpus
+    // at the same fixed centroids — the invariant the oracle leans on
+    val truth = AnnSuite.ivfAssignBatch(spark, dir, e, "vec_id", "embedding")
+      .select("cand_id", "cell", "ce2").collect().map(_.toString).sorted.toSeq
+    val got = loaded.assigned
+      .select("cand_id", "cell", "ce2").collect().map(_.toString).sorted.toSeq
+    assert(got === truth)
+  }
+
   test("cell-partitioned layout prunes unprobed cells at the scan") {
     val e = Tables.embeddings(spark, sf)
     val dir = Scratch.dir("ivf_persist_prune")
