@@ -343,18 +343,21 @@ object AnnSuite {
     // oracle-checked, not a "close enough" sketch. Per-member squared
     // distances quantize to integers BEFORE the cluster sum (a double
     // group-sum is reduction-order nondeterministic); centroid norms
-    // fold dims in array order (deterministic on both engines). Scale
-    // shape = ivfBuild's: per-iteration cost is one narrow corpus scan
-    // against broadcast centroids plus a (k × dims)-row aggregate —
-    // no n·k explosion anywhere.
+    // fold dims in array order (deterministic on both engines).
+    //
+    // Runs through the k-iteration Graft.kmeans kernel: each round's
+    // k × dims centroids are localCheckpoint'ed, so per-iteration cost
+    // is ONE narrow corpus scan against materialized centroids. The
+    // earlier fully-unrolled form leaned on exchange reuse to dedupe
+    // the rollup's twin consumers of the last Lloyd aggregate — and
+    // the executed plan showed reuse does NOT fire there (column
+    // pruning makes the two consumers' partial aggregates canonically
+    // different), so it re-ran the aggregate AND a fifth corpus scan.
+    // GraftApiSpec pins row-equality with the unrolled form;
+    // PlanShapeSpec pins the single-scan final plan.
     "emb_kmeans" -> { (s, d) =>
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val a0 = kmeansAssign(e, kmeansSeeds(e, IvfK))
-        .select(col("vec_id"), col("cid"), col("embedding"))
-      val c1 = lloydStep(a0)
-      val a1 = kmeansAssign(e, c1).select(col("vec_id"), col("cid"), col("embedding"))
-      val c2 = lloydStep(a1)
-      kmeansRollup(kmeansAssign(e, c2), c2)
+      graft.api.Graft.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = IvfK, iters = 2)
     }
   )
 

@@ -170,9 +170,19 @@ object TextSuite {
       // (doc, term) counts; top-3 selection sorts ≤ per-doc-vocab
       // structs inside one array expression — no window exchange.
       val docs = Tables.documents(s, d)
+      // the (doc, term) count table feeds BOTH the df-table leg and the
+      // probe leg; materialize it once (eager localCheckpoint, the
+      // minhashDupPairs precedent — blocks are freed by the
+      // ContextCleaner when the plan is dereferenced). Exchange reuse
+      // does NOT dedupe the twin consumers here: column pruning drops
+      // `tf` below the df leg's aggregate, making the two partial
+      // aggregates canonically different — the executed plan re-ran
+      // the corpus scan and the (doc, term) shuffle twice. At 100 TB
+      // that duplicated pass is the dominant cost of the whole query.
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       // fixed-point bound (CLAUDE.md: keep hash/score arithmetic under

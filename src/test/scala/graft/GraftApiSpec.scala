@@ -530,13 +530,30 @@ class GraftApiSpec extends SparkSpecBase {
     assert(out2.toSeq == Seq(1L, 2L))
   }
 
-  test("kmeans(iters=2) reproduces the oracle-checked registry entry row-for-row") {
+  test("kmeans(iters=2) equals the fully-unrolled lazy form row-for-row") {
+    import graft.operators.AnnSuite
+    // the oracle-checked registry entry routes through Graft.kmeans;
+    // this pins that the checkpointed kernel computes exactly what the
+    // unrolled single-plan composition of the same kernels computes —
+    // i.e. the checkpoints change lineage, never values
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val a0 = AnnSuite.kmeansAssign(e, AnnSuite.kmeansSeeds(e, 10))
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val c1 = AnnSuite.lloydStep(a0)
+    val a1 = AnnSuite.kmeansAssign(e, c1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val c2 = AnnSuite.lloydStep(a1)
+    val unrolled = AnnSuite.kmeansRollup(AnnSuite.kmeansAssign(e, c2), c2)
+      .collect().map(_.toString).toSeq
     val viaApi = Graft.kmeans(
       graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding",
       k = 10, iters = 2).collect().map(_.toString).toSeq
+    assert(viaApi == unrolled)
+    // and the registry entry IS the API instance
     val viaRegistry = SparkEntry.queries("emb_kmeans")(spark, sf)
       .collect().map(_.toString).toSeq
-    assert(viaApi == viaRegistry)
+    assert(viaRegistry == viaApi)
   }
 
   test("kmeans iteration N does not rescan the corpus for iterations < N") {

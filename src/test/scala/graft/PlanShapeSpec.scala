@@ -68,6 +68,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "tfidf: cartesian product")
   }
 
+  test("tfidf and emb_kmeans compute their shared intermediates ONCE (no twin subtrees)") {
+    // Both queries feed one corpus-scale aggregate into two consumers
+    // (tf → df-table leg + probe leg; the last Lloyd centroids → final
+    // assignment + norms). Exchange reuse does NOT dedupe either pair —
+    // column pruning makes the twin partial aggregates canonically
+    // different — so both now materialize the shared intermediate via
+    // localCheckpoint instead. Pin the result: the remaining plan holds
+    // at most ONE corpus (parquet) scan, with the materialized
+    // intermediate appearing as an RDD scan. A second parquet scan here
+    // means the duplicated pass crept back (2× the dominant cost at
+    // 100 TB).
+    def scansAndRdd(name: String): (Int, Boolean) = {
+      val p = plan(name)
+      (p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*""")),
+        p.contains("ExistingRDD"))
+    }
+    // tfidf: probe + df legs read the checkpointed (doc, term) counts;
+    // the only parquet scan left is the column-less corpus row count
+    val (tfidfScans, tfidfRdd) = scansAndRdd("text_tfidf_topterms")
+    assert(tfidfScans <= 1, s"tfidf: $tfidfScans parquet scans — twin tf subtree is back")
+    assert(tfidfRdd, "tfidf: checkpointed tf intermediate missing from the plan")
+    // kmeans: one final-assignment scan against checkpointed centroids
+    val (kmScans, kmRdd) = scansAndRdd("emb_kmeans")
+    assert(kmScans == 1, s"emb_kmeans: expected 1 corpus scan, got $kmScans")
+    assert(kmRdd, "emb_kmeans: checkpointed centroids missing from the plan")
+  }
+
   test("rankedByGroup operators execute ONE shared range exchange (ReusedExchange)") {
     // Graft.rankedByGroup's offsets are only consistent with its local
     // ranks when both branches observe the same range bounds — which
