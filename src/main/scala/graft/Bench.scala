@@ -263,7 +263,27 @@ object Bench {
         providerKey ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"))
-    val streaming = backends.flatMap { case (suffix, confs) =>
+    // Steady-state latency probes under a CONTINUOUS trigger (the
+    // AvailableNow twins prove throughput/state; these prove per-batch
+    // latency + backpressure margin in the reference's actual operating
+    // mode — an unbounded metered feed). Run at the bench SF per
+    // backend; SPARK_GRAFT_BENCH_CONTINUOUS=0 disables.
+    val continuousNames =
+      if (streamingNames.isEmpty ||
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTINUOUS", "1") == "0") Seq.empty
+      else Seq("cdc_stream_apply", "stream_dedup_minhash")
+    /** One streaming entry: a measured run (with how many runs the
+      * median came from) or a skip sentinel — the artifact must record
+      * WHY a point is absent, or a round-over-round comparison reads
+      * the missing entry as a shape change.
+      */
+    case class StreamRun(key: String, wall: Double, rows: Long, batches: Int,
+      rps: Double, stateRows: Long, stateMem: Long, runs: Int)
+    case class StreamSkip(key: String, reason: String)
+    val streamSkips = scala.collection.mutable.ListBuffer.empty[StreamSkip]
+    val contStats =
+      scala.collection.mutable.ListBuffer.empty[(String, graft.streaming.CdcStream.ContinuousStats)]
+    val streaming: Seq[StreamRun] = backends.flatMap { case (suffix, confs) =>
       val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val out = streamJobs.flatMap { case (name, dir, dirSuffix) =>
@@ -279,35 +299,52 @@ object Bench {
         // is exactly what it is for.
         if (dirSuffix == "@sf10" && suffix == "" &&
           Runtime.getRuntime.maxMemory < 12L * 1024 * 1024 * 1024) {
-          System.err.println(
-            s"[bench] streaming $name$dirSuffix skipped on heap backend: " +
-              s"maxMemory ${Runtime.getRuntime.maxMemory >> 20} MB < 12288 MB " +
-              "(set SPARK_DRIVER_MEM=16g)")
+          val reason = s"heap backend needs >= 12288 MB driver heap, " +
+            s"maxMemory is ${Runtime.getRuntime.maxMemory >> 20} MB (set SPARK_DRIVER_MEM=16g)"
+          System.err.println(s"[bench] streaming $name$dirSuffix skipped: $reason")
+          streamSkips += StreamSkip(name + dirSuffix + suffix, reason)
           None
         } else {
-        spark.catalog.clearCache(); System.gc()
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            materialize(
-              if (dirSuffix == "@sf10")
-                graft.streaming.CdcStream.applyThroughputProbe(spark, dir)
-              else graft.streaming.CdcStream.queries(name)(spark, dir))
-            true
+        // toy-SF twins report the MEDIAN of 3 runs (heap-vs-RocksDB
+        // ordering flipped round-over-round on single runs at sf0.1 —
+        // backend deltas there are noise-sized); the @sf1/@sf10 points
+        // discriminate on state volume and stay single-run.
+        val nRuns = if (dirSuffix == "") 3 else 1
+        val runs = (1 to nRuns).flatMap { _ =>
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              materialize(
+                if (dirSuffix == "@sf10")
+                  graft.streaming.CdcStream.applyThroughputProbe(spark, dir)
+                else graft.streaming.CdcStream.queries(name)(spark, dir))
+              true
+            }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] streaming $name$dirSuffix$suffix FAILED: $e"); false
+            }
+          val wall = (System.nanoTime() - t0) / 1e9
+          if (!ok) None
+          else graft.streaming.CdcStream.progressLog.get(name).map { prog =>
+            val rows = prog.map(_._1).sum
+            val trigMs = prog.map(_._2).sum
+            val rps = if (trigMs > 0) rows.toDouble * 1000.0 / trigMs else 0.0
+            StreamRun(name + dirSuffix + suffix, wall, rows, prog.size, rps,
+              prog.map(_._3).lastOption.getOrElse(0L),
+              prog.map(_._4).maxOption.getOrElse(0L), nRuns)
           }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] streaming $name$dirSuffix$suffix FAILED: $e"); false
-          }
-        val wall = (System.nanoTime() - t0) / 1e9
-        if (!ok) None
-        else graft.streaming.CdcStream.progressLog.get(name).map { prog =>
-          val rows = prog.map(_._1).sum
-          val trigMs = prog.map(_._2).sum
-          val rps = if (trigMs > 0) rows.toDouble * 1000.0 / trigMs else 0.0
-          (name + dirSuffix + suffix, wall, rows, prog.size, rps,
-            prog.map(_._3).lastOption.getOrElse(0L),
-            prog.map(_._4).maxOption.getOrElse(0L))
         }
+        if (runs.isEmpty) None
+        else Some(runs.sortBy(_.rps).apply(runs.length / 2))
+        }
+      }
+      continuousNames.foreach { name =>
+        spark.catalog.clearCache(); System.gc()
+        try contStats += (suffix ->
+          graft.streaming.CdcStream.continuousProbe(spark, sfDir, name))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] continuous probe $name$suffix FAILED: $e")
         }
       }
       saved.foreach {
@@ -488,14 +525,21 @@ object Bench {
       val flags = shuffleRegressions.map(jstr).mkString("[", ",", "]")
       s""","shuffle_bytes":$sb,"shuffle_records":$sr,"spill_bytes":$sp,"shuffle_regressions":$flags,"drain_timeouts":${drainTimeouts.get}"""
     }
-    val streamJson = if (streaming.isEmpty) "" else {
-      val entries = streaming.map { case (name, wall, rows, batches, rps, stateRows, stateMem) =>
-        jstr(name) + s""":{"wall_sec":${jnum(wall)},"input_rows":$rows,"batches":$batches,"rows_per_sec":${jnum(rps)},"state_rows":$stateRows,"state_mem_bytes":$stateMem}"""
+    val streamJson = if (streaming.isEmpty && streamSkips.isEmpty) "" else {
+      val entries = streaming.map { r =>
+        jstr(r.key) + s""":{"wall_sec":${jnum(r.wall)},"input_rows":${r.rows},"batches":${r.batches},"rows_per_sec":${jnum(r.rps)},"state_rows":${r.stateRows},"state_mem_bytes":${r.stateMem},"runs":${r.runs}}"""
+      } ++ streamSkips.map(s => jstr(s.key) + s""":{"skipped":${jstr(s.reason)}}""")
+      s""","streaming":${entries.mkString("{", ",", "}")}"""
+    }
+    val contJson = if (contStats.isEmpty) "" else {
+      val entries = contStats.map { case (suffix, c) =>
+        jstr(c.twin + "@continuous" + suffix) +
+          s""":{"trigger_ms":${c.triggerMs},"batches":${c.batches},"p50_batch_ms":${c.p50Ms},"p95_batch_ms":${c.p95Ms},"max_batch_ms":${c.maxMs},"input_rps":${jnum(c.inputRps)},"proc_rps":${jnum(c.procRps)},"input_rows":${c.rows},"state_rows":${c.stateRows}}"""
       }.mkString("{", ",", "}")
-      s""","streaming":$entries"""
+      s""","streaming_continuous":$entries"""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$sf01mJson$sf10Json$slJson$workJson$streamJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$sf01mJson$sf10Json$slJson$workJson$streamJson$contJson}"""
     println(line)
     // Persist the line: the driver's stdout capture keeps only a tail,
     // which truncated the per-query maps out of two rounds' artifacts —

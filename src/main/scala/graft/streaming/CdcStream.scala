@@ -141,6 +141,119 @@ object CdcStream {
     spark.range(1).toDF("ok")
   }
 
+  /** Steady-state result of one [[continuousProbe]] run: per-batch
+    * latency distribution and the backpressure margin under a
+    * continuous trigger.
+    */
+  case class ContinuousStats(twin: String, triggerMs: Long, batches: Int,
+      p50Ms: Long, p95Ms: Long, maxMs: Long,
+      inputRps: Double, procRps: Double, rows: Long, stateRows: Long)
+
+  private val landedProbeFeeds = scala.collection.concurrent.TrieMap[String, String]()
+  private def probeFeed(key: String)(land: => String): String =
+    landedProbeFeeds.synchronized(landedProbeFeeds.getOrElseUpdate(key, land))
+
+  /** Steady-state latency probe: every other streaming evidence path
+    * replays the landed feed under `Trigger.AvailableNow` — that proves
+    * throughput and state size but says nothing about per-batch latency
+    * or backpressure under the CONTINUOUS trigger an unbounded CDC feed
+    * actually runs. Here the feed is landed as `files` parquet files and
+    * metered at one file per micro-batch under
+    * `Trigger.ProcessingTime(triggerMs)` into the noop sink (the
+    * production cost model — a real sink runs off-driver), through the
+    * SAME state machines as the twins. Returns the per-batch
+    * triggerExecution p50/p95/max, the metered input rate vs the
+    * processing rate (their ratio is the backpressure margin: proc ≫
+    * input means the pipeline keeps up with headroom), and final state
+    * rows. The steady-state acceptance bar is p95 batch time < the
+    * trigger interval — batches then never queue behind the trigger.
+    *
+    * Twins: `cdc_stream_apply` (the LWW upsert machine over the change
+    * log) and `stream_dedup_minhash` (per-bucket pair state over the
+    * band rows). The first batch pays whole-stage-codegen compilation —
+    * a JVM one-time, reported honestly inside max and excluded from p95
+    * whenever batches ≥ 20.
+    *
+    * `stateParts` sizes the query's state partitioning: per-batch fixed
+    * cost is dominated by one state-store commit PER PARTITION, so a
+    * batch of a few thousand rows against 32 partitions pays ~32
+    * near-empty commits (~1 s of pure overhead measured at sf0.1) —
+    * production streaming jobs size shuffle partitions to the feed, not
+    * to the batch engine's scan parallelism. Scoped to this query via
+    * its fresh checkpoint; the session conf is restored afterwards.
+    */
+  private[graft] def continuousProbe(spark: SparkSession, dir: String,
+      twin: String, triggerMs: Long = 1000, files: Int = 24,
+      stateParts: Int = 8): ContinuousStats = {
+    import spark.implicits._
+    val feedDir = twin match {
+      case "cdc_stream_apply" => probeFeed(s"cdc|$dir|$files") {
+        val t = Scratch.dir("graft_cont_cdc")
+        CdcSuite.changeLog(spark, dir).repartition(files)
+          .write.mode("overwrite").parquet(t)
+        t
+      }
+      case "stream_dedup_minhash" => probeFeed(s"mh|$dir|$files") {
+        org.apache.spark.sql.graft.Bridge.register(spark)
+        val t = Scratch.dir("graft_cont_mh")
+        graft.operators.DedupSuite.minhashBands(
+            graft.operators.DedupSuite.shingleSets(spark, dir))
+          .select(concat_ws("|", col("band"), col("bucket")).as("k"), col("doc_id"),
+            lit("2000-01-01 00:00:00").cast("timestamp").as("ets"))
+          .repartition(files).write.mode("overwrite").parquet(t)
+        t
+      }
+      case other => throw new IllegalArgumentException(
+        s"continuousProbe: no probe feed for twin '$other'")
+    }
+    val landed = spark.read.parquet(feedDir)
+    val expected = landed.count()
+    val schema = landed.schema
+    val stream = CdcSource.loadStream(spark, SourceSpec("parquet",
+      Map("path" -> feedDir, "maxFilesPerTrigger" -> "1"), Some(schema)))
+    val transformed = twin match {
+      case "cdc_stream_apply" => applyEventsStream(stream.as[ChangeEvent])
+      case _ => minhashPairsStream(
+          stream.as[(String, Long, java.sql.Timestamp)], MinhashTtlMs, "1 minute")
+        .toDF("doc_a", "doc_b")
+    }
+    val qname = "cont_probe_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, stateParts.toString)
+    val (q, done) = try {
+      val q = transformed.writeStream.format("noop")
+        .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds")).start()
+      // run until the feed is fully consumed (bounded by a hard deadline
+      // so a wedged stream fails loudly instead of hanging the bench)
+      val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+      def consumed: Long = q.recentProgress.map(_.numInputRows).sum
+      while (consumed < expected && q.isActive && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val done = consumed
+      q.stop(); q.awaitTermination()
+      (q, done)
+    } finally savedParts match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    require(done >= expected,
+      s"continuousProbe($twin): consumed $done of $expected rows before the deadline")
+    val data = q.recentProgress.filter(_.numInputRows > 0)
+    val trigs = data.map(p => Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue).getOrElse(0L)).sorted
+    def pct(p: Double): Long = trigs(math.max(0, math.ceil(p * trigs.length).toInt - 1))
+    val rows = data.map(_.numInputRows).sum
+    ContinuousStats(twin, triggerMs, data.length, pct(0.5), pct(0.95), trigs.last,
+      inputRps = rows * 1000.0 / (triggerMs.toDouble * data.length),
+      procRps = if (trigs.sum > 0) rows * 1000.0 / trigs.sum else 0.0,
+      rows = rows,
+      stateRows = data.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L))
+  }
+
   def applyLatest(spark: SparkSession, dir: String): DataFrame = {
     // Latest emission per key wins; tombstoned keys drop (hard-delete mode).
     val w = Window.partitionBy(col("id")).orderBy(desc("seq"))
