@@ -35,7 +35,12 @@ object Bench {
     // round-4 third wave: band-index probe, compaction, dim-exploded
     // centroid agg, double-window median
     "dedup_incremental", "cdc_compact_log", "emb_centroid_drift",
-    "q_median_by_group")
+    "q_median_by_group",
+    // round-10 wave: the k-iteration clustering kernel, the
+    // checkpointed TF-IDF, and the persisted/append IVF serving shapes
+    // (the operational paths — benched instead of the fused ann_ivf)
+    "emb_kmeans", "text_tfidf_topterms", "ann_ivf_persisted",
+    "ann_ivf_append")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.
