@@ -48,18 +48,22 @@ object TextSuite {
     "text_quality" -> { (s, d) =>
       // length / punctuation / stopword signals → rational-arithmetic
       // score (no transcendentals: libm results aren't engine-portable).
-      // Stopword counting via the native hash-membership expression:
-      // the composed size(filter(words, isin(Stop))) walked the stop
-      // list per WORD through a CodegenFallback lambda — O(|words| ·
-      // |Stop|) interpreted comparisons per doc, which made this the
-      // most expensive sf10 headline query (36.5 s of narrow CPU).
+      // Both count signals run as native codegen'd single-pass loops
+      // (this was the most expensive sf10 headline query at 36.5 s of
+      // narrow CPU): stopword_count replaces the CodegenFallback
+      // size(filter(words, isin(Stop))) walk with one hash probe per
+      // word, and punct_count replaces the regexp_extract_all pass —
+      // the profiled hot path (~2.4 s/pass at sf1, paid MORE than once
+      // because projection collapse inlines the expression into each
+      // downstream use of n_punct) — with one byte-loop, cheap enough
+      // that the duplication stops mattering.
       org.apache.spark.sql.graft.Bridge.register(s)
       Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
         .withColumn("n_words", size(col("words")))
         .withColumn("n_stop", expr(
           s"stopword_count(words, array(${Stop.map(w => s"'$w'").mkString(", ")}))"))
-        .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))))
+        .withColumn("n_punct", expr("punct_count(text)"))
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"),
           (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
           (col("n_punct").cast("double") / length(col("text"))).as("punct_ratio"),

@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.graft.StopwordCount].getName, "stopword_count"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.StopwordCount(
         exprs(0), org.apache.spark.sql.graft.Bridge.stringList(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("punct_count"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.PunctCount].getName, "punct_count"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.PunctCount(exprs(0))))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
     // composed array_min(transform(xs, md5-60)) → fused Hash60Min

@@ -66,6 +66,10 @@ object Bridge {
       "stopword_count",
       (exprs: Seq[Expression]) => StopwordCount(exprs(0), stringList(exprs(1))),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "punct_count",
+      (exprs: Seq[Expression]) => PunctCount(exprs(0)),
+      "built-in")
   }
 
   /** Evaluate a foldable array-of-strings argument (e.g.

@@ -20,7 +20,8 @@ class ExtensionsSpec extends SparkSpecBase {
   test("extensions inject all native functions") {
     val reg = org.apache.spark.sql.graft.ExtensionsProbe.functions(built)
     Seq("cosine_sim", "jaccard_sim", "simhash60", "minhash_sigs",
-      "hash60_min", "gram_hashes60", "leven_band", "stopword_count").foreach { fn =>
+      "hash60_min", "gram_hashes60", "leven_band", "stopword_count",
+      "punct_count").foreach { fn =>
       assert(reg.functionExists(FunctionIdentifier(fn)), s"$fn must be registered")
     }
   }
