@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
     // composed array_min(transform(xs, md5-60)) → fused Hash60Min
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedHash60)
+    // composed size(regexp_extract_all(x, '[^A-Za-z0-9 ]', 0)) → fused
+    // PunctCount byte-loop
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedPunct)
     // AsofJoin logical node → AsofJoinExec (GraftAsof.asofJoin also
     // self-registers this per-session for API users without the conf)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.graft.{AsofJoinStrategy, RewriteComposedHash60, RewriteComposedJaccard}
+import org.apache.spark.sql.graft.{AsofJoinStrategy, RewriteComposedHash60, RewriteComposedJaccard, RewriteComposedPunct}
 
 /** The cluster-wide wiring path (`spark.sql.extensions=
   * graft.plans.GraftExtensions`): every native component must be
@@ -26,12 +26,13 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
-  test("extensions inject both rewrite rules and the asof strategy") {
+  test("extensions inject the rewrite rules and the asof strategy") {
     import org.apache.spark.sql.graft.ExtensionsProbe
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rules = ExtensionsProbe.optimizerRules(built, classic)
     assert(rules.contains(RewriteComposedJaccard))
     assert(rules.contains(RewriteComposedHash60))
+    assert(rules.contains(RewriteComposedPunct))
     assert(ExtensionsProbe.strategies(built, classic).contains(AsofJoinStrategy))
   }
 }

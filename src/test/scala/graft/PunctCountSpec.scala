@@ -48,4 +48,32 @@ class PunctCountSpec extends SparkSpecBase {
     val e = org.apache.spark.sql.graft.PunctCount(Literal("a!b 日x"))
     assert(e.eval(null) == 2) // '!' and the kanji
   }
+
+  test("optimizer rule fuses the composed punct-count pattern") {
+    import org.apache.spark.sql.graft.RewriteComposedPunct
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      classic.experimental.extraOptimizations :+ RewriteComposedPunct
+    try {
+      val composed = graft.sources.Tables.documents(spark, sf).limit(50)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).as("n"))
+      val plan = composed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("punct_count"), s"rule did not fire:\n$plan")
+      // the rewritten plan computes the same values as the un-rewritten
+      // regex form (evaluated through the native expression directly)
+      org.apache.spark.sql.graft.Bridge.register(spark)
+      val direct = graft.sources.Tables.documents(spark, sf).limit(50)
+        .select(col("doc_id"), expr("punct_count(text)").as("n"))
+      assert(composed.collect().map(_.toString).toSeq ===
+        direct.collect().map(_.toString).toSeq)
+      // a DIFFERENT char class must not rewrite
+      val other = graft.sources.Tables.documents(spark, sf).limit(5)
+        .select(size(regexp_extract_all(col("text"), lit("[^a-z ]"), lit(0))).as("n"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("punct_count"))
+    } finally {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations.filterNot(_ == RewriteComposedPunct)
+    }
+  }
 }
