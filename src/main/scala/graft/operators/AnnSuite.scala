@@ -25,9 +25,6 @@ import graft.sources.Tables
   */
 object AnnSuite {
 
-  private def normExpr(c: String) =
-    s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-
   /** IVF parameters (overridable per call via [[ivf]]). */
   private[graft] val IvfK = 10
   private[graft] val IvfNProbe = 2
@@ -94,9 +91,27 @@ object AnnSuite {
     * identical to ORDER BY dist, cid. Keeps the winning squared
     * distance as `dist` (emb_kmeans' inertia reads it; ivfBuild drops
     * it). Narrow per-row expression over the broadcast centroid array:
-    * no n·k row explosion, no window exchange.
+    * no n·k row explosion, no window exchange. Runs through the fused
+    * native `nearest_centroid` (bit-equal to the composed
+    * DistsExpr + aggregate-argmin form — NearestCentroidSpec pins it):
+    * the composed higher-order pipeline evaluated corpus-rows × k ×
+    * dims interpreted boxed lambdas and topped the sf10 headline tail
+    * across every build/append/clustering entry.
     */
-  private[graft] def kmeansAssign(points: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmeansAssign(points: DataFrame, cents: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.register(points.sparkSession)
+    points.crossJoin(broadcast(centArray(cents)))
+      .withColumn("best", expr("nearest_centroid(embedding, cents)"))
+      .withColumn("cid", col("best.cid"))
+      .withColumn("dist", col("best.dist"))
+      .drop("cents", "best")
+  }
+
+  /** The composed (pre-native) assignment argmin — kept as the
+    * executable specification `nearest_centroid` is spec-pinned
+    * bit-equal against (NearestCentroidSpec).
+    */
+  private[graft] def kmeansAssignComposed(points: DataFrame, cents: DataFrame): DataFrame =
     points.crossJoin(broadcast(centArray(cents)))
       .withColumn("dists", expr(DistsExpr))
       .withColumn("best", expr(
@@ -161,12 +176,15 @@ object AnnSuite {
         explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
       .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
 
-    // search only the probed cells
+    // search only the probed cells; the exact re-rank cosine runs
+    // through the native cosine_sim — bit-identical to the composed
+    // dot/(norm·norm) fold (sequential element-order double
+    // accumulation, the expression's documented contract), so the
+    // oracle is unchanged while the per-candidate HOF walk goes away
+    org.apache.spark.sql.graft.Bridge.register(queriesDf0.sparkSession)
     val scored = idx.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", floor(
-        expr("aggregate(zip_with(qe, ce2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
-          (expr(normExpr("qe")) * expr(normExpr("ce2"))) * 1e6 + 0.5) / 1e6)
+      .withColumn("cos", floor(expr("cosine_sim(qe, ce2)") * 1e6 + 0.5) / 1e6)
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("cand_id"))))
       .filter(col("rk") <= topK)

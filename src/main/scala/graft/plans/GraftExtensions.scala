@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.graft.PunctCount].getName, "punct_count"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.PunctCount(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.NearestCentroid].getName, "nearest_centroid"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.NearestCentroid(
+        exprs(0), exprs(1))))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
     // composed array_min(transform(xs, md5-60)) → fused Hash60Min

@@ -70,6 +70,10 @@ object Bridge {
       "punct_count",
       (exprs: Seq[Expression]) => PunctCount(exprs(0)),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_centroid",
+      (exprs: Seq[Expression]) => NearestCentroid(exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** Evaluate a foldable array-of-strings argument (e.g.
