@@ -340,8 +340,16 @@ object Bench {
               prog.map(_._4).maxOption.getOrElse(0L), nRuns)
           }
         }
-        if (runs.isEmpty) None
-        else Some(runs.sortBy(_.rps).apply(runs.length / 2))
+        if (runs.isEmpty) {
+          // a point whose every run failed must leave a sentinel, not
+          // vanish (same contract as the resource-skip above)
+          streamSkips += StreamSkip(name + dirSuffix + suffix,
+            s"all $nRuns runs failed (see stderr)")
+          None
+        } else
+          // report how many runs the median actually came from — with
+          // a failed run the survivor count is 2 (or 1), not nRuns
+          Some(runs.sortBy(_.rps).apply(runs.length / 2).copy(runs = runs.length))
         }
       }
       continuousNames.foreach { name =>

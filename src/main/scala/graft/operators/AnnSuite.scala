@@ -177,10 +177,14 @@ object AnnSuite {
       .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
 
     // search only the probed cells; the exact re-rank cosine runs
-    // through the native cosine_sim — bit-identical to the composed
+    // through the native cosine_sim — on equal-length vectors (the
+    // family's contract: every kernel here, DistsExpr included,
+    // assumes one fixed dimensionality, as does the oracle's
+    // range-over-len indexing) it is bit-identical to the composed
     // dot/(norm·norm) fold (sequential element-order double
-    // accumulation, the expression's documented contract), so the
-    // oracle is unchanged while the per-candidate HOF walk goes away
+    // accumulation), so the oracle is unchanged while the
+    // per-candidate HOF walk goes away. A ragged corpus diverges in
+    // all three formulations and is out of contract.
     org.apache.spark.sql.graft.Bridge.register(queriesDf0.sparkSession)
     val scored = idx.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))

@@ -61,8 +61,7 @@ object TextSuite {
       Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
         .withColumn("n_words", size(col("words")))
-        .withColumn("n_stop", expr(
-          s"stopword_count(words, array(${Stop.map(w => s"'$w'").mkString(", ")}))"))
+        .withColumn("n_stop", expr(s"stopword_count(words, array${sqlList(Stop)})"))
         .withColumn("n_punct", expr("punct_count(text)"))
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"),
           (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),

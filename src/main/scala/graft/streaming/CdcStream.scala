@@ -186,6 +186,16 @@ object CdcStream {
       twin: String, triggerMs: Long = 1000, files: Int = 24,
       stateParts: Int = 8): ContinuousStats = {
     import spark.implicits._
+    // consumption AND the latency distribution are derived from
+    // q.recentProgress, a rolling buffer capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100):
+    // past the cap the earliest batches silently evict, the consumed
+    // sum plateaus below expected, and the probe would spin to its
+    // deadline then fail with a misleading message — so reject up
+    // front, with headroom for stray empty-batch progress entries
+    require(files <= 80,
+      s"continuousProbe: files=$files exceeds the recentProgress retention " +
+        "headroom (default cap 100 entries) — stats would silently truncate")
     val feedDir = twin match {
       case "cdc_stream_apply" => probeFeed(s"cdc|$dir|$files") {
         val t = Scratch.dir("graft_cont_cdc")

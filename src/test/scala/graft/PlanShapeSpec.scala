@@ -103,7 +103,12 @@ class PlanShapeSpec extends SparkSpecBase {
     // node in the EXECUTED plan so a change that breaks the canonical
     // match (e.g. a payload column pruned below one branch) fails CI
     // instead of silently mis-ranking at partial-sampling sizes.
-    Seq("q_median_by_group", "q_decile_stats").foreach { q =>
+    // every registry instance of the kernel is pinned — including
+    // ann_recall_eval's brute-force truth leg (added r9/r10), whose
+    // mis-ranking under divergent bounds would silently corrupt the
+    // recall metric itself
+    Seq("q_median_by_group", "q_decile_stats", "q_quartiles_by_group",
+      "text_length_percentiles", "ann_recall_eval").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
