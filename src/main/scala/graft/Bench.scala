@@ -277,6 +277,16 @@ object Bench {
       if (streamingNames.isEmpty ||
         sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTINUOUS", "1") == "0") Seq.empty
       else Seq("cdc_stream_apply", "stream_dedup_minhash")
+    // (twin, lake, label): both twins at the bench SF, plus the upsert
+    // twin against the sf1 lake — 10× the rows per metered batch with
+    // state growing to 1.5 M rows DURING the run, answering the one
+    // latency question the toy SF can't: does p95 hold as state grows.
+    // SPARK_GRAFT_BENCH_CONTINUOUS_SF1=0 skips just that point.
+    val continuousJobs: Seq[(String, String, String)] =
+      continuousNames.map(n => (n, sfDir, "")) ++
+        (if (continuousNames.isEmpty ||
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTINUOUS_SF1", "1") == "0") Seq.empty
+        else sf1Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf1")))
     /** One streaming entry: a measured run (with how many runs the
       * median came from) or a skip sentinel — the artifact must record
       * WHY a point is absent, or a round-over-round comparison reads
@@ -352,12 +362,14 @@ object Bench {
           Some(runs.sortBy(_.rps).apply(runs.length / 2).copy(runs = runs.length))
         }
       }
-      continuousNames.foreach { name =>
+      continuousJobs.foreach { case (name, dir, dirSuffix) =>
         spark.catalog.clearCache(); System.gc()
-        try contStats += (suffix ->
-          graft.streaming.CdcStream.continuousProbe(spark, sfDir, name))
+        try {
+          val c = graft.streaming.CdcStream.continuousProbe(spark, dir, name)
+          contStats += ((dirSuffix + suffix) -> c)
+        }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] continuous probe $name$suffix FAILED: $e")
+          System.err.println(s"[bench] continuous probe $name$dirSuffix$suffix FAILED: $e")
         }
       }
       saved.foreach {
