@@ -37,11 +37,16 @@ object TextSuite {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> { (s, d) =>
+      // the BPE-ish count runs as the native one-pass byte loop
+      // (bit-equal to size(regexp_extract_all(text, BpePat, 0)) — the
+      // alternation reduces to run-starts + other-codepoints; spec
+      // pins the equality incl. unicode), not a per-char regex NFA
+      org.apache.spark.sql.graft.Bridge.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           length(col("text")).as("n_chars"),
           size(split(col("text"), " ")).as("n_ws_tokens"),
-          size(regexp_extract_all(col("text"), lit(BpePat), lit(0))).as("n_bpe_tokens"))
+          expr("bpe_token_count(text)").as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
 

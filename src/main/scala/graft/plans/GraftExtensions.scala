@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.graft.NearestCentroid].getName, "nearest_centroid"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.NearestCentroid(
         exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.BpeTokenCount(exprs(0))))
     // composed size(intersect)/size(union) → fused JaccardSimilarity
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteComposedJaccard)
     // composed array_min(transform(xs, md5-60)) → fused Hash60Min

@@ -74,6 +74,10 @@ object Bridge {
       "nearest_centroid",
       (exprs: Seq[Expression]) => NearestCentroid(exprs(0), exprs(1)),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count",
+      (exprs: Seq[Expression]) => BpeTokenCount(exprs(0)),
+      "built-in")
   }
 
   /** Evaluate a foldable array-of-strings argument (e.g.

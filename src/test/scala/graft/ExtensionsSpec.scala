@@ -21,7 +21,7 @@ class ExtensionsSpec extends SparkSpecBase {
     val reg = org.apache.spark.sql.graft.ExtensionsProbe.functions(built)
     Seq("cosine_sim", "jaccard_sim", "simhash60", "minhash_sigs",
       "hash60_min", "gram_hashes60", "leven_band", "stopword_count",
-      "punct_count", "nearest_centroid").foreach { fn =>
+      "punct_count", "nearest_centroid", "bpe_token_count").foreach { fn =>
       assert(reg.functionExists(FunctionIdentifier(fn)), s"$fn must be registered")
     }
   }
