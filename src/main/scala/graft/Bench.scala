@@ -249,18 +249,25 @@ object Bench {
     // the point of the @sf1 entry is state-size evidence: RocksDB's
     // memory figure should stay flat-ish where the heap store's grows
     // with state. SPARK_GRAFT_BENCH_STREAMING_SF1=0 skips just that.
+    /** The upsert twin against a tiled scale lake, env-gated — the one
+      * shared shape of every streaming/continuous scale point, so a new
+      * flag can't be forgotten by one hand-rolled copy (the persist
+      * guard below must also check each flag).
+      */
+    def gatedScalePoint(names: Seq[String], flag: String,
+        dirOpt: Option[String], label: String): Seq[(String, String, String)] =
+      if (names.isEmpty || sys.env.getOrElse(flag, "1") == "0") Seq.empty
+      else dirOpt.toSeq.map(d => ("cdc_stream_apply", d, label))
     val streamJobs: Seq[(String, String, String)] =
       streamingNames.map(n => (n, sfDir, "")) ++
-        (if (streamingNames.isEmpty ||
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_SF1", "1") == "0") Seq.empty
-        else sf1Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf1"))) ++
+        gatedScalePoint(streamingNames, "SPARK_GRAFT_BENCH_STREAMING_SF1",
+          sf1Dir, "@sf1") ++
         // the memory-cliff point for STREAMING state: ~15 M state rows
         // at sf10 — where the heap store's estimate keeps growing with
         // state and RocksDB's working set stays bounded. Rides the
         // sf10 opt-in (SPARK_GRAFT_SF10=1).
-        (if (streamingNames.isEmpty ||
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_SF10", "1") == "0") Seq.empty
-        else sf10Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf10")))
+        gatedScalePoint(streamingNames, "SPARK_GRAFT_BENCH_STREAMING_SF10",
+          sf10Dir, "@sf10")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val backends = Seq(
       "" -> Map.empty[String, String],
@@ -284,9 +291,8 @@ object Bench {
     // SPARK_GRAFT_BENCH_CONTINUOUS_SF1=0 skips just that point.
     val continuousJobs: Seq[(String, String, String)] =
       continuousNames.map(n => (n, sfDir, "")) ++
-        (if (continuousNames.isEmpty ||
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTINUOUS_SF1", "1") == "0") Seq.empty
-        else sf1Dir.toSeq.map(d => ("cdc_stream_apply", d, "@sf1")))
+        gatedScalePoint(continuousNames, "SPARK_GRAFT_BENCH_CONTINUOUS_SF1",
+          sf1Dir, "@sf1")
     /** One streaming entry: a measured run (with how many runs the
       * median came from) or a skip sentinel — the artifact must record
       * WHY a point is absent, or a round-over-round comparison reads
@@ -298,6 +304,7 @@ object Bench {
     val streamSkips = scala.collection.mutable.ListBuffer.empty[StreamSkip]
     val contStats =
       scala.collection.mutable.ListBuffer.empty[(String, graft.streaming.CdcStream.ContinuousStats)]
+    val contSkips = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val streaming: Seq[StreamRun] = backends.flatMap { case (suffix, confs) =>
       val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -370,6 +377,11 @@ object Bench {
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] continuous probe $name$dirSuffix$suffix FAILED: $e")
+          // same sentinel contract as the streaming points: a failed
+          // probe must leave WHY in the artifact, not just vanish
+          contSkips += (name + "@continuous" + dirSuffix + suffix) ->
+            s"probe failed: ${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").take(120)}"
         }
       }
       saved.foreach {
@@ -556,12 +568,14 @@ object Bench {
       } ++ streamSkips.map(s => jstr(s.key) + s""":{"skipped":${jstr(s.reason)}}""")
       s""","streaming":${entries.mkString("{", ",", "}")}"""
     }
-    val contJson = if (contStats.isEmpty) "" else {
+    val contJson = if (contStats.isEmpty && contSkips.isEmpty) "" else {
       val entries = contStats.map { case (suffix, c) =>
         jstr(c.twin + "@continuous" + suffix) +
           s""":{"trigger_ms":${c.triggerMs},"batches":${c.batches},"p50_batch_ms":${c.p50Ms},"p95_batch_ms":${c.p95Ms},"max_batch_ms":${c.maxMs},"input_rps":${jnum(c.inputRps)},"proc_rps":${jnum(c.procRps)},"input_rows":${c.rows},"state_rows":${c.stateRows}}"""
-      }.mkString("{", ",", "}")
-      s""","streaming_continuous":$entries"""
+      } ++ contSkips.map { case (k, reason) =>
+        jstr(k) + s""":{"skipped":${jstr(reason)}}"""
+      }
+      s""","streaming_continuous":${entries.mkString("{", ",", "}")}"""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$sf01mJson$sf10Json$slJson$workJson$streamJson$contJson}"""
@@ -578,7 +592,13 @@ object Bench {
     // next default (sf10-less) run overwriting last_bench.json.
     val fullDefaultRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty &&
       !sys.env.contains("SPARK_GRAFT_BENCH_ALL") && sfDir.endsWith("sf0.1") &&
-      cpus == "32" && streamingNames.nonEmpty && sf1Dir.nonEmpty && sf01mDir.nonEmpty
+      cpus == "32" && streamingNames.nonEmpty && sf1Dir.nonEmpty && sf01mDir.nonEmpty &&
+      // the continuous section (incl. its @sf1 point) is part of the
+      // committed artifact's shape — a run with any of its knobs off
+      // must not clobber last_bench.json with the reduced shape
+      continuousNames.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTINUOUS_SF1", "1") != "0" &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING_SF1", "1") != "0"
     def persist(name: String): Unit =
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(s"/root/repo/bench/$name"),

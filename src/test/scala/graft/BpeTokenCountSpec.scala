@@ -24,7 +24,11 @@ class BpeTokenCountSpec extends SparkSpecBase {
   }
 
   test("equal to the regex form on fixture documents") {
-    bothWays(graft.sources.Tables.documents(spark, sf).select("text"))
+    // CODEGEN_ONLY: a doGenCode bug would otherwise fall back to
+    // interpreted eval silently and the equality would pass vacuously
+    withConfs("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      bothWays(graft.sources.Tables.documents(spark, sf).select("text"))
+    }
   }
 
   test("run boundaries, transitions, unicode, and edge inputs") {
@@ -47,7 +51,7 @@ class BpeTokenCountSpec extends SparkSpecBase {
     bothWays(s.sql("SELECT CAST(NULL AS STRING) AS text"))
   }
 
-  test("interpreted eval agrees with codegen") {
+  test("interpreted eval path matches a hand computation") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val e = org.apache.spark.sql.graft.BpeTokenCount(Literal("ab日cd 12!"))
     assert(e.eval(null) == 5) // "ab", 日, "cd", "12", "!"

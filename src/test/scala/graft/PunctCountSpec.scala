@@ -21,7 +21,11 @@ class PunctCountSpec extends SparkSpecBase {
   }
 
   test("equal to the regex form on fixture documents") {
-    bothWays(graft.sources.Tables.documents(spark, sf).select("text"))
+    // CODEGEN_ONLY: a doGenCode bug would otherwise fall back to
+    // interpreted eval silently and the equality would pass vacuously
+    withConfs("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      bothWays(graft.sources.Tables.documents(spark, sf).select("text"))
+    }
   }
 
   test("unicode, empties, and edge characters") {
@@ -43,7 +47,7 @@ class PunctCountSpec extends SparkSpecBase {
     bothWays(withNull)
   }
 
-  test("interpreted eval agrees with codegen") {
+  test("interpreted eval path matches a hand computation") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val e = org.apache.spark.sql.graft.PunctCount(Literal("a!b 日x"))
     assert(e.eval(null) == 2) // '!' and the kanji
