@@ -314,6 +314,82 @@ object Graft {
     (mins(edges).select(col("u").as("node"), col("m").as("label")), iter)
   }
 
+  /** SemDeDup-style semantic dedup over an embedding column (Abbas et
+    * al. 2023's shape): cluster the corpus with deterministic k-means
+    * (hash-ordered seeds + one fixed-point Lloyd step — the ivfBuild
+    * kernels), bucket candidates by their k-means CELL, verify within
+    * cells with the native exact cosine. This is the production form of
+    * embedding near-dup on an UNLABELED corpus — `dedup_embedding`'s
+    * label buckets assume a column a real pretraining corpus doesn't
+    * have; the learned cells replace it.
+    *
+    * Scale shape: candidates exist only WITHIN a cell, so the corpus
+    * self-join touches Σ|cell|²/2 pairs, never n²/2; `maxCell` drops
+    * degenerate cells (a cell past it is a collapsed-embedding cluster —
+    * boilerplate, not near-dup signal; same contract as the LSH
+    * hot-bucket cap, DedupSemanticSpec proves the bound). `k = 0`
+    * derives k = max(10, ceil(sqrt(n))) — the IVF nlist rule, which
+    * balances the n·k assignment pass against the n²/k candidate pass
+    * (both ∝ n^1.5 at the optimum: single-level semantic dedup is
+    * inherently superlinear; shuffle volume stays linear since pair
+    * enumeration happens inside the cell join, not across the wire).
+    * The derivation is one driver-side count probe; pass k explicitly
+    * to keep the plan probe-free.
+    *
+    * Fully deterministic (seeds, tie-broken argmin assignment,
+    * fixed-point centroid means, e6-rounded cosines), so the whole
+    * pipeline — clustering included — is oracle-checkable end-to-end;
+    * the registry's `dedup_semantic` pins it to the lake. Returns
+    * (cell, vec_a, vec_b, cos) with vec_a < vec_b and cos >= threshold.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, k: Int = 0, maxCell: Long = 4096L): DataFrame = {
+    require(threshold > 0 && maxCell > 0,
+      s"semanticDedupPairs: need threshold > 0, maxCell > 0 (got $threshold/$maxCell)")
+    val assigned = semanticCells(df, idCol, embCol, k)
+    // gate BEFORE the checkpoint: degenerate cells never materialize,
+    // and both self-join sides read the same gated blocks
+    val gated = graft.operators.DedupSuite
+      .gateHotBuckets(assigned, Seq("cell"), maxCell)
+      .localCheckpoint()
+    gated
+      .select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .join(gated.select(col("cell"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
+      .filter(col("cos") >= threshold)
+      .select("cell", "vec_a", "vec_b", "cos")
+  }
+
+  /** The clustering leg of [[semanticDedupPairs]]: deterministic k-means
+    * cell per vector (hash-ordered seeds + one fixed-point Lloyd step),
+    * UNGATED. Exposed separately so Verify's occupancy diagnostics can
+    * watch cell sizes against the gate cap (the oracle runs uncapped —
+    * a lake whose cells cross `maxCell` must fail loudly, not as an
+    * opaque hash mismatch). Returns (vec_id, cell, embedding).
+    */
+  def semanticCells(df: DataFrame, idCol: String, embCol: String,
+      k: Int = 0): DataFrame = {
+    register(df.sparkSession)
+    import graft.operators.AnnSuite
+    val e = df.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val kk = if (k > 0) k
+      else math.max(10L, math.ceil(math.sqrt(e.count().toDouble)).toLong).toInt
+    // seeds and centroids are k×dims rows — localCheckpoint each (the
+    // Graft.kmeans lineage pattern) so every corpus pass below is ONE
+    // narrow scan against materialized centroids, never a re-derivation
+    // of the previous round (exchange reuse does not dedupe
+    // differently-pruned consumers — the r10 twin-subtree lesson)
+    val seeds = AnnSuite.kmeansSeeds(e, kk).localCheckpoint()
+    val cents = AnnSuite.lloydStep(
+        AnnSuite.kmeansAssign(e, seeds)
+          .select(col("vec_id"), col("cid"), col("embedding")))
+      .localCheckpoint()
+    AnnSuite.kmeansAssign(e, cents)
+      .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+  }
+
   def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
       .groupBy(md5(col("__norm")).as("content_hash"))
@@ -441,6 +517,13 @@ object Graft {
     * at any scale: one narrow corpus scan vs broadcast centroids plus
     * a (k × dims)-row aggregate; total corpus scans = iters + 2
     * (seed pass, one per Lloyd round, final assignment).
+    *
+    * Fault tolerance: the per-round localCheckpoint pins only the
+    * k × dims centroid rows (bytes, not a corpus-scale intermediate),
+    * but the blocks are non-recomputable — an executor loss holding
+    * them fails the job rather than replaying lineage. On a long
+    * cluster run, swap in a reliable checkpoint dir (SURVEY §5); the
+    * plan shape is identical.
     */
   def kmeans(df: DataFrame, idCol: String, embCol: String,
       k: Int = 10, iters: Int = 2): DataFrame = {

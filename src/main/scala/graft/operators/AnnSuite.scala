@@ -169,12 +169,28 @@ object AnnSuite {
     val queriesDf = queriesDf0
       .select(col(idCol).as("query_id"), col(embCol).as("embedding"))
     // nprobe nearest cells per query, ranked inside one array expression
-    // (sort k structs per query row — no window, no shuffle)
+    // (sort k structs per query row — no window, no shuffle).
+    // localCheckpoint: against a cell-PARTITIONED persisted index this
+    // leg is consumed TWICE — as the dynamic-partition-pruning filter
+    // subquery and as the broadcast join side — and Spark plans the DPP
+    // subquery as an independent derivation, re-running the query×k
+    // probe ranking. Materializing the (query_id, cell, qe) rows once
+    // (query-set-sized — tiny) makes both consumers read the same
+    // blocks, so a large query batch pays the probe compute once
+    // (the r10 twin-subtree pattern; PlanShapeSpec pins the shape).
     val probes = queriesDf.crossJoin(broadcast(centArray(idx.centroids)))
       .withColumn("dists", expr(DistsExpr))
       .select(col("query_id"), col("embedding").as("qe"),
         explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
       .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
+      .localCheckpoint()
+      // semantically a no-op (cells are non-negative by construction),
+      // but DPP's logical rule only fires when the filtering side
+      // carries a likely-selective predicate — a bare checkpoint scan
+      // has none, and losing dynamic pruning would re-read EVERY cell
+      // directory of the standing index. PlanShapeSpec pins that
+      // pruning survives the checkpoint.
+      .filter(col("cell") >= 0)
 
     // search only the probed cells; the exact re-rank cosine runs
     // through the native cosine_sim — on equal-length vectors (the

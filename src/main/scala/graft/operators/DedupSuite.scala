@@ -163,11 +163,31 @@ object DedupSuite {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val emb = signBands(withSignBits(
       Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))))
+    // semantic cells: dedup_semantic gates per-CELL (learned k-means
+    // buckets) — same cap-vs-uncapped-oracle exposure as the LSH bands
+    val cells = graft.api.Graft
+      .semanticCells(semanticCorpus(s, d), "vec_id", "embedding")
     Seq(
       "minhash_bands" -> mx(minhashBands(sh), Seq("band", "bucket")),
       "ngram_bands" -> mx(ngram, Seq("band", "bucket")),
       "simhash_chunks" -> mx(sim, Seq("chunk_idx", "chunk")),
-      "embedding_bands" -> mx(emb, Seq("band", "bucket")))
+      "embedding_bands" -> mx(emb, Seq("band", "bucket")),
+      "semantic_cells" -> mx(cells, Seq("cell")))
+  }
+
+  /** dedup_semantic's fixture corpus: the lake's embeddings plus a
+    * first-dim-negated copy of every %10==0 vector (ids offset by 1e6) —
+    * cos(original, copy) = 1 - 2·x₁²/‖x‖², a real data-dependent
+    * near-dup population since the lake has no natural pairs above
+    * ~0.6. Shared by the registry entry and the cell-occupancy
+    * diagnostic so they can never watch different corpora.
+    */
+  private[graft] def semanticCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding", expr("transform(embedding, (v, i) -> IF(i = 0, -v, v))"))
+        .withColumn("vec_id", col("vec_id") + 1000000L))
   }
 
   /** (doc_id, band, bucket) LSH band rows via the native fused
@@ -377,6 +397,25 @@ object DedupSuite {
         .orderBy("label", "rk")
     },
 
+    "dedup_semantic" -> { (s, d) =>
+      // SemDeDup-shape semantic dedup on an UNLABELED corpus: k-means
+      // cells (deterministic seeds + one fixed-point Lloyd step, k =
+      // max(10, ceil(sqrt(n))) — the IVF nlist rule) replace
+      // dedup_embedding's label buckets as the candidate generator;
+      // exact native cosine verifies within cells only. Fixture: the
+      // lake has no natural near-dups (max natural cos ≈ 0.6), so
+      // every %10==0 vector gets a first-dim-negated copy injected —
+      // cos(original, copy) = 1 - 2·x₁²/‖x‖² ∈ ~[0.8, 1), a real
+      // data-dependent verify (a few copies legitimately land below
+      // threshold or in a different cell — honest recall semantics,
+      // mirrored exactly by the oracle). Whole chain — clustering
+      // included — is engine-exact and hash-checked.
+      graft.api.Graft
+        .semanticDedupPairs(semanticCorpus(s, d), "vec_id", "embedding",
+          threshold = 0.8)
+        .orderBy("cell", "vec_a", "vec_b")
+    },
+
     "dedup_keep_best" -> { (s, d) =>
       // Canonical selection — the step AFTER duplicate detection: when
       // copies span sources, production pipelines keep the most trusted
@@ -567,6 +606,66 @@ object DedupSuite {
          |  FROM pairs)
          |SELECT label, vec_a, vec_b, cos, rk FROM scored
          |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+
+    // the full SemDeDup chain in SQL: injected-copy corpus → dynamic k
+    // (GREATEST(10, CEIL(SQRT(n))), rank-based seed selection — LIMIT
+    // can't take a subquery portably) → seed assignment → one
+    // fixed-point Lloyd step → final assignment → within-cell pairs →
+    // e6-rounded cosine threshold. Same exact-arithmetic formulas as
+    // the ann_ivf/emb_kmeans oracle chain (AnnSuite.ivfOracleSql).
+    "dedup_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END)
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |kv AS (SELECT GREATEST(10, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
+        |seeds AS (
+        |  SELECT vec_id AS cid, embedding AS ce FROM (
+        |    SELECT vec_id, embedding,
+        |      ROW_NUMBER() OVER (ORDER BY
+        |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
+        |    FROM e) t WHERE rn <= (SELECT k FROM kv)),
+        |d0 AS (
+        |  SELECT e.vec_id, s.cid, e.embedding,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE)))) AS dist
+        |  FROM e, seeds s),
+        |a0 AS (
+        |  SELECT vec_id, cid, embedding FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) t WHERE rn = 1),
+        |dims AS (
+        |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM a0, range(1, 65) r(i)),
+        |cents AS (
+        |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
+        |    SELECT cid, i, CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
+        |    FROM dims GROUP BY cid, i) t GROUP BY cid),
+        |d1 AS (
+        |  SELECT e.vec_id, c.cid, e.embedding,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))) AS dist
+        |  FROM e, cents c),
+        |a1 AS (
+        |  SELECT vec_id, cid AS cell, embedding AS ce2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) t WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    FLOOR(
+        |      list_sum(list_transform(range(1, len(a.ce2) + 1),
+        |        i -> CAST(a.ce2[i] AS DOUBLE) * CAST(b.ce2[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(a.ce2, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(b.ce2, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+        |      * 1e6 + 0.5)/1e6 AS cos
+        |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT cell, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.8
+        |ORDER BY cell, vec_a, vec_b""".stripMargin,
 
     "dedup_keep_best" ->
       """WITH c AS (

@@ -187,6 +187,13 @@ object TextSuite {
       // aggregates canonically different — the executed plan re-ran
       // the corpus scan and the (doc, term) shuffle twice. At 100 TB
       // that duplicated pass is the dominant cost of the whole query.
+      // Fault-tolerance trade: localCheckpoint blocks are NOT
+      // recomputable — an executor loss mid-query fails the job instead
+      // of replaying lineage. Right for local bench/verify; a cluster
+      // run of this corpus-scale intermediate should swap in
+      // reliableCheckpoint (spark.sparkContext.setCheckpointDir to a
+      // DFS) or persist(DISK_ONLY_2) — one-line change, same plan shape
+      // (SURVEY §5 records the operating guidance).
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))

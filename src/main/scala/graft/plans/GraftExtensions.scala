@@ -51,7 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.graft.StopwordCount].getName, "stopword_count"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.StopwordCount(
-        exprs(0), org.apache.spark.sql.graft.Bridge.stringList(exprs(1)))))
+        exprs(0),
+        org.apache.spark.sql.graft.Bridge.stringList(exprs(1), "stopword_count"))))
     ext.injectFunction((
       FunctionIdentifier("punct_count"),
       new ExpressionInfo(

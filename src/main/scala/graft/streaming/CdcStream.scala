@@ -186,16 +186,14 @@ object CdcStream {
       twin: String, triggerMs: Long = 1000, files: Int = 24,
       stateParts: Int = 8): ContinuousStats = {
     import spark.implicits._
-    // consumption AND the latency distribution are derived from
-    // q.recentProgress, a rolling buffer capped at
-    // spark.sql.streaming.numRecentProgressUpdates (default 100):
-    // past the cap the earliest batches silently evict, the consumed
-    // sum plateaus below expected, and the probe would spin to its
-    // deadline then fail with a misleading message — so reject up
-    // front, with headroom for stray empty-batch progress entries
-    require(files <= 80,
-      s"continuousProbe: files=$files exceeds the recentProgress retention " +
-        "headroom (default cap 100 entries) — stats would silently truncate")
+    // consumption AND the latency distribution are accumulated by a
+    // StreamingQueryListener, NOT polled from q.recentProgress: that is
+    // a rolling buffer capped at numRecentProgressUpdates (default 100)
+    // where a long idle stretch's no-data progress entries (emitted
+    // ~every 10 s) can evict real data batches — the consumed sum would
+    // plateau below expected and the probe would spin to its deadline
+    // with a misleading failure. The listener sees every progress event
+    // exactly once, so files is unbounded and idle noise is harmless.
     val feedDir = twin match {
       case "cdc_stream_apply" => probeFeed(s"cdc|$dir|$files") {
         val t = Scratch.dir("graft_cont_cdc")
@@ -231,27 +229,43 @@ object CdcStream {
     val partsKey = "spark.sql.shuffle.partitions"
     val savedParts = spark.conf.getOption(partsKey)
     spark.conf.set(partsKey, stateParts.toString)
-    val (q, done) = try {
-      val q = transformed.writeStream.format("noop")
+    val progressBuf =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == qname)
+          progressBuf.synchronized { progressBuf += e.progress }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val done = try {
+      val q = transformed.writeStream.format("noop").queryName(qname)
         .option("checkpointLocation", Scratch.dir(qname + "_cp"))
         .outputMode("update")
         .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds")).start()
       // run until the feed is fully consumed (bounded by a hard deadline
       // so a wedged stream fails loudly instead of hanging the bench)
       val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-      def consumed: Long = q.recentProgress.map(_.numInputRows).sum
+      def consumed: Long =
+        progressBuf.synchronized { progressBuf.map(_.numInputRows).sum }
       while (consumed < expected && q.isActive && System.nanoTime() < deadline)
         Thread.sleep(50)
-      val done = consumed
       q.stop(); q.awaitTermination()
-      (q, done)
-    } finally savedParts match {
-      case Some(v) => spark.conf.set(partsKey, v)
-      case None => spark.conf.unset(partsKey)
+      consumed
+    } finally {
+      spark.streams.removeListener(listener)
+      savedParts match {
+        case Some(v) => spark.conf.set(partsKey, v)
+        case None => spark.conf.unset(partsKey)
+      }
     }
     require(done >= expected,
       s"continuousProbe($twin): consumed $done of $expected rows before the deadline")
-    val data = q.recentProgress.filter(_.numInputRows > 0)
+    val data = progressBuf.synchronized { progressBuf.filter(_.numInputRows > 0).toArray }
     val trigs = data.map(p => Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue).getOrElse(0L)).sorted
     def pct(p: Double): Long = trigs(math.max(0, math.ceil(p * trigs.length).toInt - 1))
@@ -893,6 +907,55 @@ object CdcStream {
       .orderBy("channel")
   }
 
+  /** Streaming twin of incremental ANN maintenance (`ann_ivf_append`):
+    * the living-corpus daily operation as a stream. Arriving documents
+    * land as micro-batches and each batch is folded into the PERSISTED
+    * cell-partitioned IVF index via foreachBatch → Graft.ivfAppend —
+    * assignment at the loaded (fixed) centroids, cost ∝ batch, appended
+    * files land inside their cell directories so probe pruning keeps
+    * working; the index never rebuilds. Queries served between batches
+    * see base + every committed append. foreachBatch (not a state-store
+    * sink) is the right shape: the index IS the state, maintained in
+    * storage exactly as the batch path leaves it, so failure recovery
+    * is the checkpoint re-driving idempotent-append batches.
+    *
+    * The assign-at-fixed-centroids algebra makes N folded micro-batches
+    * exactly equal to one bulk append of their union, so the batch
+    * twin's DuckDB oracle (ann_ivf_append) checks the whole streamed
+    * path end-to-end; StreamRecoverySpec's sibling pins batch-vs-stream
+    * row equality and per-batch append cost.
+    */
+  def ivfAppendStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnSuite
+    val e = Tables.embeddings(spark, dir)
+    // stable index dir + ivfSave's overwrite semantics: each run
+    // rebuilds the base layout (clearing prior appends) so repeated
+    // Verify/bench invocations stay idempotent, like ann_ivf_append
+    val idxDir = Scratch.stable(
+      "stream_ivf_append/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), idxDir)
+    // the arriving corpus: held-out rows landed as 4 files, one
+    // micro-batch each (maxFilesPerTrigger=1 → 4 incremental folds)
+    val batchRows = e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id", "embedding")
+    val feed = Scratch.dir("stream_ivf_feed")
+    batchRows.repartition(4).write.mode("overwrite").parquet(feed)
+    val qname = "ivf_append_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(batchRows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        graft.api.Graft.ivfAppend(spark, idxDir, df, "vec_id", "embedding"))
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_ivf_append", q)
+    AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, idxDir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
     "stream_source_envelope" -> ((s, d) => sourceEnvelope(s, d)),
@@ -905,7 +968,8 @@ object CdcStream {
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_interval_join" -> ((s, d) => intervalJoin(s, d)),
     "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d)),
-    "stream_attribution" -> ((s, d) => attribution(s, d))
+    "stream_attribution" -> ((s, d) => attribution(s, d)),
+    "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -944,6 +1008,10 @@ object CdcStream {
         |GROUP BY user_id, purchase_id, ptus
         |ORDER BY user_id, purchase_id""".stripMargin,
     "stream_mix_monitor" -> graft.operators.LlmExtra.oracles("mix_weights"),
-    "stream_attribution" -> graft.operators.ExtendedSuite.oracles("events_attribution")
+    "stream_attribution" -> graft.operators.ExtendedSuite.oracles("events_attribution"),
+    // N folded micro-batch appends at fixed centroids = one bulk append
+    // of their union = one full assignment of the unioned corpus at
+    // those centroids — the batch twin's oracle checks the streamed path
+    "stream_ivf_append" -> graft.operators.AnnSuite.oracles("ann_ivf_append")
   )
 }

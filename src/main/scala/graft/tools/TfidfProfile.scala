@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Component profile for text_tfidf_topterms (the r10 punct_count
+  * method, SURVEY §7(15): measure the stages BEFORE optimizing — the
+  * registry's single wall number can't say whether the cost is the
+  * (doc, term) explode shuffle, the checkpoint materialization, the
+  * df aggregate, or the per-doc collect_list rollup). Stages mirror
+  * graft.operators.TextSuite's registry entry exactly; each runs
+  * twice (cache-cold) and prints both walls.
+  *
+  * Usage: runMain graft.tools.TfidfProfile [lakeDir]   (default sf10 tile)
+  */
+object TfidfProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/data/sf10")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Unit = {
+      (1 to 2).foreach { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        f
+        println(f"$name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+
+    // stage 1: corpus scan + split/explode + (doc, term) count shuffle,
+    // materialized but NOT checkpointed
+    def tfPlan = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    time("tf_build(noop)") { noop(tfPlan) }
+
+    // stage 2: the same plan through the eager localCheckpoint the
+    // registry entry uses (adds block serialization + storage)
+    var tfCp = tfPlan.localCheckpoint()
+    time("tf_localCheckpoint") { tfCp.unpersist(true); tfCp = tfPlan.localCheckpoint() }
+
+    // stage 3: document-frequency aggregate over the checkpointed tf
+    time("dfreq(agg over cp)") { noop(tfCp.groupBy(col("w")).agg(count(lit(1)).as("df"))) }
+
+    // stage 4: broadcast join + score + per-doc collect_list top-3
+    // rollup + posexplode + final sort — everything downstream of tf
+    val dfreq = tfCp.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    def downstream = tfCp.join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * n_docs * 1000000L) div df"))
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("score")).as("ns"), col("w"), col("tf"), col("df"),
+        col("score")))), 1, 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).as("rk"),
+        col("col.w").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), col("col.score").as("score"))
+      .orderBy("doc_id", "rk")
+    time("downstream(join+rollup)") { noop(downstream) }
+
+    // sub-split of stage 4: rollup without the broadcast join/score —
+    // isolates the collect_list struct-sort cost
+    time("rollup_only") {
+      noop(tfCp.groupBy(col("doc_id"))
+        .agg(slice(array_sort(collect_list(struct(
+          (-col("tf")).as("ns"), col("w")))), 1, 3).as("top")))
+    }
+
+    // reference: the registry query end-to-end
+    time("full_registry_query") {
+      noop(graft.SparkEntry.queries("text_tfidf_topterms")(spark, dir))
+    }
+    spark.stop()
+  }
+}

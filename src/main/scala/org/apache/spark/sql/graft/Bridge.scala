@@ -64,7 +64,7 @@ object Bridge {
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "stopword_count",
-      (exprs: Seq[Expression]) => StopwordCount(exprs(0), stringList(exprs(1))),
+      (exprs: Seq[Expression]) => StopwordCount(exprs(0), stringList(exprs(1), "stopword_count")),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "punct_count",
@@ -82,11 +82,22 @@ object Bridge {
 
   /** Evaluate a foldable array-of-strings argument (e.g.
     * `array('the','a')`) into the Scala list a construction-time
-    * parameter needs.
+    * parameter needs. A non-foldable or wrong-typed argument surfaces
+    * as a proper AnalysisException (NON_FOLDABLE_ARGUMENT, the standard
+    * error class) naming the calling function — not as an
+    * internal-looking require/ClassCastException at plan time.
     */
-  def stringList(e: Expression): Seq[String] = {
-    require(e.foldable, s"expected a literal string array, got: $e")
-    val xs = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    (0 until xs.numElements()).map(i => xs.getUTF8String(i).toString)
+  def stringList(e: Expression, funcName: String): Seq[String] = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$funcName`", "paramName" -> "`words`",
+        "paramType" -> "\"ARRAY<STRING>\""))
+    if (!e.foldable) fail()
+    val xs = e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case _ => fail()
+    }
+    try (0 until xs.numElements()).map(i => xs.getUTF8String(i).toString)
+    catch { case _: ClassCastException | _: NullPointerException => fail() }
   }
 }

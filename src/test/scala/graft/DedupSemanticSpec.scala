@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Semantic (k-means-cell-bucketed) dedup — the SemDeDup shape. The
+  * candidate generator is the learned cell, so the guard that matters is
+  * the same one the LSH family proves in LshGuardSpec: a COLLAPSED cell
+  * (many near-identical embeddings — boilerplate, padding vectors, a
+  * dead encoder) would make the within-cell self-join quadratic; the
+  * `maxCell` gate drops it while genuine near-dup pairs in healthy cells
+  * survive. Fixture determinism: seeds are the k smallest 60-bit
+  * md5(vec_id) hashes, so the spec pins ids whose hash rank was computed
+  * offline (9085 ranks in the top-8 of {1..500, 9085, 19085} — it MUST
+  * seed, guaranteeing the genuine pair its own cell away from the blob).
+  */
+class DedupSemanticSpec extends SparkSpecBase {
+
+  private def vec(xs: Double*) = xs.map(_.toFloat).toArray
+
+  test("poisoned cell is dropped; genuine pair in a healthy cell survives") {
+    val s = spark
+    import s.implicits._
+    // 500 IDENTICAL vectors: every pair has cos = 1, 500·499/2 ≈ 125k
+    // pairs uncapped — the collapsed-embedding failure mode. All 500 tie
+    // to the lowest-cid blob seed (strict '<' argmin), so they form ONE
+    // cell of 500 > maxCell.
+    val blob = (1 to 500).map(i => (i.toLong, vec(1, 0, 0, 0)))
+    // genuine near-dup pair, orthogonal to the blob; 9085 hash-ranks
+    // into the top-8 seeds so the pair's cell exists and has size 2
+    val pair = Seq(
+      (9085L, vec(0, 1, 0, 0)),
+      (19085L, vec(0, 0.999, 0.01, 0)))
+    val corpus = (blob ++ pair).toDF("vec_id", "embedding")
+    val pairs = graft.api.Graft
+      .semanticDedupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, k = 8, maxCell = 100L)
+      .collect()
+    assert(pairs.forall(r => r.getAs[Long]("vec_a") > 500L),
+      s"collapsed-cell pairs leaked: ${pairs.take(3).mkString}")
+    assert(pairs.length == 1 &&
+      pairs.head.getAs[Long]("vec_a") == 9085L &&
+      pairs.head.getAs[Long]("vec_b") == 19085L,
+      s"genuine pair must survive the cap, got ${pairs.mkString}")
+    assert(pairs.head.getAs[Double]("cos") >= 0.999,
+      "near-identical pair scores near 1")
+  }
+
+  test("near-identical vectors land in the same cell regardless of clustering quality") {
+    val s = spark
+    import s.implicits._
+    // the property recall rests on: a near-dup pair assigns to the SAME
+    // nearest centroid (their distance to every centroid is ~equal), so
+    // cell-bucketing cannot split it however badly the seeds fall. Three
+    // separated clusters, k deliberately wrong (2), jittered members.
+    val corpus = (0 until 3).flatMap { c =>
+      (0 until 20).map { i =>
+        val base = Array.fill(4)(0f); base(c) = 1f
+        base(3) = (i % 7) * 0.01f // deterministic jitter, off-axis
+        ((c * 100 + i).toLong, base)
+      }
+    }.toDF("vec_id", "embedding")
+    val pairs = graft.api.Graft
+      .semanticDedupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.999, k = 2, maxCell = 4096L)
+    // exact duplicates exist within each cluster (jitter repeats every
+    // 7): each must be found — same cell, cos = 1
+    val exactDups = pairs.filter(col("cos") >= 1.0).count()
+    assert(exactDups >= 3 * 2, // ≥2 repeated-jitter pairs per cluster
+      s"same-cell property lost exact duplicates (found $exactDups)")
+  }
+
+  test("lake fixture stays far below the default cap (uncapped oracle stays green)") {
+    // mirror of LshGuardSpec's invariance test: the registry entry gates
+    // at 4096 while the DuckDB oracle runs uncapped — prove no fixture
+    // cell approaches the cap at spec scale, and that the gate is a
+    // no-op there (identical pair count).
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val capped = graft.api.Graft
+      .semanticDedupPairs(e, "vec_id", "embedding", threshold = 0.8)
+    val uncapped = graft.api.Graft
+      .semanticDedupPairs(e, "vec_id", "embedding", threshold = 0.8,
+        maxCell = Long.MaxValue)
+    assert(capped.count() == uncapped.count(),
+      "default cap must not touch any fixture cell")
+  }
+}

@@ -73,6 +73,29 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(got === truth)
   }
 
+  test("stream_ivf_append: N micro-batch folds equal the batch twin, cost per fold ∝ batch") {
+    // the streaming twin folds the held-out rows in as 4 one-file
+    // micro-batches (foreachBatch → ivfAppend); assign-at-fixed-
+    // centroids algebra says the result must equal ann_ivf_append's
+    // one bulk append — row-for-row, rank-for-rank
+    val streamed = graft.streaming.CdcStream.queries("stream_ivf_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = AnnSuite.queries("ann_ivf_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // per-fold cost ∝ batch: every arriving row was consumed through
+    // exactly the 4 metered micro-batches (one feed file each), never
+    // one bulk pass — and each fold ran the ivfAssignBatch plan whose
+    // never-rescans-the-standing-index shape the test above pins
+    val prog = graft.streaming.CdcStream.progressLog("stream_ivf_append")
+    val dataBatches = prog.filter(_._1 > 0)
+    assert(dataBatches.length == 4,
+      s"expected 4 one-file micro-batch folds, got ${dataBatches.length}")
+    val heldOut = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 7 === 3).count()
+    assert(dataBatches.map(_._1).sum === heldOut)
+  }
+
   test("cell-partitioned layout prunes unprobed cells at the scan") {
     val e = Tables.embeddings(spark, sf)
     val dir = Scratch.dir("ivf_persist_prune")

@@ -95,6 +95,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(kmRdd, "emb_kmeans: checkpointed centroids missing from the plan")
   }
 
+  test("ivf serving read derives the probes leg ONCE and keeps dynamic partition pruning") {
+    // Against a cell-partitioned persisted index the probes leg used to
+    // be derived twice — once as the DPP filter subquery, once as the
+    // broadcast join side (docs/PLANS.md ann_ivf_append note). ivfQuery
+    // now localCheckpoints the (query_id, cell, qe) rows, so the probe
+    // ranking runs exactly once, eagerly; the serving plan must contain
+    // NO in-plan derivation (the array_sort ranking) and must still
+    // prune cell directories dynamically (the checkpoint scan carries a
+    // synthetic selective predicate precisely so DPP stays eligible).
+    val p = plan("ann_ivf_append")
+    assert(!p.contains("array_sort"),
+      s"probes leg re-derived in the serving plan:\n$p")
+    assert(p.contains("ExistingRDD"), "checkpointed probes missing from the plan")
+    val partLine = p.linesIterator.filter(_.trim.startsWith("PartitionFilters"))
+      .mkString("\n")
+    assert(partLine.toLowerCase.contains("dynamicpruning"),
+      s"dynamic partition pruning lost on the standing-index scan:\n$p")
+  }
+
   test("rankedByGroup operators execute ONE shared range exchange (ReusedExchange)") {
     // Graft.rankedByGroup's offsets are only consistent with its local
     // ranks when both branches observe the same range bounds — which
