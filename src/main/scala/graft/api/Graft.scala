@@ -367,13 +367,16 @@ object Graft {
     * UNGATED. Exposed separately so Verify's occupancy diagnostics can
     * watch cell sizes against the gate cap (the oracle runs uncapped —
     * a lake whose cells cross `maxCell` must fail loudly, not as an
-    * opaque hash mismatch). Returns (vec_id, cell, embedding).
+    * opaque hash mismatch). Returns (vec_id, cell, embedding) plus any
+    * `keep` passthrough columns (e.g. a label to scope candidates by —
+    * the assignment kernel carries them through untouched).
     */
   def semanticCells(df: DataFrame, idCol: String, embCol: String,
-      k: Int = 0): DataFrame = {
+      k: Int = 0, keep: Seq[String] = Nil): DataFrame = {
     register(df.sparkSession)
     import graft.operators.AnnSuite
-    val e = df.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val e = df.select((Seq(col(idCol).as("vec_id"),
+      col(embCol).as("embedding")) ++ keep.map(col)): _*)
     val kk = if (k > 0) k
       else math.max(10L, math.ceil(math.sqrt(e.count().toDouble)).toLong).toInt
     // seeds and centroids are k×dims rows — localCheckpoint each (the
@@ -387,7 +390,8 @@ object Graft {
           .select(col("vec_id"), col("cid"), col("embedding")))
       .localCheckpoint()
     AnnSuite.kmeansAssign(e, cents)
-      .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+      .select((Seq(col("vec_id"), col("cid").as("cell"),
+        col("embedding")) ++ keep.map(col)): _*)
   }
 
   def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

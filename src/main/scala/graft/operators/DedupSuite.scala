@@ -163,16 +163,21 @@ object DedupSuite {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val emb = signBands(withSignBits(
       Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))))
-    // semantic cells: dedup_semantic gates per-CELL (learned k-means
+    // semantic cells: dedup_semantic (injected corpus) and
+    // dedup_embedding (plain corpus) gate per-CELL (learned k-means
     // buckets) — same cap-vs-uncapped-oracle exposure as the LSH bands
     val cells = graft.api.Graft
       .semanticCells(semanticCorpus(s, d), "vec_id", "embedding")
+    val embCells = graft.api.Graft.semanticCells(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
     Seq(
       "minhash_bands" -> mx(minhashBands(sh), Seq("band", "bucket")),
       "ngram_bands" -> mx(ngram, Seq("band", "bucket")),
       "simhash_chunks" -> mx(sim, Seq("chunk_idx", "chunk")),
       "embedding_bands" -> mx(emb, Seq("band", "bucket")),
-      "semantic_cells" -> mx(cells, Seq("cell")))
+      "semantic_cells" -> mx(cells, Seq("cell")),
+      "embedding_cells" -> mx(embCells, Seq("cell")))
   }
 
   /** dedup_semantic's fixture corpus: the lake's embeddings plus a
@@ -189,6 +194,69 @@ object DedupSuite {
         .withColumn("embedding", expr("transform(embedding, (v, i) -> IF(i = 0, -v, v))"))
         .withColumn("vec_id", col("vec_id") + 1000000L))
   }
+
+  /** The deterministic k-means cell-assignment chain (CTEs e → a1) the
+    * semantic-cell operators share: dynamic k = GREATEST(10, ⌈√n⌉),
+    * rank-based seed selection (LIMIT can't take a subquery portably),
+    * seed assignment, one fixed-point Lloyd step, final assignment —
+    * mirrors [[graft.api.Graft.semanticCells]] exactly (same exact
+    * arithmetic as the ann_ivf/emb_kmeans oracle chain,
+    * AnnSuite.ivfOracleSql). Returns a WITH-prefix ending at
+    * a1(vec_id, cell, ce2); callers append their own tail CTEs. The
+    * output is already margin-stripped (it interpolates into outer
+    * stripMargin templates, whose stripping must not touch it).
+    */
+  private def semanticCellChainSql(corpusSql: String): String = {
+    val corpus = corpusSql.linesIterator.map("  " + _).mkString("\n")
+    s"""WITH e AS (
+       |$corpus),
+       |kv AS (SELECT GREATEST(10, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
+       |seeds AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM (
+       |    SELECT vec_id, embedding,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
+       |    FROM e) t WHERE rn <= (SELECT k FROM kv)),
+       |d0 AS (
+       |  SELECT e.vec_id, s.cid, e.embedding,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE)))) AS dist
+       |  FROM e, seeds s),
+       |a0 AS (
+       |  SELECT vec_id, cid, embedding FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) t WHERE rn = 1),
+       |dims AS (
+       |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM a0, range(1, 65) r(i)),
+       |cents AS (
+       |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
+       |    SELECT cid, i, CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
+       |    FROM dims GROUP BY cid, i) t GROUP BY cid),
+       |d1 AS (
+       |  SELECT e.vec_id, c.cid, e.embedding,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))) AS dist
+       |  FROM e, cents c),
+       |a1 AS (
+       |  SELECT vec_id, cid AS cell, embedding AS ce2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** e6-rounded exact cosine between a.ce2 and b.ce2 (the a/b aliases
+    * the chain's consumers bind to a1) — shared verify expression.
+    * Margin-stripped for the same interpolation reason as above.
+    */
+  private val cellPairCosSql =
+    """FLOOR(
+      |      list_sum(list_transform(range(1, len(a.ce2) + 1),
+      |        i -> CAST(a.ce2[i] AS DOUBLE) * CAST(b.ce2[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(a.ce2, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(b.ce2, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+      |      * 1e6 + 0.5)/1e6 AS cos""".stripMargin
 
   /** (doc_id, band, bucket) LSH band rows via the native fused
     * minhash_sigs signature (md5-60 + all perm minima in one codegen'd
@@ -356,44 +424,54 @@ object DedupSuite {
     },
 
     "dedup_embedding" -> { (s, d) =>
-      // embedding-cosine near-dup, candidate-generated by random-
-      // hyperplane (sign-bit) LSH: 16 deterministic ±1 hyperplanes —
-      // coefficient(h, dim) = parity of the 60-bit md5 hash of "h,dim",
-      // reproducible in any engine — banded 4 × 4 bits. Candidates share
-      // a band; exact cosine (double-fold, engine-exact) verifies; top-3
-      // pairs per label. The only shuffle keys on (band, bucket) — no
-      // label-bucket all-pairs join, so a dominant label can't go
-      // quadratic at scale.
+      // Embedding-cosine near-dup, top-3 pairs per label — candidates
+      // generated by LEARNED k-means cells (the dedup_semantic kernel),
+      // label-scoped. Re-expressed in r11 after the full-registry scale
+      // gate (bench/registry_sf1.json) caught the r10 sign-LSH form at
+      // 66.9× wall for 10× data: 4-bit sign bands bucket into a
+      // CONSTANT 16-bucket space, so occupancy grows ∝ n and
+      // within-bucket pairs ∝ n² — a shape no cap can save (at sf10
+      // EVERY bucket crosses the hot gate and the result collapses).
+      // Cells scale WITH the corpus (k = ⌈√n⌉): occupancy ∝ √n, pairs
+      // ∝ n^1.5 — dedup_semantic's complexity class — and near-dups
+      // keep colliding by the same-cell property (DedupSemanticSpec).
+      // The sign-LSH generator lives on in ann_lsh, whose query-side
+      // probe (queries ≪ corpus) never self-joins the buckets.
       //
-      // The coefficients are ROW-INDEPENDENT, so they're derived once on
-      // the driver (same md5-parity formula the oracle evaluates in SQL)
-      // and shipped as a 16×64 literal matrix: the r2 form recomputed
-      // 16×64 md5s per row — ~0.7 ms/row, prohibitive at a billion rows.
-      // ±1.0 multiplies and the fold order are unchanged, so the bits
-      // are bit-identical.
+      // Self-join keys on (cell, label): cross-label pairs are never
+      // enumerated. Top-3 per label runs TWO-LEVEL — per (label, cell)
+      // first (≈ k·labels partitions keep the sort distributed; each
+      // pair lives in exactly one cell, so the per-cell top-3 is a
+      // lossless prefilter), then per label over ≤ 3·k·labels rows —
+      // a single label-partitioned window would sort every candidate
+      // pair of a label on ONE task at any cluster size.
       org.apache.spark.sql.graft.Bridge.register(s)
-      val e = withSignBits(
-          Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding")))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val gated = gateHotBuckets(
+          graft.api.Graft.semanticCells(e, "vec_id", "embedding",
+            keep = Seq("label")),
+          Seq("cell"))
         .localCheckpoint()
-      val bands = gateHotBuckets(signBands(e), Seq("band", "bucket"))
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .dropDuplicates("vec_a", "vec_b")
-      val pairs = cands
-        .join(e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
-          col("embedding").as("emb_a")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-          col("embedding").as("emb_b")), "vec_b")
-        .filter(col("label_a") === col("label_b"))
+      val pairs = gated
+        .select(col("cell"), col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"))
+        .join(gated.select(col("cell"), col("label"),
+          col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+          Seq("cell", "label"))
+        .filter(col("vec_a") < col("vec_b"))
         .withColumn("cos",
           floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"), col("cell"))
+        .orderBy(desc("cos"), col("vec_a"), col("vec_b"))
+      val perCell = pairs.withColumn("rk", row_number().over(wc))
+        .filter(col("rk") <= 3).drop("rk")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("label_a")).orderBy(desc("cos"), col("vec_a"), col("vec_b"))
-      pairs.withColumn("rk", row_number().over(w))
+        .partitionBy(col("label")).orderBy(desc("cos"), col("vec_a"), col("vec_b"))
+      perCell.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("label_a").as("label"), col("vec_a"), col("vec_b"), col("cos"), col("rk"))
+        .select(col("label"), col("vec_a"), col("vec_b"), col("cos"), col("rk"))
         .orderBy("label", "rk")
     },
 
@@ -569,103 +647,47 @@ object DedupSuite {
          |    len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // label-scoped cell-bucketed near-dup: the shared semantic-cell
+    // chain over the PLAIN corpus, candidates = same (cell, label),
+    // exact e6-rounded cosine, top-3 per label (the oracle's single
+    // label window equals the Spark side's two-level selection — each
+    // pair lives in exactly one cell, so the per-cell top-3 prefilter
+    // is lossless)
     "dedup_embedding" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding,
-         |    list_transform(range(0, $EmbPlanes), h ->
-         |      CASE WHEN floor(list_sum(list_transform(range(1, len(embedding) + 1), i ->
-         |        (CASE WHEN ('0x' || substr(md5(CAST(h AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 1
-         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
-         |          * CAST(embedding[i] AS DOUBLE))) * 1e6 + 0.5) > 0
-         |      THEN 1 ELSE 0 END) AS bits
-         |  FROM embeddings),
-         |bands AS (
-         |  SELECT vec_id, b - 1 AS band,
-         |    array_to_string(bits[(b-1)*$EmbBandBits+1:(b-1)*$EmbBandBits+$EmbBandBits], ',') AS bucket
-         |  FROM e, range(1, ${EmbPlanes / EmbBandBits + 1}) r(b)),
-         |cands AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      s"""${semanticCellChainSql("SELECT vec_id, embedding FROM embeddings")},
+         |labels AS (SELECT vec_id, label FROM embeddings),
          |pairs AS (
-         |  SELECT ea.label AS label, vec_a, vec_b,
-         |    list_sum(list_transform(range(1, len(ea.embedding) + 1),
-         |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) AS dot,
-         |    sqrt(list_sum(list_transform(ea.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
-         |    sqrt(list_sum(list_transform(eb.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
-         |  FROM cands
-         |  JOIN e ea ON ea.vec_id = vec_a
-         |  JOIN e eb ON eb.vec_id = vec_b
-         |  WHERE ea.label = eb.label),
+         |  SELECT al.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    $cellPairCosSql
+         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN labels al ON al.vec_id = a.vec_id
+         |  JOIN labels bl ON bl.vec_id = b.vec_id
+         |  WHERE al.label = bl.label),
          |scored AS (
-         |  SELECT label, vec_a, vec_b,
-         |    floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY label
-         |                       ORDER BY floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 DESC,
-         |                                vec_a, vec_b) AS rk
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+         |                               ORDER BY cos DESC, vec_a, vec_b) AS rk
          |  FROM pairs)
          |SELECT label, vec_a, vec_b, cos, rk FROM scored
          |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
 
-    // the full SemDeDup chain in SQL: injected-copy corpus → dynamic k
-    // (GREATEST(10, CEIL(SQRT(n))), rank-based seed selection — LIMIT
-    // can't take a subquery portably) → seed assignment → one
-    // fixed-point Lloyd step → final assignment → within-cell pairs →
-    // e6-rounded cosine threshold. Same exact-arithmetic formulas as
-    // the ann_ivf/emb_kmeans oracle chain (AnnSuite.ivfOracleSql).
+    // the full SemDeDup chain in SQL: injected-copy corpus -> the
+    // shared semantic-cell chain (dynamic k, rank-based seed
+    // selection, one fixed-point Lloyd step, final assignment) ->
+    // within-cell pairs -> e6-rounded cosine threshold
     "dedup_semantic" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000,
-        |    list_transform(range(1, len(embedding) + 1),
-        |      i -> CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END)
-        |  FROM embeddings WHERE vec_id % 10 = 0),
-        |kv AS (SELECT GREATEST(10, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
-        |seeds AS (
-        |  SELECT vec_id AS cid, embedding AS ce FROM (
-        |    SELECT vec_id, embedding,
-        |      ROW_NUMBER() OVER (ORDER BY
-        |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
-        |    FROM e) t WHERE rn <= (SELECT k FROM kv)),
-        |d0 AS (
-        |  SELECT e.vec_id, s.cid, e.embedding,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE))
-        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE)))) AS dist
-        |  FROM e, seeds s),
-        |a0 AS (
-        |  SELECT vec_id, cid, embedding FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d0) t WHERE rn = 1),
-        |dims AS (
-        |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
-        |  FROM a0, range(1, 65) r(i)),
-        |cents AS (
-        |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
-        |    SELECT cid, i, CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
-        |    FROM dims GROUP BY cid, i) t GROUP BY cid),
-        |d1 AS (
-        |  SELECT e.vec_id, c.cid, e.embedding,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
-        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))) AS dist
-        |  FROM e, cents c),
-        |a1 AS (
-        |  SELECT vec_id, cid AS cell, embedding AS ce2 FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d1) t WHERE rn = 1),
-        |pairs AS (
-        |  SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    FLOOR(
-        |      list_sum(list_transform(range(1, len(a.ce2) + 1),
-        |        i -> CAST(a.ce2[i] AS DOUBLE) * CAST(b.ce2[i] AS DOUBLE))) /
-        |      (sqrt(list_sum(list_transform(a.ce2, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
-        |       sqrt(list_sum(list_transform(b.ce2, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
-        |      * 1e6 + 0.5)/1e6 AS cos
-        |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-        |SELECT cell, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.8
-        |ORDER BY cell, vec_a, vec_b""".stripMargin,
+      s"""${semanticCellChainSql(
+             """SELECT vec_id, embedding FROM embeddings
+               |  UNION ALL
+               |  SELECT vec_id + 1000000,
+               |    list_transform(range(1, len(embedding) + 1),
+               |      i -> CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END)
+               |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)},
+         |pairs AS (
+         |  SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    $cellPairCosSql
+         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT cell, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.8
+         |ORDER BY cell, vec_a, vec_b""".stripMargin,
 
     "dedup_keep_best" ->
       """WITH c AS (

@@ -194,7 +194,21 @@ object TextSuite {
       // reliableCheckpoint (spark.sparkContext.setCheckpointDir to a
       // DFS) or persist(DISK_ONLY_2) — one-line change, same plan shape
       // (SURVEY §5 records the operating guidance).
-      val tf = docs
+      // Layout (r11, from the sf10 component profile in
+      // tools/TfidfProfile): repartition DOCS by doc_id BEFORE the
+      // explode. HashPartitioning(doc_id) satisfies the (doc_id, w)
+      // count aggregate's ClusteredDistribution, so the (doc, term)
+      // pair exchange disappears — the build runs scan → one doc-level
+      // shuffle → in-stage aggregate (measured sf10: 2.8 s → 1.2 s;
+      // full query ~9 s → ~5 s). Byte trade at 100 TB: the wire now
+      // carries each doc's text once instead of its distinct
+      // (doc, term) string pairs twice (build + rollup) — comparable
+      // volume, one fewer pair-level round trip. The rejected
+      // alternatives are recorded in the profiler: persist() (columnar
+      // cache read cost > the saved exchange, and partitioning still
+      // re-derived) and keeping the pair-level layout (its rollup
+      // shuffle re-ships the pairs + df + score).
+      val tf = docs.repartition(col("doc_id"))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
         .localCheckpoint()

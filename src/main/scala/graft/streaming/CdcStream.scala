@@ -147,7 +147,15 @@ object CdcStream {
     */
   case class ContinuousStats(twin: String, triggerMs: Long, batches: Int,
       p50Ms: Long, p95Ms: Long, maxMs: Long,
-      inputRps: Double, procRps: Double, rows: Long, stateRows: Long)
+      inputRps: Double, procRps: Double, rows: Long, stateRows: Long,
+      /** per-data-batch triggerExecution durations IN ARRIVAL ORDER —
+        * the attribution evidence behind the percentiles (is the tail
+        * the first cold batches or spread jitter?) */
+      batchSeriesMs: Seq[Long] = Nil,
+      /** how many leading data batches the percentile stats exclude as
+        * session warmup (codegen/JIT of the twin's plan — not state
+        * behavior); the full series above still includes them */
+      warmupExcluded: Int = 0)
 
   private val landedProbeFeeds = scala.collection.concurrent.TrieMap[String, String]()
   private def probeFeed(key: String)(land: => String): String =
@@ -184,7 +192,7 @@ object CdcStream {
     */
   private[graft] def continuousProbe(spark: SparkSession, dir: String,
       twin: String, triggerMs: Long = 1000, files: Int = 24,
-      stateParts: Int = 8): ContinuousStats = {
+      stateParts: Int = 8, warmupBatches: Int = 2): ContinuousStats = {
     import spark.implicits._
     // consumption AND the latency distribution are accumulated by a
     // StreamingQueryListener, NOT polled from q.recentProgress: that is
@@ -226,9 +234,22 @@ object CdcStream {
         .toDF("doc_a", "doc_b")
     }
     val qname = "cont_probe_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val partsKey = "spark.sql.shuffle.partitions"
-    val savedParts = spark.conf.getOption(partsKey)
-    spark.conf.set(partsKey, stateParts.toString)
+    // Probe-scoped conf (restored afterwards): state partitions sized to
+    // the feed, and the snapshot cadence lifted off the latency path.
+    // Diagnosed from the per-batch series (batchSeriesMs): with the
+    // default minDeltasForSnapshot=10, the RocksDB commit path creates a
+    // full local snapshot every 10th micro-batch — a deterministic
+    // ~0.5-0.7 s spike riding exactly batches 10/20/... that put the
+    // sf1 RocksDB p95 AT the 1 s trigger in r10. Under changelog
+    // checkpointing the snapshot is pure recovery acceleration (restore
+    // replays at most `cadence` changelogs over the last snapshot), so
+    // cadence 100 trades bounded-replay recovery for a spike-free
+    // steady state — the trade an unbounded-feed deployment wants.
+    val probeConf = Map(
+      "spark.sql.shuffle.partitions" -> stateParts.toString,
+      "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "100")
+    val saved = probeConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    probeConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val progressBuf =
       scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -258,16 +279,23 @@ object CdcStream {
       consumed
     } finally {
       spark.streams.removeListener(listener)
-      savedParts match {
-        case Some(v) => spark.conf.set(partsKey, v)
-        case None => spark.conf.unset(partsKey)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
     require(done >= expected,
       s"continuousProbe($twin): consumed $done of $expected rows before the deadline")
     val data = progressBuf.synchronized { progressBuf.filter(_.numInputRows > 0).toArray }
-    val trigs = data.map(p => Option(p.durationMs.get("triggerExecution"))
-      .map(_.longValue).getOrElse(0L)).sorted
+    val series = data.map(p => Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue).getOrElse(0L)).toSeq
+    // steady-state percentiles: the first data batches pay the session's
+    // codegen/JIT of this twin's plan, not state-store behavior — a
+    // production job's millionth batch never sees them. They stay in the
+    // published series (and warmupExcluded says how many were dropped).
+    val steadyN = math.max(1, series.length - warmupBatches)
+    val steady = series.takeRight(steadyN)
+    val trigs = steady.sorted
     def pct(p: Double): Long = trigs(math.max(0, math.ceil(p * trigs.length).toInt - 1))
     val rows = data.map(_.numInputRows).sum
     ContinuousStats(twin, triggerMs, data.length, pct(0.5), pct(0.95), trigs.last,
@@ -275,7 +303,9 @@ object CdcStream {
       procRps = if (trigs.sum > 0) rows * 1000.0 / trigs.sum else 0.0,
       rows = rows,
       stateRows = data.lastOption
-        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L))
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+      batchSeriesMs = series,
+      warmupExcluded = series.length - steadyN)
   }
 
   def applyLatest(spark: SparkSession, dir: String): DataFrame = {

@@ -18,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   *   GRAFT_TUNE_ROCKS      extra RocksDB knobs as "k=v,k=v", keys
   *                          relative to spark.sql.streaming.stateStore
   *                          .rocksdb. (e.g. "blockCacheSizeMB=256")
+  *   GRAFT_TUNE_CONF       extra session confs as "k=v,k=v", FULL keys
+  *                          (e.g. "spark.sql.streaming.stateStore
+  *                          .minDeltasForSnapshot=100")
   *
   * Prints one JSON line: the probe stats plus the exact config used.
   */
@@ -33,7 +36,11 @@ object ContinuousTune {
       .map(_.trim).filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         s"spark.sql.streaming.stateStore.rocksdb.$k" -> v
-      }.toMap
+      }.toMap ++
+      sys.env.getOrElse("GRAFT_TUNE_CONF", "").split(',')
+        .map(_.trim).filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,7 +66,8 @@ object ContinuousTune {
       s"""{"twin":${j(c.twin)},"trigger_ms":${c.triggerMs},"batches":${c.batches},""" +
       s""""p50_batch_ms":${c.p50Ms},"p95_batch_ms":${c.p95Ms},"max_batch_ms":${c.maxMs},""" +
       s""""input_rps":${math.round(c.inputRps)},"proc_rps":${math.round(c.procRps)},""" +
-      s""""rows":${c.rows},"state_rows":${c.stateRows},"conf":$conf}""")
+      s""""rows":${c.rows},"state_rows":${c.stateRows},"conf":$conf,""" +
+      s""""batch_series_ms":${c.batchSeriesMs.mkString("[", ",", "]")}}""")
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case e: Throwable => System.err.println(s"[tune] StateStore.stop: $e") }
     spark.stop()

@@ -1,17 +1,17 @@
 #!/usr/bin/env python3
 """Flag outsized wall growth across the FULL query registry.
 
-Usage: python3 tools/registry_flags.py [bench/registry_sf01.json bench/registry_sf1.json]
+Usage: python3 tools/registry_flags.py [bench/registry_sf1.json]
 
-Reads two BENCH_ALL artifacts (the whole registry timed at sf0.1 and at
-the sf1 tile — 10x the data) and flags queries whose wall growth
-exceeds the superlinear threshold the headline scale gate uses (10x
-data -> >20x time), ignoring sub-noise walls (<0.5 s at sf1, where a
-ratio is dominated by fixed per-query overhead, not data). Errors in
-either artifact are always surfaced. This is the wide net for the
-~150 operators the 32-query headline gates don't watch: a single-task
-sort or superlinear shuffle hiding in a non-headline operator shows up
-here as a flagged ratio.
+Reads a BENCH_ALL artifact (the whole registry timed at sf0.1 —
+`queries`, median of 3 — and at the 10x sf1 tile — `sf1_queries`,
+single timed run) and flags queries whose wall growth exceeds the
+superlinear threshold the headline scale gate uses (10x data -> >20x
+time), ignoring sub-noise walls (<0.5 s at sf1, where the ratio is
+dominated by fixed per-query overhead, not data). Errors are always
+surfaced. This is the wide net for the ~150 operators the 32-query
+headline gates don't watch: a single-task sort or superlinear shuffle
+hiding in a non-headline operator shows up here as a flagged ratio.
 """
 import json
 import sys
@@ -21,20 +21,16 @@ MIN_WALL = 0.5     # below this at sf1 the ratio measures overhead, not data
 
 
 def main() -> None:
-    sf01_path = sys.argv[1] if len(sys.argv) > 2 else "bench/registry_sf01.json"
-    sf1_path = sys.argv[2] if len(sys.argv) > 2 else "bench/registry_sf1.json"
-    with open(sf01_path) as f:
-        sf01 = json.load(f)
-    with open(sf1_path) as f:
-        sf1 = json.load(f)
-    errs = {**{f"sf0.1:{k}": v for k, v in sf01.get("errors", {}).items()},
-            **{f"sf1:{k}": v for k, v in sf1.get("errors", {}).items()}}
+    path = sys.argv[1] if len(sys.argv) > 1 else "bench/registry_sf1.json"
+    with open(path) as f:
+        d = json.load(f)
+    errs = d.get("errors", {})
     for k, v in sorted(errs.items()):
         print(f"ERROR {k}: {v}")
-    q01, q1 = sf01["queries"], sf1["queries"]
+    q01, q1 = d["queries"], d.get("sf1_queries", {})
     missing = sorted(set(q01) ^ set(q1))
     for m in missing:
-        print(f"MISSING {m}: present in only one artifact")
+        print(f"MISSING {m}: timed at only one SF")
     flagged = []
     for name in sorted(set(q01) & set(q1)):
         w0, w1 = q01[name], q1[name]
@@ -46,6 +42,8 @@ def main() -> None:
     for ratio, name, w0, w1 in sorted(flagged, reverse=True):
         print(f"FLAG {name}: {w0:.2f}s -> {w1:.2f}s ({ratio:.1f}x for 10x data)")
     n = len(set(q01) & set(q1))
+    top = sorted(((q1[k], k) for k in q1), reverse=True)[:8]
+    print("slowest at sf1: " + ", ".join(f"{k}={v:.1f}s" for v, k in top))
     print(f"== {n} queries compared, {len(flagged)} flagged, "
           f"{len(errs)} errors, {len(missing)} missing ==")
     if errs or flagged:
