@@ -557,17 +557,20 @@ object Graft {
     graft.operators.AnnSuite.ivfLoad(spark, dir)
 
   /** Incremental IVF maintenance: assign an arriving batch at a
-    * persisted index's FIXED centroids and append it into the
-    * cell-partitioned layout — queries then see old + new corpus with
+    * persisted index's FIXED centroids and land it as a batchId-keyed
+    * cell-partitioned segment — queries then see old + new corpus with
     * no rebuild. Cost ∝ batch (the standing assignments are never
     * read); equal to a full assignment of the unioned corpus at the
     * same centroids (the oracle-checked `ann_ivf_append` contract).
-    * Re-cluster (a fresh [[ivfBuild]]) when drift degrades recall —
-    * `ann_recall_eval` is the gate.
+    * Idempotent per `batchId` (each batch overwrites exactly its own
+    * segment), so a streaming checkpoint replaying a torn micro-batch
+    * rewrites rather than duplicates it — pass foreachBatch's batchId
+    * through. Re-cluster (a fresh [[ivfBuild]]) when drift degrades
+    * recall — `ann_recall_eval` is the gate.
     */
   def ivfAppend(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, embCol: String): Unit =
-    graft.operators.AnnSuite.ivfAppend(spark, dir, batch, idCol, embCol)
+      idCol: String, embCol: String, batchId: Long = 0L): Unit =
+    graft.operators.AnnSuite.ivfAppend(spark, dir, batch, idCol, embCol, batchId)
 
   // ---- Joins ---------------------------------------------------------
 

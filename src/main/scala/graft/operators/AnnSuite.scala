@@ -223,6 +223,12 @@ object AnnSuite {
     idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     idx.assigned.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/assigned.parquet")
+    // a save is a FULL rebuild: incremental segments from prior
+    // ivfAppend batches are superseded and must not leak into reloads
+    val spark = idx.assigned.sparkSession
+    val appends = new org.apache.hadoop.fs.Path(s"$dir/appends.parquet")
+    val fs = appends.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(appends)) fs.delete(appends, true)
   }
 
   /** Reload a persisted index; the result serves [[ivfQuery]] exactly
@@ -230,13 +236,24 @@ object AnnSuite {
     * round-trip is lossless — IvfPersistSpec pins row-level equality).
     * `cell` comes back as a partition column; restore its BIGINT type
     * (partition-value inference would otherwise widen/narrow per lake).
+    * The served corpus is base assignments UNION committed append
+    * segments (both cell-partitioned, so probe pruning holds on each
+    * leg of the union).
     */
-  private[graft] def ivfLoad(spark: SparkSession, dir: String): IvfIndex =
-    IvfIndex(
-      spark.read.parquet(s"$dir/assigned.parquet")
-        .withColumn("cell", col("cell").cast("long"))
-        .select("cand_id", "cell", "ce2"),
-      spark.read.parquet(s"$dir/centroids.parquet"))
+  private[graft] def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
+    val base = spark.read.parquet(s"$dir/assigned.parquet")
+      .withColumn("cell", col("cell").cast("long"))
+      .select("cand_id", "cell", "ce2")
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/appends.parquet")
+    val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val assigned = if (fs.exists(appendsPath))
+      base.unionByName(
+        spark.read.parquet(s"$dir/appends.parquet")
+          .withColumn("cell", col("cell").cast("long"))
+          .select("cand_id", "cell", "ce2"))
+    else base
+    IvfIndex(assigned, spark.read.parquet(s"$dir/centroids.parquet"))
+  }
 
   /** A new batch assigned at a PERSISTED index's centroids — the
     * incremental-maintenance kernel: cost ∝ batch (one narrow scan of
@@ -254,19 +271,30 @@ object AnnSuite {
 
   /** Incremental IVF maintenance: append an arriving batch to a
     * persisted index. The batch is assigned at the LOADED (fixed)
-    * centroids and appended into the cell-partitioned parquet layout —
-    * each appended file lands inside its cell's directory, so probe
+    * centroids and landed as a batchId-keyed segment
+    * (`appends.parquet/batch_id=<id>/cell=<c>/`) that [[ivfLoad]]
+    * unions with the base — cell stays a partition column, so probe
     * pruning keeps working and queries see old + new corpus with no
     * rebuild. This is the ANN counterpart of dedup_incremental's
     * probe-the-standing-index shape: the daily operation of a living
     * 100 TB corpus (assignment at fixed centroids is exactly what a
     * full rebuild at those centroids would compute for the same rows,
     * so the append path is oracle-checkable — see ann_ivf_append).
+    *
+    * The landing is IDEMPOTENT per batchId: each batch OVERWRITES
+    * exactly its own segment directory, so a replay — a streaming
+    * checkpoint re-driving a micro-batch whose write landed but whose
+    * offset commit did not (the torn-batch crash window) — rewrites the
+    * same rows instead of duplicating them. Assignment at fixed
+    * centroids is deterministic, so the replayed segment is
+    * byte-equivalent to the torn one it replaces.
     */
   private[graft] def ivfAppend(spark: SparkSession, dir: String,
-      batch: DataFrame, idCol: String, embCol: String): Unit =
+      batch: DataFrame, idCol: String, embCol: String,
+      batchId: Long = 0L): Unit =
     ivfAssignBatch(spark, dir, batch, idCol, embCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned.parquet")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/appends.parquet/batch_id=$batchId")
 
   /** Lake-pinned registry instance of [[ivfSearch]]. */
   private[graft] def ivf(k: Int, nprobe: Int): (SparkSession, String) => DataFrame = { (s, d) =>

@@ -167,10 +167,10 @@ object DedupSuite {
     // dedup_embedding (plain corpus) gate per-CELL (learned k-means
     // buckets) — same cap-vs-uncapped-oracle exposure as the LSH bands
     val cells = graft.api.Graft
-      .semanticCells(semanticCorpus(s, d), "vec_id", "embedding")
+      .semanticCells(semanticCorpus(s, d), "vec_id", "embedding", semanticK(s, d))
     val embCells = graft.api.Graft.semanticCells(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding")
+      "vec_id", "embedding", semanticK(s, d))
     Seq(
       "minhash_bands" -> mx(minhashBands(sh), Seq("band", "bucket")),
       "ngram_bands" -> mx(ngram, Seq("band", "bucket")),
@@ -179,6 +179,22 @@ object DedupSuite {
       "semantic_cells" -> mx(cells, Seq("cell")),
       "embedding_cells" -> mx(embCells, Seq("cell")))
   }
+
+  /** The semantic-cell count k the lake-pinned entries use: the
+    * ⌈√n⌉ rule sized from the embeddings table's parquet FOOTER row
+    * count (ParquetMeta — metadata reads, zero data pages), so the
+    * executed plans never pay the full-corpus count() job
+    * Graft.semanticCells runs when k is defaulted. k is a tuning
+    * parameter, not a semantic: sizing it from the base table (rather
+    * than dedup_semantic's injected corpus, 1.1× larger) changes cell
+    * granularity by ~5% and nothing else — and the DuckDB oracles
+    * mirror exactly this definition, so the whole chain stays
+    * hash-checked.
+    */
+  private[graft] def semanticK(s: SparkSession, d: String): Int =
+    math.max(10L, math.ceil(math.sqrt(
+      graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+        .toDouble)).toLong).toInt
 
   /** dedup_semantic's fixture corpus: the lake's embeddings plus a
     * first-dim-negated copy of every %10==0 vector (ids offset by 1e6) —
@@ -196,7 +212,11 @@ object DedupSuite {
   }
 
   /** The deterministic k-means cell-assignment chain (CTEs e → a1) the
-    * semantic-cell operators share: dynamic k = GREATEST(10, ⌈√n⌉),
+    * semantic-cell operators share: dynamic k = GREATEST(10, ⌈√n⌉)
+    * with n counted from `countFrom` (default the corpus CTE `e`;
+    * lake-pinned entries count the base `embeddings` table so the
+    * Spark side can derive the same k from parquet footers without a
+    * corpus count job — see [[semanticK]]),
     * rank-based seed selection (LIMIT can't take a subquery portably),
     * seed assignment, one fixed-point Lloyd step, final assignment —
     * mirrors [[graft.api.Graft.semanticCells]] exactly (same exact
@@ -206,11 +226,12 @@ object DedupSuite {
     * output is already margin-stripped (it interpolates into outer
     * stripMargin templates, whose stripping must not touch it).
     */
-  private def semanticCellChainSql(corpusSql: String): String = {
+  private def semanticCellChainSql(corpusSql: String,
+      countFrom: String = "e"): String = {
     val corpus = corpusSql.linesIterator.map("  " + _).mkString("\n")
     s"""WITH e AS (
        |$corpus),
-       |kv AS (SELECT GREATEST(10, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
+       |kv AS (SELECT GREATEST(10, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM $countFrom),
        |seeds AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM (
        |    SELECT vec_id, embedding,
@@ -448,9 +469,11 @@ object DedupSuite {
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"))
+      // explicit footer-derived k: the defaulted path would run a
+      // full-corpus count() job before any real work (see semanticK)
       val gated = gateHotBuckets(
           graft.api.Graft.semanticCells(e, "vec_id", "embedding",
-            keep = Seq("label")),
+            k = semanticK(s, d), keep = Seq("label")),
           Seq("cell"))
         .localCheckpoint()
       val pairs = gated
@@ -488,9 +511,11 @@ object DedupSuite {
       // threshold or in a different cell — honest recall semantics,
       // mirrored exactly by the oracle). Whole chain — clustering
       // included — is engine-exact and hash-checked.
+      // k from the BASE table's parquet footers (semanticK) — probe-free
+      // and mirrored by the oracle's countFrom=embeddings kv CTE
       graft.api.Graft
         .semanticDedupPairs(semanticCorpus(s, d), "vec_id", "embedding",
-          threshold = 0.8)
+          threshold = 0.8, k = semanticK(s, d))
         .orderBy("cell", "vec_a", "vec_b")
     },
 
@@ -681,7 +706,8 @@ object DedupSuite {
                |  SELECT vec_id + 1000000,
                |    list_transform(range(1, len(embedding) + 1),
                |      i -> CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END)
-               |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)},
+               |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+             countFrom = "embeddings")},
          |pairs AS (
          |  SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    $cellPairCosSql

@@ -474,35 +474,10 @@ object ReconSuite {
       // ref: utils/query_optimizer/optimizer.py:19 — fast row counts from
       // pg_stat / sys.partitions instead of COUNT(*). The lake analog is
       // EXACT and near-free: parquet footers carry per-file row counts,
-      // so this reads a few KB of metadata per file and ZERO data pages.
-      // Listing is driver metadata work (what Spark's FileIndex does
-      // anyway); footer reads distribute over the executors.
-      import s.implicits._
-      val path = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
-      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val files: Seq[String] =
-        if (fs.getFileStatus(path).isDirectory)
-          fs.listStatus(path).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.toString).toSeq
-        else Seq(path.toString)
-      // ship the session's Hadoop conf (spark.hadoop.* — object-store
-      // credentials, FS settings) to the executors; a bare Configuration
-      // would only resolve against the local FS
-      val confBc = s.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(
-          s.sparkContext.hadoopConfiguration))
-      s.createDataset(files)
-        .repartition(math.min(files.size, 32))
-        .mapPartitions { it =>
-          val conf = confBc.value.value
-          it.map { pstr =>
-            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new org.apache.hadoop.fs.Path(pstr), conf))
-            try rd.getRecordCount finally rd.close()
-          }
-        }
-        .toDF("n")
+      // so this reads a few KB of metadata per file and ZERO data pages
+      // (graft.sources.ParquetMeta — shared with the semantic-cell
+      // operators' probe-free k derivation).
+      graft.sources.ParquetMeta.fileRowCounts(s, s"$d/orders.parquet")
         .agg(sum(col("n")).as("row_count"))
         .select(lit("orders").as("table_name"), col("row_count"),
           lit("METADATA").as("method"))

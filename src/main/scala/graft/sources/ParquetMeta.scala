@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact table statistics from parquet FOOTERS — metadata reads only,
+  * zero data pages (ref: utils/query_optimizer/optimizer.py:19, which
+  * serves fast row counts from pg_stat / sys.partitions instead of
+  * COUNT(*); parquet's per-file footer record counts are the lake
+  * analog, and they are exact rather than approximate).
+  *
+  * Listing is driver metadata work (what Spark's FileIndex does on
+  * every read anyway); the footer reads distribute over the executors,
+  * so a 100 TB table's count costs one task per file reading a few KB
+  * each. Used by `recon_rowcount_fast` and by operators that need a
+  * corpus size as a plan PARAMETER (e.g. the semantic-cell k = ⌈√n⌉
+  * rule) without paying a full-corpus count job for it.
+  */
+object ParquetMeta {
+
+  /** Per-file exact row counts (column `n`, one row per data file). */
+  def fileRowCounts(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq
+      else Seq(p.toString)
+    // ship the session's Hadoop conf (spark.hadoop.* — object-store
+    // credentials, FS settings) to the executors; a bare Configuration
+    // would only resolve against the local FS
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration))
+    s.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { pstr =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(pstr), conf))
+          try rd.getRecordCount finally rd.close()
+        }
+      }
+      .toDF("n")
+  }
+
+  /** Exact row count of a parquet table from its footers. */
+  def rowCount(s: SparkSession, path: String): Long =
+    fileRowCounts(s, path).agg(coalesce(sum(col("n")), lit(0L)).as("c"))
+      .head().getLong(0)
+}

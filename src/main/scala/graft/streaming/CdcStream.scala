@@ -245,9 +245,14 @@ object CdcStream {
     // replays at most `cadence` changelogs over the last snapshot), so
     // cadence 100 trades bounded-replay recovery for a spike-free
     // steady state — the trade an unbounded-feed deployment wants.
+    // The snapshot-cadence pin is a DEFAULT, not a mandate: a session
+    // that already set minDeltasForSnapshot (e.g. ContinuousTune's
+    // GRAFT_TUNE_CONF loop sweeping the cadence) keeps its value.
+    val cadenceKey = "spark.sql.streaming.stateStore.minDeltasForSnapshot"
     val probeConf = Map(
-      "spark.sql.shuffle.partitions" -> stateParts.toString,
-      "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "100")
+      "spark.sql.shuffle.partitions" -> stateParts.toString) ++
+      (if (spark.conf.getOption(cadenceKey).isDefined) Map.empty[String, String]
+       else Map(cadenceKey -> "100"))
     val saved = probeConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
     probeConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val progressBuf =
@@ -298,9 +303,14 @@ object CdcStream {
     val trigs = steady.sorted
     def pct(p: Double): Long = trigs(math.max(0, math.ceil(p * trigs.length).toInt - 1))
     val rows = data.map(_.numInputRows).sum
+    // procRps is a steady-state rate: rows and durations must cover the
+    // SAME window (all-batch rows over steady-only durations would
+    // inflate the published throughput — the opposite bias of the
+    // conservative median). inputRps keeps the full-run totals.
+    val steadyRows = data.takeRight(steadyN).map(_.numInputRows).sum
     ContinuousStats(twin, triggerMs, data.length, pct(0.5), pct(0.95), trigs.last,
       inputRps = rows * 1000.0 / (triggerMs.toDouble * data.length),
-      procRps = if (trigs.sum > 0) rows * 1000.0 / trigs.sum else 0.0,
+      procRps = if (trigs.sum > 0) steadyRows * 1000.0 / trigs.sum else 0.0,
       rows = rows,
       stateRows = data.lastOption
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
@@ -946,8 +956,14 @@ object CdcStream {
     * working; the index never rebuilds. Queries served between batches
     * see base + every committed append. foreachBatch (not a state-store
     * sink) is the right shape: the index IS the state, maintained in
-    * storage exactly as the batch path leaves it, so failure recovery
-    * is the checkpoint re-driving idempotent-append batches.
+    * storage exactly as the batch path leaves it. Failure recovery is
+    * genuinely idempotent because each micro-batch lands as a
+    * batchId-keyed segment with per-segment OVERWRITE: a checkpoint
+    * replaying a torn batch (parquet landed, offset commit lost)
+    * rewrites the same segment instead of duplicating index rows —
+    * IvfPersistSpec's torn-batch test kills the stream after a landed
+    * write, restarts from the checkpoint, and proves zero duplicate
+    * cand_ids and unchanged served top-k.
     *
     * The assign-at-fixed-centroids algebra makes N folded micro-batches
     * exactly equal to one bulk append of their union, so the batch
@@ -975,8 +991,8 @@ object CdcStream {
     val q = spark.readStream.schema(batchRows.schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
       .writeStream
-      .foreachBatch((df: DataFrame, _: Long) =>
-        graft.api.Graft.ivfAppend(spark, idxDir, df, "vec_id", "embedding"))
+      .foreachBatch((df: DataFrame, batchId: Long) =>
+        graft.api.Graft.ivfAppend(spark, idxDir, df, "vec_id", "embedding", batchId))
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -36,11 +36,14 @@ object ContinuousTune {
       .map(_.trim).filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         s"spark.sql.streaming.stateStore.rocksdb.$k" -> v
-      }.toMap ++
-      sys.env.getOrElse("GRAFT_TUNE_CONF", "").split(',')
-        .map(_.trim).filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> v
-        }.toMap
+      }.toMap
+    // FULL-key session confs apply to BOTH backends (a heap run tuning
+    // e.g. minDeltasForSnapshot must not be silently ignored); only the
+    // rocksdb.-scoped GRAFT_TUNE_ROCKS keys are backend-conditional.
+    val extraConf = sys.env.getOrElse("GRAFT_TUNE_CONF", "").split(',')
+      .map(_.trim).filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,11 +59,13 @@ object ContinuousTune {
         "true")
       rocks.foreach { case (k, v) => spark.conf.set(k, v) }
     }
+    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val c = graft.streaming.CdcStream.continuousProbe(
       spark, dir, twin, triggerMs = triggerMs, stateParts = parts)
     def j(s: String) = "\"" + s + "\""
     val conf = (Map("backend" -> backend, "state_parts" -> parts.toString) ++
-      rocks).toSeq.sortBy(_._1)
+      (if (backend == "rocksdb") rocks else Map.empty) ++ extraConf)
+      .toSeq.sortBy(_._1)
       .map { case (k, v) => j(k) + ":" + j(v) }.mkString("{", ",", "}")
     println(
       s"""{"twin":${j(c.twin)},"trigger_ms":${c.triggerMs},"batches":${c.batches},""" +

@@ -84,4 +84,52 @@ class DedupSemanticSpec extends SparkSpecBase {
     assert(capped.count() == uncapped.count(),
       "default cap must not touch any fixture cell")
   }
+
+  test("footer-derived semanticK matches the ⌈√n⌉ rule and skips the corpus count job") {
+    // the lake-pinned entries pass k = semanticK (parquet-footer
+    // metadata) instead of defaulting it — the defaulted path runs one
+    // full-corpus count() job before any real work (a wasted scan at
+    // 100 TB). Footer counts are exact, so the value is identical...
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val expectK = math.max(10L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    assert(graft.operators.DedupSuite.semanticK(spark, sf) === expectK)
+
+    // ...and the explicit-k construction runs exactly ONE fewer Spark
+    // job than the defaulted one (the dropped count). Jobs are counted
+    // over semanticCells' eager construction (its localCheckpoints run
+    // jobs at build time), same input both ways, so the delta is
+    // deterministic.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsDuring(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try {
+        body
+        // listener events are async; the actions in body are blocking,
+        // so poll briefly until the count is stable
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 50) {
+          last = jobs.get(); spins += 1; Thread.sleep(100)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val countJobs = jobsDuring { e.count(): Unit } // AQE may split it in 2
+    val defaulted = jobsDuring {
+      graft.api.Graft.semanticCells(e, "vec_id", "embedding")
+    }
+    val explicit = jobsDuring {
+      graft.api.Graft.semanticCells(e, "vec_id", "embedding", k = expectK)
+    }
+    assert(countJobs >= 1 && defaulted - explicit === countJobs,
+      s"explicit k must drop exactly the count probe's jobs " +
+        s"(defaulted=$defaulted, explicit=$explicit, count=$countJobs)")
+  }
 }

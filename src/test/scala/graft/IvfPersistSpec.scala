@@ -96,6 +96,62 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(dataBatches.map(_._1).sum === heldOut)
   }
 
+  test("torn-batch replay: a landed-but-uncommitted append is rewritten, never duplicated") {
+    // The crash window foreachBatch sinks must survive: the micro-batch's
+    // parquet landing succeeds, then the process dies BEFORE the offset
+    // commit. Restarting from the checkpoint re-drives that batchId with
+    // the same data; because ivfAppend OVERWRITES the batch's own
+    // segment (appends.parquet/batch_id=N), the replay rewrites the torn
+    // segment instead of appending a second copy of its rows.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables.embeddings(spark, sf)
+    val held = e.filter(col("vec_id") % 7 === 3).select("vec_id", "embedding")
+    val dir = Scratch.dir("ivf_torn_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val feed = Scratch.dir("ivf_torn_feed")
+    held.repartition(4).write.mode("overwrite").parquet(feed)
+    val cp = Scratch.dir("ivf_torn_cp")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def run(injectCrash: Boolean): Unit = {
+      val q = spark.readStream.schema(held.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          graft.api.Graft.ivfAppend(spark, dir, df, "vec_id", "embedding", batchId)
+          // die AFTER the landing, BEFORE the checkpoint's offset commit
+          if (injectCrash && batchId == 2 && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected torn-batch crash")
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch {
+        case ex: org.apache.spark.sql.streaming.StreamingQueryException
+            if injectCrash && ex.getMessage.contains("injected torn-batch crash") => ()
+      }
+    }
+
+    run(injectCrash = true)
+    assert(crashed.get, "the injected crash never fired — batch 2 was not reached")
+    run(injectCrash = false) // restart: the checkpoint replays batch 2
+
+    val loaded = AnnSuite.ivfLoad(spark, dir)
+    val dupIds = loaded.assigned.groupBy("cand_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dupIds === 0, s"replay duplicated $dupIds cand_ids in the index")
+    assert(loaded.assigned.count() === e.count())
+    // the served top-k equals the batch twin's (same corpus, same fixed
+    // centroids — a duplicate would occupy two rank slots and diverge)
+    val served = AnnSuite.ivfQuery(loaded, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    val batchTwin = AnnSuite.queries("ann_ivf_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(served === batchTwin)
+  }
+
   test("cell-partitioned layout prunes unprobed cells at the scan") {
     val e = Tables.embeddings(spark, sf)
     val dir = Scratch.dir("ivf_persist_prune")

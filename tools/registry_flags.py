@@ -46,7 +46,9 @@ def main() -> None:
     print("slowest at sf1: " + ", ".join(f"{k}={v:.1f}s" for v, k in top))
     print(f"== {n} queries compared, {len(flagged)} flagged, "
           f"{len(errs)} errors, {len(missing)} missing ==")
-    if errs or flagged:
+    # missing is a gate failure too: an operator silently dropped from
+    # one timing pass must not pass the wide net.
+    if errs or flagged or missing:
         sys.exit(1)
 
 
