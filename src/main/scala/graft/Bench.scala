@@ -301,7 +301,14 @@ object Bench {
     val continuousJobs: Seq[(String, String, String)] =
       continuousNames.map(n => (n, sfDir, "")) ++
         gatedScalePoint(continuousNames, "SPARK_GRAFT_BENCH_CONTINUOUS_SF1",
-          sf1Dir, "@sf1")
+          sf1Dir, "@sf1") ++
+        // the sf10 point (~15 M state rows, ~18 M feed rows): the one
+        // latency question the sf1 point leaves open — does the
+        // per-batch commit stay under the trigger when state grows
+        // another 10×. Rides the sf10 opt-in (SPARK_GRAFT_SF10=1);
+        // SPARK_GRAFT_BENCH_CONTINUOUS_SF10=0 skips just this point.
+        gatedScalePoint(continuousNames, "SPARK_GRAFT_BENCH_CONTINUOUS_SF10",
+          sf10Dir, "@sf10")
     /** One streaming entry: a measured run (with how many runs the
       * median came from) or a skip sentinel — the artifact must record
       * WHY a point is absent, or a round-over-round comparison reads
@@ -383,8 +390,24 @@ object Bench {
       }
       continuousJobs.foreach { case (name, dir, dirSuffix) =>
         spark.catalog.clearCache(); System.gc()
-        try {
-          val c = graft.streaming.CdcStream.continuousProbe(spark, dir, name)
+        // same resource guard as the streaming @sf10 point: the HEAP
+        // state store holds ~4-5 GB of live map entries at 15 M rows;
+        // RocksDB runs the point regardless (off-heap state)
+        if (dirSuffix == "@sf10" && suffix == "" &&
+          Runtime.getRuntime.maxMemory < 12L * 1024 * 1024 * 1024) {
+          contSkips += (name + "@continuous" + dirSuffix + suffix) ->
+            (s"heap backend needs >= 12288 MB driver heap, maxMemory is " +
+              s"${Runtime.getRuntime.maxMemory >> 20} MB (set SPARK_DRIVER_MEM=16g)")
+        } else try {
+          // @sf10 meters the ~18 M-row feed as 48 files so one batch
+          // (~380 k rows) fits the 1 s trigger with ~2× processing
+          // headroom at the throughput probe's measured 650-800 k
+          // rows/s through the same upsert machine
+          val c =
+            if (dirSuffix == "@sf10")
+              graft.streaming.CdcStream.continuousProbe(spark, dir, name,
+                files = 48)
+            else graft.streaming.CdcStream.continuousProbe(spark, dir, name)
           contStats += ((dirSuffix + suffix) -> c)
         }
         catch { case e: Throwable =>

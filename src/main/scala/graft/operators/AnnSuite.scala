@@ -161,6 +161,21 @@ object AnnSuite {
       .orderBy("cid")
   }
 
+  /** The `nprobe` nearest cells per query — (query_id, cell, qe) rows,
+    * ranked inside one array expression (sort k structs per query row —
+    * no window, no shuffle). Shared by [[ivfQuery]] and the ann_tune
+    * operating-point sweep (which also needs the probed-cell set to
+    * price each nprobe in corpus rows scanned). `queriesDf` must carry
+    * (query_id, embedding).
+    */
+  private def probeCells(idx: IvfIndex, queriesDf: DataFrame,
+      nprobe: Int): DataFrame =
+    queriesDf.crossJoin(broadcast(centArray(idx.centroids)))
+      .withColumn("dists", expr(DistsExpr))
+      .select(col("query_id"), col("embedding").as("qe"),
+        explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
+      .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
+
   /** Query phase against a built index: probe `nprobe` nearest cells,
     * exact-cosine re-rank inside them only. The index never rebuilds.
     */
@@ -178,11 +193,7 @@ object AnnSuite {
     // (query-set-sized — tiny) makes both consumers read the same
     // blocks, so a large query batch pays the probe compute once
     // (the r10 twin-subtree pattern; PlanShapeSpec pins the shape).
-    val probes = queriesDf.crossJoin(broadcast(centArray(idx.centroids)))
-      .withColumn("dists", expr(DistsExpr))
-      .select(col("query_id"), col("embedding").as("qe"),
-        explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
-      .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
+    val probes = probeCells(idx, queriesDf, nprobe)
       .localCheckpoint()
       // semantically a no-op (cells are non-negative by construction),
       // but DPP's logical rule only fires when the filtering side
@@ -400,6 +411,64 @@ object AnnSuite {
         .orderBy("query_id")
     },
 
+    // The nprobe OPERATING-POINT SWEEP — the table a production ANN
+    // deployment tunes from: for each nprobe ∈ {1,2,4,8}, aggregate
+    // recall@3 against the exact brute-force truth AND the price paid
+    // for it (corpus rows inside the probed cells, as an e6 fraction of
+    // queries × corpus). The accept/reject decision becomes a curve,
+    // not ann_recall_eval's single point. One index build and one truth
+    // pass serve all four legs (localCheckpointed — the sweep re-ranks
+    // the same materialized index); each leg adds only its probe join
+    // and top-3. All legs are the deterministic kernels above, so the
+    // whole table is engine-exact and oracle-checked. Corpus size for
+    // the fraction comes from parquet footers (ParquetMeta) — no extra
+    // corpus count job.
+    "ann_tune" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      val queriesDf = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val built = ivfBuild(e, "vec_id", "embedding", IvfK)
+      val idx = IvfIndex(built.assigned.localCheckpoint(),
+        built.centroids.localCheckpoint())
+      val occ = idx.assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cell_n")).localCheckpoint()
+      val corpusN = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val truth = graft.api.Graft.rankedByGroup(
+          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+            .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
+            .select(col("query_id"), col("cos"), col("cand_id")),
+          Seq("query_id"), Seq(col("cos").desc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+      val legs = Seq(1, 2, 4, 8).map { np =>
+        val got = ivfQuery(idx, queriesDf, "query_id", "embedding", np, 3)
+          .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+        val rec = truth.join(got, Seq("query_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
+        val scan = probeCells(idx, queriesDf, np)
+          .join(occ, Seq("cell"))
+          .agg(sum(col("cell_n")).as("scanned_rows"),
+            countDistinct(col("query_id")).as("nq"))
+        // 1-row × 1-row broadcast-scalar join (the recon_report pattern)
+        rec.crossJoin(scan).select(
+          lit(np.toLong).as("nprobe"),
+          col("n_truth"), col("hits"),
+          floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
+            .cast("long").as("recall_e6"),
+          col("scanned_rows"),
+          floor(col("scanned_rows").cast("double") * 1e6
+            / (col("nq") * lit(corpusN)) + 0.5)
+            .cast("long").as("frac_scanned_e6"))
+      }
+      legs.reduce(_.unionByName(_)).orderBy("nprobe")
+    },
+
     // Deterministic k-means over the embedding corpus (k = IvfK, TWO
     // Lloyd iterations — one past ivfBuild's single step): the
     // clustering primitive behind domain mixing, corpus cartography,
@@ -609,6 +678,89 @@ object AnnSuite {
          |FROM truth t LEFT JOIN ivf i
          |  ON i.query_id = t.query_id AND i.cand_id = t.cand_id
          |GROUP BY t.query_id ORDER BY query_id""".stripMargin
+    },
+
+    "ann_tune" -> {
+      // the recall chain shared with ann_recall_eval, swept over
+      // nprobe ∈ {1,2,4,8}: `pr` keeps every query's FULL cell ranking
+      // (rn), each leg filters rn <= nprobe for its ivf top-3 and its
+      // scanned-row price; legs UNION ALL into the operating-point table
+      val legs = Seq(1, 2, 4, 8).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, r.n_truth, r.hits,
+           |    CAST(FLOOR(CAST(r.hits AS DOUBLE) * 1e6 / r.n_truth + 0.5) AS BIGINT) AS recall_e6,
+           |    s.scanned_rows,
+           |    CAST(FLOOR(CAST(s.scanned_rows AS DOUBLE) * 1e6
+           |      / (s.nq * (SELECT COUNT(*) FROM e)) + 0.5) AS BIGINT) AS frac_scanned_e6
+           |  FROM (
+           |    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |      CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |    FROM truth t LEFT JOIN (
+           |      SELECT query_id, cand_id FROM (
+           |        SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+           |                                     ORDER BY cos DESC, cand_id) AS rk
+           |        FROM (
+           |          SELECT p.query_id, a1.cand_id,
+           |            FLOOR(
+           |              list_sum(list_transform(range(1, len(qe) + 1),
+           |                i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE))) /
+           |              (${OracleNorm.format("qe")} * ${OracleNorm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
+           |          FROM a1 JOIN pr p ON a1.cell = p.cell AND p.rn <= $np
+           |          WHERE p.query_id <> a1.cand_id) sc) rk0 WHERE rk <= 3) i
+           |      ON i.query_id = t.query_id AND i.cand_id = t.cand_id) r,
+           |    (SELECT CAST(SUM(occ.cell_n) AS BIGINT) AS scanned_rows,
+           |       CAST(COUNT(DISTINCT p.query_id) AS BIGINT) AS nq
+           |     FROM pr p JOIN occ ON occ.cell = p.cell WHERE p.rn <= $np) s""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM e
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+         |  LIMIT $IvfK),
+         |d0 AS (
+         |  SELECT e.vec_id, s.cid, e.embedding,
+         |    ${oracleDist("s.ce")} AS dist
+         |  FROM e, seeds s),
+         |a0 AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d0) t WHERE rn = 1),
+         |dims AS (
+         |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM a0, range(1, 65) r(i)),
+         |cents AS (
+         |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
+         |    SELECT cid, i,
+         |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
+         |    FROM dims GROUP BY cid, i) t GROUP BY cid),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cid, e.embedding,
+         |    ${oracleDist("c.ce")} AS dist
+         |  FROM e, cents c),
+         |a1 AS (
+         |  SELECT vec_id AS cand_id, cid AS cell, embedding AS ce2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) t WHERE rn = 1),
+         |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n FROM a1 GROUP BY cell),
+         |pr AS (
+         |  SELECT vec_id AS query_id, cid AS cell, embedding AS qe,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d1 WHERE vec_id < 5),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    FLOOR(
+         |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |      (${OracleNorm.format("q.embedding")} * ${OracleNorm.format("c.embedding")})
+         |      * 1e6 + 0.5)/1e6 AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, cand_id) AS rk
+         |    FROM bscored) t WHERE rk <= 3)
+         |SELECT * FROM (
+         |${legs.mkString("", "\nUNION ALL\n", "")}
+         |) u ORDER BY nprobe""".stripMargin
     },
 
     "emb_kmeans" -> {

@@ -267,6 +267,41 @@ object DedupSuite {
        |    FROM d1) t WHERE rn = 1)""".stripMargin
   }
 
+  /** Oracle for the STREAMING semantic-dedup twin: arriving docs (the
+    * injected near-dup copies) probe the standing cell index built on
+    * the plain embeddings corpus. The chain clusters the STANDING
+    * corpus only (k = footer ⌈√n⌉ — countFrom default e = embeddings),
+    * assigns the batch rows at those FIXED centroids (CTE b1, the
+    * ivfAssignBatch algebra), and verifies exact e6-rounded cosine on
+    * (standing × batch) same-cell pairs — exactly what N folded
+    * micro-batch probes compute, so one SQL checks the whole streamed
+    * path. Lives here (not CdcStream) because it shares the private
+    * cell-chain CTEs.
+    */
+  private[graft] lazy val SemanticProbeOracleSql: String =
+    s"""${semanticCellChainSql("SELECT vec_id, embedding FROM embeddings")},
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |bd AS (
+       |  SELECT b.vec_id, c.cid, b.embedding,
+       |    list_sum(list_transform(range(1, len(b.embedding) + 1),
+       |      i -> (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+       |         * (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))) AS dist
+       |  FROM batch b, cents c),
+       |b1 AS (
+       |  SELECT vec_id, cid AS cell, embedding AS ce2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM bd) t WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    $cellPairCosSql
+       |  FROM a1 a JOIN b1 b ON a.cell = b.cell)
+       |SELECT cell, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.8
+       |ORDER BY cell, vec_a, vec_b""".stripMargin
+
   /** e6-rounded exact cosine between a.ce2 and b.ce2 (the a/b aliases
     * the chain's consumers bind to a1) — shared verify expression.
     * Margin-stripped for the same interpolation reason as above.
@@ -386,13 +421,17 @@ object DedupSuite {
       // Pure composition over the family's outputs (each already
       // bucketed/oracle-checked), so the summary inherits their scale
       // shape; the per-method aggregates are 1-row reductions.
-      def pairStats(df: DataFrame, method: String): DataFrame = {
-        val docs = df.select(col("doc_a").as("d")).unionByName(
-          df.select(col("doc_b").as("d")))
-        df.agg(count(lit(1)).as("n_found"))
-          .crossJoin(docs.agg(countDistinct(col("d")).as("n_docs")))
+      // ONE aggregation per method: exploding each pair to its two doc
+      // endpoints lets pair count (rows/2) and implicated-doc count
+      // come out of a single job — the earlier two-action shape
+      // (count + crossJoined countDistinct over separate plans) ran
+      // each method's whole verify pipeline TWICE per summary, which
+      // made this the slowest registry query at sf1.
+      def pairStats(df: DataFrame, method: String): DataFrame =
+        df.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .agg((count(lit(1)) / 2).cast("long").as("n_found"),
+            countDistinct(col("d")).as("n_docs"))
           .select(lit(method).as("method"), col("n_found"), col("n_docs"))
-      }
       val exact = queries("dedup_exact")(s, d)
         .agg(count(lit(1)).as("n_found"), sum(col("n_copies")).as("n_docs"))
         .select(lit("exact").as("method"), col("n_found"), col("n_docs"))
@@ -551,8 +590,60 @@ object DedupSuite {
         .select(col("doc_id"), col("source"), col("keep_id"), col("n_copies"),
           when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("kept"))
         .orderBy("doc_id")
+    },
+
+    // Substring-level exact dedup (the Lee et al. 2022 "Deduplicating
+    // Training Data" pass): flag every FIXED-WIDTH rolling token window
+    // that occurs more than once anywhere in the corpus, then merge
+    // overlapping flagged windows into maximal duplicated spans — the
+    // pass that catches templated boilerplate CROSSING sentence bounds,
+    // which dedup_span_exact's sentence granularity misses. Window
+    // hashes come fused from the native gram_hashes60 (8-byte keys;
+    // text never shuffles); duplication is one count-over-window on the
+    // hash (the shuffle it rides is the only corpus-sized exchange —
+    // counting per near-unique key is linear, no pairwise work); span
+    // merge is gaps-and-islands per doc_id (bounded by doc length, high
+    // doc cardinality keeps every task busy at any cluster size).
+    "dedup_substring" -> { (s, d) =>
+      // per-row window hashing dominates → spread the under-split scan
+      substringDupSpans(Tables.spread(s, corpusWithDups(s, d)), SubstringW)
+        .orderBy("doc_id", "start_tok")
     }
   )
+
+  /** The dedup_substring kernel over any (doc_id, text) frame: rolling
+    * w-token window hashes (native gram_hashes60), duplication = the
+    * hash occurs >1 time anywhere in the corpus, overlapping flagged
+    * windows merged to maximal (start_tok, end_tok) spans (1-based,
+    * end-inclusive). Exposed so specs can drive it at spec-sized w.
+    */
+  private[graft] def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.register(docs.sparkSession)
+    val grams = docs
+      .withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(s"gram_hashes60(ws, $w)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val dup = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") > 1)
+    val isl = dup.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    isl.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (w - 1)).as("end_tok"),
+        count(lit(1)).as("n_win"))
+      .drop("grp")
+      .select("doc_id", "start_tok", "end_tok", "n_win")
+  }
+
+  /** dedup_substring's rolling-window width in tokens (Lee et al. use
+    * 50 on web text; the fixture docs run 10-99 words, so 20 keeps a
+    * multi-window population per doc while still crossing the ~8-word
+    * sentences the span-level pass tokenizes at).
+    */
+  private[graft] val SubstringW = 20
 
   def oracles: Map[String, String] = baseOracles +
     ("dedup_summary" ->
@@ -737,6 +828,34 @@ object DedupSuite {
         |  FROM r)
         |SELECT doc_id, source, keep_id, n_copies,
         |  CAST(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM g WHERE n_copies > 1 ORDER BY doc_id""".stripMargin
+        |FROM g WHERE n_copies > 1 ORDER BY doc_id""".stripMargin,
+
+    // the same rolling-window chain in SQL: 1-based window positions via
+    // the scalar list form unnest(range(...)) (the range() TABLE
+    // function rejects lateral column args), md5-60 window hashes,
+    // occurrence count over the hash, gaps-and-islands span merge
+    "dedup_substring" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM ($CorpusSql) c),
+         |u AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws) - ${SubstringW - 2})) AS pos
+         |  FROM t WHERE len(ws) >= $SubstringW),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(ws[pos:pos+${SubstringW - 1}], ' ')), 1, 15))::BIGINT AS h
+         |  FROM u),
+         |dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ FROM g) o
+         |  WHERE occ > 1),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dup)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+         |  CAST(MAX(pos) + ${SubstringW - 1} AS BIGINT) AS end_tok,
+         |  CAST(COUNT(*) AS BIGINT) AS n_win
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_tok""".stripMargin
   )
 }

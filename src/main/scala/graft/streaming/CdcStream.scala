@@ -1002,6 +1002,82 @@ object CdcStream {
       AnnSuite.IvfNProbe, 3)
   }
 
+  /** Streaming twin of semantic dedup (`dedup_semantic`): arriving
+    * documents probe the STANDING semantic-cell index instead of
+    * re-clustering the corpus. Build once (the dedup_semantic kernel —
+    * deterministic k-means cells over the standing corpus, hot cells
+    * gated, k from parquet footers); then each micro-batch is assigned
+    * at the FIXED centroids (ivfAssignBatch — cost ∝ batch, the
+    * standing assignments are never rescanned for assignment) and
+    * verified by exact e6-rounded cosine against ONLY the occupants of
+    * the batch's own cells (the batch's distinct cells — bounded by
+    * batch size — become an isin partition filter on the
+    * cell-partitioned standing index, so the probe reads ~cells/k of
+    * the index files). Flagged pairs land batchId-keyed with
+    * per-segment overwrite — the same torn-batch-idempotent sink as
+    * stream_ivf_append. The batch algebra (assign-at-fixed-centroids +
+    * within-cell verify) makes N folded probes equal one bulk
+    * (standing × batch) pass, so a single DuckDB chain
+    * (DedupSuite.SemanticProbeOracleSql) checks the streamed path
+    * end-to-end.
+    */
+  def dedupSemanticStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnnSuite, DedupSuite}
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val k = DedupSuite.semanticK(spark, dir)
+    val idxDir = Scratch.stable(
+      "stream_dedup_semantic/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val idx = AnnSuite.ivfBuild(e, "vec_id", "embedding", k)
+    // gate hot cells at BUILD time (the dedup_semantic cap): a collapsed
+    // cell would make every probing batch quadratic against it. The
+    // oracle runs uncapped; fixture cells stay far below the cap
+    // (DedupSemanticSpec pins the invariance).
+    AnnSuite.ivfSave(
+      idx.copy(assigned = DedupSuite.gateHotBuckets(idx.assigned, Seq("cell"))),
+      idxDir)
+    // arriving docs: the injected near-dup copies, landed as 4 files
+    // (one micro-batch each under maxFilesPerTrigger=1)
+    val batchRows = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding", expr("transform(embedding, (v, i) -> IF(i = 0, -v, v))"))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val feed = Scratch.dir("stream_sem_feed")
+    batchRows.repartition(4).write.mode("overwrite").parquet(feed)
+    val outDir = Scratch.stable(
+      "stream_dedup_semantic_out/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // stable result dir: clear segments from prior runs before streaming
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    val qname = "sem_probe_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(batchRows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val assigned = AnnSuite.ivfAssignBatch(spark, idxDir, df, "vec_id", "embedding")
+          .select(col("cand_id").as("vec_b"), col("cell"), col("ce2").as("emb_b"))
+          .localCheckpoint()
+        val cells = assigned.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val standing = spark.read.parquet(s"$idxDir/assigned.parquet")
+          .withColumn("cell", col("cell").cast("long"))
+          .filter(col("cell").isin(cells: _*))
+          .select(col("cand_id").as("vec_a"), col("cell"), col("ce2").as("emb_a"))
+        standing.join(assigned, Seq("cell"))
+          .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
+          .filter(col("cos") >= 0.8)
+          .select("cell", "vec_a", "vec_b", "cos")
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_dedup_semantic", q)
+    spark.read.parquet(outDir)
+      .select("cell", "vec_a", "vec_b", "cos")
+      .orderBy("cell", "vec_a", "vec_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_apply" -> ((s, d) => applyLatest(s, d)),
     "stream_source_envelope" -> ((s, d) => sourceEnvelope(s, d)),
@@ -1015,7 +1091,8 @@ object CdcStream {
     "stream_interval_join" -> ((s, d) => intervalJoin(s, d)),
     "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d)),
     "stream_attribution" -> ((s, d) => attribution(s, d)),
-    "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d))
+    "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d)),
+    "stream_dedup_semantic" -> ((s, d) => dedupSemanticStream(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -1058,6 +1135,10 @@ object CdcStream {
     // N folded micro-batch appends at fixed centroids = one bulk append
     // of their union = one full assignment of the unioned corpus at
     // those centroids — the batch twin's oracle checks the streamed path
-    "stream_ivf_append" -> graft.operators.AnnSuite.oracles("ann_ivf_append")
+    "stream_ivf_append" -> graft.operators.AnnSuite.oracles("ann_ivf_append"),
+    // N folded micro-batch probes at fixed centroids = one bulk
+    // (standing × batch) same-cell verify — the chain clusters the
+    // standing corpus, assigns the batch at its centroids, verifies cos
+    "stream_dedup_semantic" -> graft.operators.DedupSuite.SemanticProbeOracleSql
   )
 }

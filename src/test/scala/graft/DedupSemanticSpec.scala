@@ -85,6 +85,43 @@ class DedupSemanticSpec extends SparkSpecBase {
       "default cap must not touch any fixture cell")
   }
 
+  test("stream_dedup_semantic: N micro-batch probes equal one bulk probe, cost per fold ∝ batch") {
+    import graft.operators.{AnnSuite, DedupSuite}
+    // the streaming twin folds the injected copies in as 4 one-file
+    // micro-batches, each probing the standing cell index; the
+    // assign-at-fixed-centroids algebra says the union of the folds
+    // equals ONE bulk (standing × batch) same-cell verify
+    val streamed = graft.streaming.CdcStream.queries("stream_dedup_semantic")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val k = DedupSuite.semanticK(spark, sf)
+    val idx = AnnSuite.ivfBuild(e, "vec_id", "embedding", k)
+    val standing = DedupSuite.gateHotBuckets(idx.assigned, Seq("cell"))
+      .select(col("cand_id").as("vec_a"), col("cell"), col("ce2").as("emb_a"))
+    val batch = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding", expr("transform(embedding, (v, i) -> IF(i = 0, -v, v))"))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val assigned = AnnSuite.kmeansAssign(batch, idx.centroids)
+      .select(col("vec_id").as("vec_b"), col("cid").as("cell"),
+        col("embedding").as("emb_b"))
+    val bulk = standing.join(assigned, Seq("cell"))
+      .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
+      .filter(col("cos") >= 0.8)
+      .select("cell", "vec_a", "vec_b", "cos")
+      .orderBy("cell", "vec_a", "vec_b")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === bulk)
+    // per-fold cost ∝ batch: the feed was consumed through exactly the
+    // 4 metered one-file micro-batches, never one bulk pass
+    val prog = graft.streaming.CdcStream.progressLog("stream_dedup_semantic")
+    val dataBatches = prog.filter(_._1 > 0)
+    assert(dataBatches.length == 4,
+      s"expected 4 one-file micro-batch probes, got ${dataBatches.length}")
+    assert(dataBatches.map(_._1).sum ===
+      e.filter(col("vec_id") % 10 === 0).count())
+  }
+
   test("footer-derived semanticK matches the ⌈√n⌉ rule and skips the corpus count job") {
     // the lake-pinned entries pass k = semanticK (parquet-footer
     // metadata) instead of defaulting it — the defaulted path runs one

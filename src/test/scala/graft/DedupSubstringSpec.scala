@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Substring-level exact dedup (the Lee et al. 2022 rolling-window
+  * pass). The property that justifies it alongside dedup_span_exact:
+  * templated boilerplate that CROSSES a sentence boundary is invisible
+  * to sentence-granularity dedup (no complete sentence repeats), but
+  * every w-token window inside the boilerplate still collides.
+  */
+class DedupSubstringSpec extends SparkSpecBase {
+
+  // 12 tokens of boilerplate with a period in the MIDDLE of it: the
+  // shared region spans a sentence boundary, so neither of its two
+  // sentence fragments repeats as a complete sentence once embedded in
+  // different surroundings.
+  private val boiler =
+    "subscribe to our newsletter today. unsubscribe any time via the account page"
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, s"alpha bravo charlie delta echo $boiler foxtrot golf hotel india"),
+      (2L, s"one two three four five six seven $boiler eight nine ten"),
+      (3L, "completely unrelated words that never repeat anywhere in this corpus at all")
+    ).toDF("doc_id", "text")
+  }
+
+  test("cross-sentence boilerplate is caught as a merged span in both docs") {
+    val spans = graft.operators.DedupSuite.substringDupSpans(corpus, 8)
+      .orderBy("doc_id", "start_tok").collect()
+    // only the two boilerplate carriers are flagged; the clean doc is not
+    assert(spans.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // doc 1: boilerplate occupies tokens 6..17 (1-based); with w=8 the
+    // colliding windows are exactly those fully inside it (starts 6..10),
+    // merged into ONE maximal span [6, 17]
+    val d1 = spans(0)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) === ((6L, 17L, 5L)))
+    // doc 2: same 12 tokens starting at token 8
+    val d2 = spans(1)
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) === ((8L, 19L, 5L)))
+  }
+
+  test("sentence-level dedup misses the same boilerplate (the gap this operator closes)") {
+    // the dedup_span_exact shape at its own granularity: split on '. ',
+    // hash complete spans, flag spans appearing in >1 doc. The
+    // boilerplate's two fragments each carry different surrounding
+    // words, so NO span repeats.
+    val spans = corpus
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\. ")).as("span"))
+      .groupBy("span").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    assert(spans.count() === 0L)
+  }
+
+  test("windows shorter than w and unique docs produce no spans") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
+    // both docs identical but under w tokens: no window exists, no flag
+    assert(graft.operators.DedupSuite.substringDupSpans(tiny, 8).count() === 0L)
+  }
+}
