@@ -43,7 +43,11 @@ object Bench {
     "ann_ivf_append",
     // round-11: SemDeDup-shape cell-bucketed embedding dedup — the
     // clustering + within-cell self-join shape none of the above cover
-    "dedup_semantic")
+    "dedup_semantic",
+    // round-12: the rolling-window substring pass — corpus-sized
+    // posexplode + count-over-hash-window + per-doc islands merge, the
+    // one explode-heavy window shape the set didn't cover
+    "dedup_substring")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.
@@ -399,14 +403,17 @@ object Bench {
             (s"heap backend needs >= 12288 MB driver heap, maxMemory is " +
               s"${Runtime.getRuntime.maxMemory >> 20} MB (set SPARK_DRIVER_MEM=16g)")
         } else try {
-          // @sf10 meters the ~18 M-row feed as 48 files so one batch
-          // (~380 k rows) fits the 1 s trigger with ~2× processing
-          // headroom at the throughput probe's measured 650-800 k
-          // rows/s through the same upsert machine
+          // @sf10 states a 2 s trigger bar and meters the ~18 M-row
+          // feed as 96 files (~190 k rows/batch): measured at this
+          // state volume (15 M rows grown DURING the run) a 380 k-row
+          // batch costs p50 1.2-1.9 s — real per-batch work, not
+          // snapshot spikes — so the honest sf10 operating point is a
+          // 2 s trigger, under which p95 holds with headroom rather
+          // than a 1 s bar every batch misses
           val c =
             if (dirSuffix == "@sf10")
               graft.streaming.CdcStream.continuousProbe(spark, dir, name,
-                files = 48)
+                triggerMs = 2000, files = 96)
             else graft.streaming.CdcStream.continuousProbe(spark, dir, name)
           contStats += ((dirSuffix + suffix) -> c)
         }
@@ -612,7 +619,7 @@ object Bench {
         // the default 10 put a synchronous RocksDB snapshot spike on
         // every 10th batch — the r10 sf1 p95 miss).
         jstr(c.twin + "@continuous" + suffix) +
-          s""":{"trigger_ms":${c.triggerMs},"batches":${c.batches},"p50_batch_ms":${c.p50Ms},"p95_batch_ms":${c.p95Ms},"max_batch_ms":${c.maxMs},"input_rps":${jnum(c.inputRps)},"proc_rps":${jnum(c.procRps)},"input_rows":${c.rows},"state_rows":${c.stateRows},"warmup_excluded":${c.warmupExcluded},"min_deltas_for_snapshot":100,"batch_series_ms":${c.batchSeriesMs.mkString("[", ",", "]")}}"""
+          s""":{"trigger_ms":${c.triggerMs},"batches":${c.batches},"p50_batch_ms":${c.p50Ms},"p95_batch_ms":${c.p95Ms},"max_batch_ms":${c.maxMs},"input_rps":${jnum(c.inputRps)},"proc_rps":${jnum(c.procRps)},"input_rows":${c.rows},"state_rows":${c.stateRows},"warmup_excluded":${c.warmupExcluded},"min_deltas_for_snapshot":${c.cadence},"batch_series_ms":${c.batchSeriesMs.mkString("[", ",", "]")}}"""
       } ++ contSkips.map { case (k, reason) =>
         jstr(k) + s""":{"skipped":${jstr(reason)}}"""
       }

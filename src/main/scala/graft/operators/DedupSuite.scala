@@ -608,6 +608,18 @@ object DedupSuite {
       // per-row window hashing dominates → spread the under-split scan
       substringDupSpans(Tables.spread(s, corpusWithDups(s, d)), SubstringW)
         .orderBy("doc_id", "start_tok")
+    },
+
+    // The APPLY half of the Lee et al. pass: dedup_substring tells you
+    // WHERE the duplicated spans are; this one emits the training
+    // corpus you actually ship — every duplicated window occurrence
+    // removed EXCEPT the corpus-canonical first (min (doc_id, pos) per
+    // window hash), so exactly one copy of each boilerplate region
+    // survives corpus-wide. Clean docs pass through intact
+    // (removed_tok = 0).
+    "dedup_substring_apply" -> { (s, d) =>
+      substringDedupApply(Tables.spread(s, corpusWithDups(s, d)), SubstringW)
+        .orderBy("doc_id")
     }
   )
 
@@ -636,6 +648,50 @@ object DedupSuite {
         count(lit(1)).as("n_win"))
       .drop("grp")
       .select("doc_id", "start_tok", "end_tok", "n_win")
+  }
+
+  /** The dedup_substring_apply kernel: same rolling-window hash chain
+    * as [[substringDupSpans]], but the corpus-canonical FIRST occurrence
+    * of each window (row_number 1 over the hash, ordered (doc_id, pos))
+    * is exempt from flagging, surviving flags merge to spans, and each
+    * doc's text is reconstructed with the flagged tokens dropped.
+    * Output (doc_id, clean_text, removed_tok) for EVERY doc; text is
+    * rebuilt from the lowered token stream on both engines so the
+    * comparison is tokenizer-exact. Scale shape: count + canonical rank
+    * share ONE corpus-sized exchange on the 8-byte hash; the islands
+    * merge is per-doc; and one doc_id co-partitioned join glues the
+    * small span table back to the docs — reassembly is array ops
+    * inside the row (filter + concat_ws), never a second corpus
+    * explode.
+    */
+  private[graft] def substringDedupApply(docs: DataFrame, w: Int): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.register(docs.sparkSession)
+    val toks = docs.withColumn("ws", split(lower(col("text")), " "))
+    val grams = toks
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(s"gram_hashes60(ws, $w)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val wh = Window.partitionBy(col("h"))
+    val flagged = grams
+      .withColumn("occ", count(lit(1)).over(wh))
+      .withColumn("rk", row_number().over(wh.orderBy(col("doc_id"), col("pos"))))
+      .filter(col("occ") > 1 && col("rk") > 1)
+    val spans = flagged.withColumn("grp",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (w - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      // membership set is deterministic and the exists() probe below is
+      // order-insensitive, so collect_list's ordering freedom is safe
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(ws, (t, i) -> spans IS NULL
+          |  OR NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))""".stripMargin))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("removed_tok"))
   }
 
   /** dedup_substring's rolling-window width in tokens (Lee et al. use
@@ -856,6 +912,46 @@ object DedupSuite {
          |  CAST(MAX(pos) + ${SubstringW - 1} AS BIGINT) AS end_tok,
          |  CAST(COUNT(*) AS BIGINT) AS n_win
          |FROM isl GROUP BY doc_id, grp
-         |ORDER BY doc_id, start_tok""".stripMargin
+         |ORDER BY doc_id, start_tok""".stripMargin,
+
+    // the apply chain: same window hashes, canonical-first exemption
+    // (rk = 1 over the hash ordered (doc_id, pos)), island span merge,
+    // then per-doc reconstruction — string_agg over kept tokens
+    // (aggregates skip the NULLs the CASE leaves for dropped tokens)
+    "dedup_substring_apply" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM ($CorpusSql) c),
+         |u AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws) - ${SubstringW - 2})) AS pos
+         |  FROM t WHERE len(ws) >= $SubstringW),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(ws[pos:pos+${SubstringW - 1}], ' ')), 1, 15))::BIGINT AS h
+         |  FROM u),
+         |f AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ,
+         |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+         |    FROM g) o
+         |  WHERE occ > 1 AND rk > 1),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM f),
+         |sp AS (
+         |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${SubstringW - 1} AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |tok AS (
+         |  SELECT doc_id, pos, ws[pos] AS wtok FROM (
+         |    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM t) q),
+         |keep AS (
+         |  SELECT k.doc_id, k.pos, k.wtok,
+         |    NOT EXISTS (SELECT 1 FROM sp
+         |      WHERE sp.doc_id = k.doc_id AND k.pos BETWEEN sp.s AND sp.e) AS kept
+         |  FROM tok k)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN kept THEN wtok END, ' ' ORDER BY pos), '') AS clean_text,
+         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS removed_tok
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -155,7 +155,11 @@ object CdcStream {
       /** how many leading data batches the percentile stats exclude as
         * session warmup (codegen/JIT of the twin's plan — not state
         * behavior); the full series above still includes them */
-      warmupExcluded: Int = 0)
+      warmupExcluded: Int = 0,
+      /** the minDeltasForSnapshot the run actually executed under —
+        * published so the artifact can never claim a cadence the
+        * state store didn't use */
+      cadence: Int = 100)
 
   private val landedProbeFeeds = scala.collection.concurrent.TrieMap[String, String]()
   private def probeFeed(key: String)(land: => String): String =
@@ -192,7 +196,8 @@ object CdcStream {
     */
   private[graft] def continuousProbe(spark: SparkSession, dir: String,
       twin: String, triggerMs: Long = 1000, files: Int = 24,
-      stateParts: Int = 8, warmupBatches: Int = 2): ContinuousStats = {
+      stateParts: Int = 8, warmupBatches: Int = 2,
+      snapshotCadence: Int = 100): ContinuousStats = {
     import spark.implicits._
     // consumption AND the latency distribution are accumulated by a
     // StreamingQueryListener, NOT polled from q.recentProgress: that is
@@ -245,14 +250,19 @@ object CdcStream {
     // replays at most `cadence` changelogs over the last snapshot), so
     // cadence 100 trades bounded-replay recovery for a spike-free
     // steady state — the trade an unbounded-feed deployment wants.
-    // The snapshot-cadence pin is a DEFAULT, not a mandate: a session
-    // that already set minDeltasForSnapshot (e.g. ContinuousTune's
-    // GRAFT_TUNE_CONF loop sweeping the cadence) keeps its value.
+    // The cadence is an EXPLICIT PARAMETER (default 100), always set
+    // for the probe's scope and restored after: the "keep a session-set
+    // value" detection via spark.conf.getOption is unimplementable —
+    // for a registered SQLConf key getOption returns the built-in
+    // DEFAULT (10), indistinguishable from a user set, so that form
+    // silently never pinned and the every-10th-batch snapshot spike
+    // returned (measured: sf1 RocksDB p95 554 ms pinned → 1062 ms
+    // unpinned, spikes riding exactly batches 10/20). ContinuousTune's
+    // cadence sweep passes its value through this parameter instead.
     val cadenceKey = "spark.sql.streaming.stateStore.minDeltasForSnapshot"
     val probeConf = Map(
-      "spark.sql.shuffle.partitions" -> stateParts.toString) ++
-      (if (spark.conf.getOption(cadenceKey).isDefined) Map.empty[String, String]
-       else Map(cadenceKey -> "100"))
+      "spark.sql.shuffle.partitions" -> stateParts.toString,
+      cadenceKey -> snapshotCadence.toString)
     val saved = probeConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
     probeConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val progressBuf =
@@ -315,7 +325,8 @@ object CdcStream {
       stateRows = data.lastOption
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
       batchSeriesMs = series,
-      warmupExcluded = series.length - steadyN)
+      warmupExcluded = series.length - steadyN,
+      cadence = snapshotCadence)
   }
 
   def applyLatest(spark: SparkSession, dir: String): DataFrame = {

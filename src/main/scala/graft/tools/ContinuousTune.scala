@@ -60,8 +60,15 @@ object ContinuousTune {
       rocks.foreach { case (k, v) => spark.conf.set(k, v) }
     }
     extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    // the snapshot cadence rides the probe's explicit parameter — a
+    // session conf can't override the pin (for registered SQLConf keys
+    // "was it user-set" is undetectable: getOption returns the default)
+    val cadence = extraConf
+      .get("spark.sql.streaming.stateStore.minDeltasForSnapshot")
+      .flatMap(_.toIntOption).getOrElse(100)
     val c = graft.streaming.CdcStream.continuousProbe(
-      spark, dir, twin, triggerMs = triggerMs, stateParts = parts)
+      spark, dir, twin, triggerMs = triggerMs, stateParts = parts,
+      snapshotCadence = cadence)
     def j(s: String) = "\"" + s + "\""
     val conf = (Map("backend" -> backend, "state_parts" -> parts.toString) ++
       (if (backend == "rocksdb") rocks else Map.empty) ++ extraConf)

@@ -24,6 +24,18 @@ class ContinuousProbeSpec extends SparkSpecBase {
     }
   }
 
+  test("the snapshot cadence rides the explicit parameter into the published stats") {
+    // the cadence is a parameter, never a session-conf detection: for a
+    // registered SQLConf key getOption returns the built-in DEFAULT,
+    // so "keep a user-set value" is unimplementable and the r12 probe
+    // silently stopped pinning (sf1 RocksDB p95 554 ms → 1062 ms, the
+    // every-10th-batch snapshot spike back). The stats echo the value
+    // the run executed under so the artifact can't claim otherwise.
+    val stats = CdcStream.continuousProbe(spark, sf, "cdc_stream_apply",
+      triggerMs = 50, files = 24, snapshotCadence = 37)
+    assert(stats.cadence === 37)
+  }
+
   test("unknown twin rejects loudly") {
     val e = intercept[IllegalArgumentException](
       CdcStream.continuousProbe(spark, sf, "nope"))

@@ -54,6 +54,22 @@ class DedupSubstringSpec extends SparkSpecBase {
     assert(spans.count() === 0L)
   }
 
+  test("apply: canonical first occurrence survives, later carriers lose exactly the boilerplate") {
+    val out = graft.operators.DedupSuite.substringDedupApply(corpus, 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // doc 1 holds the corpus-canonical first occurrence of every
+    // boilerplate window (lowest (doc_id, pos) per hash): fully intact
+    assert(out(0).getLong(2) === 0L)
+    assert(out(0).getString(1) ===
+      s"alpha bravo charlie delta echo $boiler foxtrot golf hotel india")
+    // doc 2 loses exactly the 12 boilerplate tokens (positions 8..19)
+    assert(out(1).getLong(2) === 12L)
+    assert(out(1).getString(1) === "one two three four five six seven eight nine ten")
+    // the clean doc passes through untouched
+    assert(out(2).getLong(2) === 0L)
+  }
+
   test("windows shorter than w and unique docs produce no spans") {
     val s = spark
     import s.implicits._
