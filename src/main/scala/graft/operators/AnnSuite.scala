@@ -176,6 +176,97 @@ object AnnSuite {
         explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
       .select(col("query_id"), col("p.cid").as("cell"), col("qe"))
 
+  /** Product-quantization search (Jégou et al., TPAMI 2011 — the
+    * memory-bounded ANN scale path: an M-byte code per vector instead
+    * of the raw floats). Training mirrors [[ivfBuild]] per SUBSPACE:
+    * the same hash-ordered seed rule, one fixed-point Lloyd step, and
+    * the native argmin — everything deterministic, so both codebook
+    * and codes are bit-reproducible and the whole chain is
+    * oracle-checkable. Query is asymmetric distance computation (ADC):
+    * each query precomputes its (subspace × sub-centroid) distance
+    * table ONCE (e6-quantized to integers BEFORE the cross-subspace
+    * sum, so scoring is reduction-order-proof BIGINT adds), then every
+    * candidate costs M integer table lookups instead of a 64-dim float
+    * loop. Scale shape: codebooks and per-query tables are broadcast
+    * (ksub·M sub-centroids ≈ KBs); encoding is ONE narrow projection
+    * over the corpus (no row explosion — the per-j argmin runs inside
+    * an array expression); only Lloyd's mean explodes (corpus × dims,
+    * the [[lloydStep]] cost class, training-time only).
+    */
+  private[graft] def pqSearch(corpus: DataFrame, queriesDf: DataFrame,
+      m: Int, dsub: Int, ksub: Int, topK: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    // one row: subcents[j+1] = cid-ascending array<struct<cid, ce>> of
+    // subspace j's codebook (array order IS the oracle's ORDER BY cid)
+    def subcentsArr(cents: DataFrame): DataFrame =
+      cents.groupBy(col("j"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("sc").as("ce")))).as("jc"))
+        .agg(array_sort(collect_list(struct(col("j"), col("jc")))).as("jcs"))
+        .select(expr("transform(jcs, x -> x.jc)").as("subcents"))
+    // seed codebook: subspace slices of the hash-ordered seed vectors
+    // (the ivfBuild seed rule, so the oracle shares its md5 ORDER BY)
+    val cents0 = kmeansSeeds(e, ksub)
+      .select(explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("cid"), col("ce"))
+      .select(col("j"), col("cid"), expr(s"slice(ce, j * $dsub + 1, $dsub)").as("sc"))
+    // winning seed cid per (vec, subspace) — native argmin, ties lowest
+    // cid (the codebook array is cid-ascending) — then ONE explode to
+    // (j, cid, pos) for the fixed-point Lloyd mean
+    val refined = e.crossJoin(broadcast(subcentsArr(cents0)))
+      .withColumn("c0", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  nearest_centroid(slice(embedding, j * $dsub + 1, $dsub),
+           |    element_at(subcents, j + 1)).cid)""".stripMargin))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("c0"))
+      .select(col("j"), expr("element_at(c0, j + 1)").as("cid"),
+        posexplode(expr(s"slice(embedding, j * $dsub + 1, $dsub)")))
+      .groupBy(col("j"), col("cid"), col("pos"))
+      .agg((sum(floor(col("col").cast("double") * 1e6 + 0.5)).cast("double")
+        / count(lit(1)) / 1e6).as("mv"))
+      .groupBy(col("j"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("j"), col("cid"),
+        expr("transform(pm, x -> CAST(x.mv AS FLOAT))").as("sc"))
+    val book = subcentsArr(refined).localCheckpoint()
+    // encode: slot (1-based position in the cid-ascending codebook) of
+    // the winning refined sub-centroid, all M subspaces in one
+    // projection — the corpus is scanned once, nothing explodes
+    val codes = e.crossJoin(broadcast(book))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  array_position(
+           |    transform(element_at(subcents, j + 1), c -> c.cid),
+           |    nearest_centroid(slice(embedding, j * $dsub + 1, $dsub),
+           |      element_at(subcents, j + 1)).cid))""".stripMargin))
+      .select(col("vec_id").as("cand_id"), col("codes"))
+    // ADC tables: per (query, subspace, slot) squared distance,
+    // e6-floored to BIGINT before any summing
+    val dtab = queriesDf.select(col("query_id"), col("embedding"))
+      .crossJoin(broadcast(book))
+      .withColumn("dtab", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  transform(element_at(subcents, j + 1), c ->
+           |    CAST(FLOOR(aggregate(
+           |      zip_with(slice(embedding, j * $dsub + 1, $dsub), c.ce,
+           |        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+           |                * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+           |      CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1e6 + 0.5) AS BIGINT)))"""
+          .stripMargin))
+      .select(col("query_id"), col("dtab"))
+    val scored = codes.crossJoin(broadcast(dtab))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist_e6", expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT),
+           |  (acc, j) -> acc + element_at(element_at(dtab, j + 1),
+           |    CAST(element_at(codes, j + 1) AS INT)))""".stripMargin))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("query_id", "cand_id", "adist_e6", "rk")
+  }
+
   /** Query phase against a built index: probe `nprobe` nearest cells,
     * exact-cosine re-rank inside them only. The index never rebuilds.
     */
@@ -467,6 +558,22 @@ object AnnSuite {
             .cast("long").as("frac_scanned_e6"))
       }
       legs.reduce(_.unionByName(_)).orderBy("nprobe")
+    },
+
+    // Product-quantization ANN (the M-bytes-per-vector memory scale
+    // path): 8 subspaces × 8 dims, 16 sub-centroids each — one byte of
+    // code per subspace — trained with ivfBuild's seed + fixed-point
+    // Lloyd kernels per subspace, queried by integer ADC table lookups.
+    // Deterministic end to end, so codebook, codes, AND the served
+    // top-5 are all hash-checked against the DuckDB mirror.
+    "ann_pq" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      pqSearch(e,
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        m = 8, dsub = 8, ksub = 16, topK = 5)
+        .orderBy("query_id", "rk")
     },
 
     // Deterministic k-means over the embedding corpus (k = IvfK, TWO
@@ -761,6 +868,71 @@ object AnnSuite {
          |SELECT * FROM (
          |${legs.mkString("", "\nUNION ALL\n", "")}
          |) u ORDER BY nprobe""".stripMargin
+    },
+
+    "ann_pq" -> {
+      // the PQ chain per subspace j (0..7): hash-ordered seeds sliced
+      // into sub-vectors, argmin assignment (ties lowest cid), one
+      // fixed-point Lloyd mean, re-encode, then ADC — per-(query, j,
+      // sub-centroid) squared distances e6-floored to BIGINT BEFORE the
+      // cross-subspace sum. `slot` (ROW_NUMBER over cid within j) is
+      // the oracle twin of the Spark side's array_position into the
+      // cid-ascending codebook array.
+      val subDist = (sv: String, sc: String) =>
+        s"""list_sum(list_transform(range(1, 9),
+           |      i -> (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))
+           |         * (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM e
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+         |  LIMIT 16),
+         |sub0 AS (
+         |  SELECT j, cid, ce[j*8+1 : j*8+8] AS sc FROM seeds, range(0, 8) r(j)),
+         |d0 AS (
+         |  SELECT e.vec_id, s.j, s.cid,
+         |    ${subDist("e.embedding[s.j*8+i]", "s.sc[i]")} AS dist
+         |  FROM e, sub0 s),
+         |a0 AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d0) t WHERE rn = 1),
+         |dims AS (
+         |  SELECT a0.j, a0.cid, i AS pos,
+         |    CAST(e.embedding[a0.j*8+i] AS DOUBLE) AS v
+         |  FROM a0 JOIN e USING (vec_id), range(1, 9) r(i)),
+         |cents AS (
+         |  SELECT j, cid, list(CAST(mv AS REAL) ORDER BY pos) AS sc FROM (
+         |    SELECT j, cid, pos,
+         |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS mv
+         |    FROM dims GROUP BY j, cid, pos) t GROUP BY j, cid),
+         |slots AS (
+         |  SELECT j, cid, sc, ROW_NUMBER() OVER (PARTITION BY j ORDER BY cid) AS slot
+         |  FROM cents),
+         |d1 AS (
+         |  SELECT e.vec_id, c.j, c.slot, c.cid,
+         |    ${subDist("e.embedding[c.j*8+i]", "c.sc[i]")} AS dist
+         |  FROM e, slots c),
+         |codes AS (
+         |  SELECT vec_id, j, slot FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d1) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
+         |dt AS (
+         |  SELECT q.query_id, c.j, c.slot,
+         |    CAST(FLOOR(${subDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q, slots c),
+         |sc2 AS (
+         |  SELECT dt.query_id, cd.vec_id AS cand_id,
+         |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
+         |  FROM codes cd JOIN dt ON dt.j = cd.j AND dt.slot = cd.slot
+         |  WHERE dt.query_id <> cd.vec_id
+         |  GROUP BY dt.query_id, cd.vec_id)
+         |SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY adist_e6, cand_id) AS rk
+         |  FROM sc2) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 
     "emb_kmeans" -> {
