@@ -169,4 +169,89 @@ class DedupSemanticSpec extends SparkSpecBase {
       s"explicit k must drop exactly the count probe's jobs " +
         s"(defaulted=$defaulted, explicit=$explicit, count=$countJobs)")
   }
+
+  test("torn-batch replay: a landed-but-uncommitted probe segment is rewritten, never duplicated") {
+    // the streaming twin's sink contract (the same batchId-keyed
+    // overwrite stream_ivf_append proves in IvfPersistSpec): if the
+    // process dies AFTER a micro-batch's pair segment lands but BEFORE
+    // the offset commit, the checkpoint re-drives that batchId and the
+    // replay OVERWRITES the torn segment — zero duplicate pairs, and
+    // the final table equals the bulk (standing × batch) probe.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{AnnSuite, DedupSuite}
+    import graft.sources.Scratch
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val k = DedupSuite.semanticK(spark, sf)
+    val idxDir = Scratch.dir("sem_torn_idx")
+    val idx = AnnSuite.ivfBuild(e, "vec_id", "embedding", k)
+    AnnSuite.ivfSave(
+      idx.copy(assigned = DedupSuite.gateHotBuckets(idx.assigned, Seq("cell"))),
+      idxDir)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding", expr("transform(embedding, (v, i) -> IF(i = 0, -v, v))"))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val feed = Scratch.dir("sem_torn_feed")
+    batch.repartition(4).write.mode("overwrite").parquet(feed)
+    val outDir = Scratch.dir("sem_torn_out")
+    val cp = Scratch.dir("sem_torn_cp")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def run(injectCrash: Boolean): Unit = {
+      val q = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val assigned = AnnSuite
+            .ivfAssignBatch(spark, idxDir, df, "vec_id", "embedding")
+            .select(col("cand_id").as("vec_b"), col("cell"), col("ce2").as("emb_b"))
+            .localCheckpoint()
+          val cells = assigned.select("cell").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val standing = spark.read.parquet(s"$idxDir/assigned.parquet")
+            .withColumn("cell", col("cell").cast("long"))
+            .filter(col("cell").isin(cells: _*))
+            .select(col("cand_id").as("vec_a"), col("cell"), col("ce2").as("emb_a"))
+          standing.join(assigned, Seq("cell"))
+            .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
+            .filter(col("cos") >= 0.8)
+            .select("cell", "vec_a", "vec_b", "cos")
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          // die AFTER the landing, BEFORE the checkpoint's offset commit
+          if (injectCrash && batchId == 2 && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected torn-batch crash")
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch {
+        case ex: org.apache.spark.sql.streaming.StreamingQueryException
+            if injectCrash && ex.getMessage.contains("injected torn-batch crash") => ()
+      }
+    }
+
+    run(injectCrash = true)
+    assert(crashed.get, "the injected crash never fired — batch 2 was not reached")
+    run(injectCrash = false) // restart: the checkpoint replays batch 2
+
+    val streamed = spark.read.parquet(outDir)
+      .select("cell", "vec_a", "vec_b", "cos")
+    val dupPairs = streamed.groupBy("vec_a", "vec_b")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dupPairs === 0, s"replay duplicated $dupPairs flagged pairs")
+    // equality to ONE bulk (standing × batch) probe — the same oracle
+    // algebra the clean-run equality test pins above
+    val standing = DedupSuite.gateHotBuckets(idx.assigned, Seq("cell"))
+      .select(col("cand_id").as("vec_a"), col("cell"), col("ce2").as("emb_a"))
+    val assignedAll = AnnSuite.kmeansAssign(batch, idx.centroids)
+      .select(col("vec_id").as("vec_b"), col("cid").as("cell"),
+        col("embedding").as("emb_b"))
+    val bulk = standing.join(assignedAll, Seq("cell"))
+      .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
+      .filter(col("cos") >= 0.8)
+      .select("cell", "vec_a", "vec_b", "cos")
+    assert(streamed.orderBy("cell", "vec_a", "vec_b").collect().map(_.toString).toSeq
+      === bulk.orderBy("cell", "vec_a", "vec_b").collect().map(_.toString).toSeq)
+  }
 }
