@@ -159,4 +159,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"recall_eval: no broadcast join in\n$p")
     assert(!p.contains("CartesianProduct"), "recall_eval: cartesian product")
   }
+
+  test("substring dedup joins stay non-cartesian; PQ serving never explodes the corpus") {
+    Seq("dedup_substring", "dedup_substring_apply").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q: cartesian product")
+    }
+    // ann_pq's TRAINING explode (Lloyd means) is sealed behind the
+    // codebook's localCheckpoint; the SERVING plan must be narrow —
+    // corpus scan × broadcast codebook/tables, in-row array argmin and
+    // ADC lookups, one window for the top-k. No Generate (a corpus
+    // explosion would multiply the scan by subspaces × dims), no
+    // cartesian, and only the top-k window + output ordering may
+    // exchange.
+    val p = plan("ann_pq")
+    assert(!p.contains("CartesianProduct"), "ann_pq: cartesian product")
+    assert(!p.contains("Generate"), s"ann_pq: serving plan explodes the corpus\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("[+\\-:\\s]*Exchange.*"))
+    assert(exchanges <= 3, s"ann_pq: $exchanges exchanges in the serving plan\n$p")
+  }
 }
