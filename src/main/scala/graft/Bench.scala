@@ -46,8 +46,9 @@ object Bench {
     "dedup_semantic",
     // round-12: the rolling-window substring pass — corpus-sized
     // posexplode + count-over-hash-window + per-doc islands merge, the
-    // one explode-heavy window shape the set didn't cover
-    "dedup_substring")
+    // one explode-heavy window shape the set didn't cover — and PQ/ADC
+    // serving, the broadcast-codebook integer-lookup shape
+    "dedup_substring", "ann_pq")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.
