@@ -576,6 +576,63 @@ object AnnSuite {
         .orderBy("query_id", "rk")
     },
 
+    // PQ's quantization-error gate, graded against the EXACT
+    // full-vector L2 truth (the same metric ADC approximates, so the
+    // gap is purely the codebook's) in BOTH operating modes a
+    // deployment chooses between: raw ADC top-3, and the standard
+    // production remedy — exact re-rank over the ADC top-50 shortlist
+    // (PQ prunes the corpus, floats re-rank only the shortlist). Truth
+    // distances e6-floor to BIGINT before ranking (ties by cand_id);
+    // one pqSearch serves both legs (top-3 = shortlist rk ≤ 3). All
+    // legs deterministic → the whole table is oracle-checked, the
+    // ann_recall_eval convention.
+    "ann_pq_recall" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val scoredAll = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("d_e6", floor(expr(
+          """aggregate(zip_with(qe, ce,
+            |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+            |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          * 1e6 + 0.5).cast("long"))
+        .select(col("query_id"), col("d_e6"), col("cand_id"))
+      val truth = graft.api.Graft.rankedByGroup(scoredAll,
+          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+      val short = pqSearch(e,
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          m = 8, dsub = 8, ksub = 16, topK = 50)
+        .select("query_id", "cand_id", "rk")
+      val gotAdc = short.filter(col("rk") <= 3)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("adc"))
+      val rerank = graft.api.Graft.rankedByGroup(
+          scoredAll.join(short.select("query_id", "cand_id"),
+            Seq("query_id", "cand_id")),
+          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("rr"))
+      truth.join(gotAdc, Seq("query_id", "cand_id"), "left")
+        .join(rerank, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("adc").isNotNull, 1L).otherwise(0L)).as("hits_adc"),
+          sum(when(col("rr").isNotNull, 1L).otherwise(0L)).as("hits_rerank"))
+        .select(col("query_id"), col("n_truth"),
+          col("hits_adc"),
+          floor(col("hits_adc").cast("double") * 1e6 / col("n_truth") + 0.5)
+            .cast("long").as("recall_adc_e6"),
+          col("hits_rerank"),
+          floor(col("hits_rerank").cast("double") * 1e6 / col("n_truth") + 0.5)
+            .cast("long").as("recall_rerank_e6"))
+        .orderBy("query_id")
+    },
+
     // Deterministic k-means over the embedding corpus (k = IvfK, TWO
     // Lloyd iterations — one past ivfBuild's single step): the
     // clustering primitive behind domain mixing, corpus cartography,
@@ -622,6 +679,68 @@ object AnnSuite {
        |      i -> ${OracleSq.format(c)} * ${OracleSq.format(c)}))""".stripMargin
   private val OracleNorm =
     "sqrt(list_sum(list_transform(%s, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
+  /** The shared PQ oracle chain (ann_pq + ann_pq_recall): per subspace
+    * j (0..7), hash-ordered seeds sliced into sub-vectors, argmin
+    * assignment (ties lowest cid), one fixed-point Lloyd mean,
+    * re-encode, then ADC — per-(query, j, sub-centroid) squared
+    * distances e6-floored to BIGINT BEFORE the cross-subspace sum.
+    * `slot` (ROW_NUMBER over cid within j) is the oracle twin of the
+    * Spark side's array_position into the cid-ascending codebook
+    * array. Ends at `sc2` (query_id, cand_id, adist_e6); consumers
+    * append CTEs or the final SELECT.
+    */
+  private def pqSubDist(sv: String, sc: String) =
+    s"""list_sum(list_transform(range(1, 9),
+       |      i -> (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))
+       |         * (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))))""".stripMargin
+  private lazy val PqChainSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM e
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+       |  LIMIT 16),
+       |sub0 AS (
+       |  SELECT j, cid, ce[j*8+1 : j*8+8] AS sc FROM seeds, range(0, 8) r(j)),
+       |d0 AS (
+       |  SELECT e.vec_id, s.j, s.cid,
+       |    ${pqSubDist("e.embedding[s.j*8+i]", "s.sc[i]")} AS dist
+       |  FROM e, sub0 s),
+       |a0 AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM d0) t WHERE rn = 1),
+       |dims AS (
+       |  SELECT a0.j, a0.cid, i AS pos,
+       |    CAST(e.embedding[a0.j*8+i] AS DOUBLE) AS v
+       |  FROM a0 JOIN e USING (vec_id), range(1, 9) r(i)),
+       |cents AS (
+       |  SELECT j, cid, list(CAST(mv AS REAL) ORDER BY pos) AS sc FROM (
+       |    SELECT j, cid, pos,
+       |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS mv
+       |    FROM dims GROUP BY j, cid, pos) t GROUP BY j, cid),
+       |slots AS (
+       |  SELECT j, cid, sc, ROW_NUMBER() OVER (PARTITION BY j ORDER BY cid) AS slot
+       |  FROM cents),
+       |d1 AS (
+       |  SELECT e.vec_id, c.j, c.slot, c.cid,
+       |    ${pqSubDist("e.embedding[c.j*8+i]", "c.sc[i]")} AS dist
+       |  FROM e, slots c),
+       |codes AS (
+       |  SELECT vec_id, j, slot FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM d1) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
+       |dt AS (
+       |  SELECT q.query_id, c.j, c.slot,
+       |    CAST(FLOOR(${pqSubDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+       |  FROM q, slots c),
+       |sc2 AS (
+       |  SELECT dt.query_id, cd.vec_id AS cand_id,
+       |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
+       |  FROM codes cd JOIN dt ON dt.j = cd.j AND dt.slot = cd.slot
+       |  WHERE dt.query_id <> cd.vec_id
+       |  GROUP BY dt.query_id, cd.vec_id)""".stripMargin
 
   /** The full IVF oracle chain, parameterized by the index-BUILD
     * corpus: seeds + the Lloyd step run over rows matching `basePred`
@@ -871,68 +990,59 @@ object AnnSuite {
     },
 
     "ann_pq" -> {
-      // the PQ chain per subspace j (0..7): hash-ordered seeds sliced
-      // into sub-vectors, argmin assignment (ties lowest cid), one
-      // fixed-point Lloyd mean, re-encode, then ADC — per-(query, j,
-      // sub-centroid) squared distances e6-floored to BIGINT BEFORE the
-      // cross-subspace sum. `slot` (ROW_NUMBER over cid within j) is
-      // the oracle twin of the Spark side's array_position into the
-      // cid-ascending codebook array.
-      val subDist = (sv: String, sc: String) =>
-        s"""list_sum(list_transform(range(1, 9),
-           |      i -> (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))
-           |         * (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |seeds AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM e
-         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-         |  LIMIT 16),
-         |sub0 AS (
-         |  SELECT j, cid, ce[j*8+1 : j*8+8] AS sc FROM seeds, range(0, 8) r(j)),
-         |d0 AS (
-         |  SELECT e.vec_id, s.j, s.cid,
-         |    ${subDist("e.embedding[s.j*8+i]", "s.sc[i]")} AS dist
-         |  FROM e, sub0 s),
-         |a0 AS (
-         |  SELECT vec_id, j, cid FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
-         |    FROM d0) t WHERE rn = 1),
-         |dims AS (
-         |  SELECT a0.j, a0.cid, i AS pos,
-         |    CAST(e.embedding[a0.j*8+i] AS DOUBLE) AS v
-         |  FROM a0 JOIN e USING (vec_id), range(1, 9) r(i)),
-         |cents AS (
-         |  SELECT j, cid, list(CAST(mv AS REAL) ORDER BY pos) AS sc FROM (
-         |    SELECT j, cid, pos,
-         |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS mv
-         |    FROM dims GROUP BY j, cid, pos) t GROUP BY j, cid),
-         |slots AS (
-         |  SELECT j, cid, sc, ROW_NUMBER() OVER (PARTITION BY j ORDER BY cid) AS slot
-         |  FROM cents),
-         |d1 AS (
-         |  SELECT e.vec_id, c.j, c.slot, c.cid,
-         |    ${subDist("e.embedding[c.j*8+i]", "c.sc[i]")} AS dist
-         |  FROM e, slots c),
-         |codes AS (
-         |  SELECT vec_id, j, slot FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
-         |    FROM d1) t WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
-         |dt AS (
-         |  SELECT q.query_id, c.j, c.slot,
-         |    CAST(FLOOR(${subDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
-         |  FROM q, slots c),
-         |sc2 AS (
-         |  SELECT dt.query_id, cd.vec_id AS cand_id,
-         |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
-         |  FROM codes cd JOIN dt ON dt.j = cd.j AND dt.slot = cd.slot
-         |  WHERE dt.query_id <> cd.vec_id
-         |  GROUP BY dt.query_id, cd.vec_id)
+      // the shared PqChainSql (see its doc) + the served top-5
+      s"""$PqChainSql
          |SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |                               ORDER BY adist_e6, cand_id) AS rk
          |  FROM sc2) t
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_pq_recall" -> {
+      // the quantization-error gate in both operating modes: ADC top-3
+      // and exact re-rank over the ADC top-50 shortlist, each graded
+      // against the exact full-vector L2 truth — truth distances
+      // e6-floored to BIGINT, ties by cand_id, every leg deterministic
+      s"""$PqChainSql,
+         |tdist AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY d_e6, cand_id) AS rk
+         |    FROM tdist) t WHERE rk <= 3),
+         |short AS (
+         |  SELECT query_id, cand_id, rk FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY adist_e6, cand_id) AS rk
+         |    FROM sc2) t WHERE rk <= 50),
+         |rr AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT t.query_id, t.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY t.query_id
+         |                         ORDER BY t.d_e6, t.cand_id) AS rk
+         |    FROM tdist t JOIN short s
+         |      ON s.query_id = t.query_id AND s.cand_id = t.cand_id) x
+         |  WHERE rk <= 3)
+         |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_adc,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_adc_e6,
+         |  CAST(SUM(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_rerank,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_rerank_e6
+         |FROM truth t
+         |LEFT JOIN (SELECT query_id, cand_id FROM short WHERE rk <= 3) g
+         |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id
+         |LEFT JOIN rr r
+         |  ON r.query_id = t.query_id AND r.cand_id = t.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
     },
 
     "emb_kmeans" -> {
