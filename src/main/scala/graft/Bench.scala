@@ -48,7 +48,13 @@ object Bench {
     // posexplode + count-over-hash-window + per-doc islands merge, the
     // one explode-heavy window shape the set didn't cover — and PQ/ADC
     // serving, the broadcast-codebook integer-lookup shape
-    "dedup_substring", "ann_pq")
+    "dedup_substring", "ann_pq",
+    // round-13: IVFADC — the composed coarse-prune + integer-ADC
+    // serving shape (partition-pruned code reads against the persisted
+    // cell layout), and the persisted flat-PQ serve (reload + ADC with
+    // no retraining — the fused ann_pq entry pays training, this one
+    // prices pure serving)
+    "ann_ivfpq", "ann_pq_persisted")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.
@@ -629,6 +635,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$sf01mJson$sf10Json$slJson$workJson$streamJson$contJson}"""
     println(line)
+    // A COMPACT summary line is printed LAST: the driver's artifact
+    // keeps only a ~2000-char stdout tail, and the full line above
+    // (per-batch series, per-query maps at four SFs) far exceeds it —
+    // r12's BENCH artifact captured a mid-JSON fragment and parsed to
+    // null. The compact line carries the headline walls + errors and
+    // fits the tail whole; the full record persists below.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","detail":"bench/last_bench.json"}""")
     // Persist the line: the driver's stdout capture keeps only a tail,
     // which truncated the per-query maps out of two rounds' artifacts —
     // the committed file makes round-over-round comparison

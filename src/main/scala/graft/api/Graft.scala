@@ -502,6 +502,65 @@ object Graft {
       idCol: String, embCol: String, nprobe: Int = 2, topK: Int = 3): DataFrame =
     graft.operators.AnnSuite.ivfQuery(index, queries, idCol, embCol, nprobe, topK)
 
+  /** Train a product-quantization codebook (Jégou et al. TPAMI 2011):
+    * `m` subspaces of `dsub` dims, `ksub` sub-centroids each —
+    * deterministic (hash-ordered seeds + one fixed-point Lloyd step per
+    * subspace), so retraining is bit-identical. Returned as the
+    * one-row broadcastable codebook frame.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int = 8, dsub: Int = 8, ksub: Int = 16): DataFrame =
+    graft.operators.AnnSuite.pqTrain(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      m, dsub, ksub)
+
+  /** Persist a trained PQ index (codebook + M-byte-per-vector codes);
+    * reload with [[pqLoad]] and serve with [[pqQuery]] — no retraining,
+    * no corpus access beyond the codes. Codes carrying a `cell` column
+    * (the IVFADC composition) persist cell-partitioned so probed-cell
+    * serving prunes partitions at the scan.
+    */
+  def pqSave(index: graft.operators.AnnSuite.PqIndex, dir: String): Unit =
+    graft.operators.AnnSuite.pqSave(index, dir)
+
+  def pqLoad(spark: SparkSession, dir: String): graft.operators.AnnSuite.PqIndex =
+    graft.operators.AnnSuite.pqLoad(spark, dir)
+
+  /** Serve a query batch from a (possibly reloaded) flat-PQ index by
+    * asymmetric distance computation: per-query integer tables, M
+    * lookups per candidate.
+    */
+  def pqQuery(index: graft.operators.AnnSuite.PqIndex, queries: DataFrame,
+      idCol: String, embCol: String, topK: Int = 5): DataFrame =
+    graft.operators.AnnSuite.pqQuery(index,
+      queries.select(col(idCol).as("query_id"), col(embCol).as("embedding")), topK)
+
+  /** Build the IVFADC composition (coarse cells + PQ codes): queries
+    * probe `nprobe` cells and run integer ADC only within them —
+    * memory M bytes/vector AND compute ~nprobe/k of the corpus per
+    * query batch. The codebook trains on plain sub-vectors (documented
+    * simplification vs per-cell residuals — keeps codes
+    * cell-independent and the chain oracle-checkable).
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
+      kCoarse: Int = 10, m: Int = 8, dsub: Int = 8, ksub: Int = 16)
+      : graft.operators.AnnSuite.IvfPqIndex =
+    graft.operators.AnnSuite.ivfPqBuild(corpus, idCol, embCol, kCoarse, m, dsub, ksub)
+
+  def ivfPqSave(index: graft.operators.AnnSuite.IvfPqIndex, dir: String): Unit =
+    graft.operators.AnnSuite.ivfPqSave(index, dir)
+
+  def ivfPqLoad(spark: SparkSession, dir: String): graft.operators.AnnSuite.IvfPqIndex =
+    graft.operators.AnnSuite.ivfPqLoad(spark, dir)
+
+  /** Serve a query batch from an IVFADC index: probe `nprobe` coarse
+    * cells, ADC-score only their codes (partition-pruned against a
+    * [[ivfPqSave]]d index), top-k per query.
+    */
+  def ivfPqQuery(index: graft.operators.AnnSuite.IvfPqIndex, queries: DataFrame,
+      idCol: String, embCol: String, nprobe: Int = 2, topK: Int = 5): DataFrame =
+    graft.operators.AnnSuite.ivfPqQuery(index, queries, idCol, embCol, nprobe, topK)
+
   /** Deterministic k-means over an embedding column: hash-ordered seed
     * sample, `iters` exact fixed-point Lloyd iterations, then a
     * per-cluster rollup (member count, e6-quantized inertia summed as
@@ -565,12 +624,29 @@ object Graft {
     * Idempotent per `batchId` (each batch overwrites exactly its own
     * segment), so a streaming checkpoint replaying a torn micro-batch
     * rewrites rather than duplicates it — pass foreachBatch's batchId
-    * through. Re-cluster (a fresh [[ivfBuild]]) when drift degrades
-    * recall — `ann_recall_eval` is the gate.
+    * through. `batchId` is REQUIRED: two appends sharing an id
+    * overwrite each other, so replay semantics are opt-in via an
+    * explicit id rather than a silent default (ad-hoc appends should
+    * pass any caller-unique id). Re-cluster (a fresh [[ivfBuild]])
+    * when drift degrades recall — `ann_recall_eval` is the gate.
     */
   def ivfAppend(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, embCol: String, batchId: Long = 0L): Unit =
+      idCol: String, embCol: String, batchId: Long): Unit =
     graft.operators.AnnSuite.ivfAppend(spark, dir, batch, idCol, embCol, batchId)
+
+  /** Fold every committed [[ivfAppend]] segment into a new compacted
+    * base generation — the living index's small-files maintenance
+    * (a 1 s-trigger stream lands ~86k segment directories per day;
+    * load-time listing degrades long before the data does). Crash-safe
+    * land-then-swap: the folded base lands under the next generation's
+    * name, a MANIFEST write commits it atomically (a torn write is
+    * self-invalidating and readers stay on the old generation), old
+    * dirs retire only after the commit. Run it from the SAME
+    * maintenance loop that drives ivfAppend (single-writer
+    * discipline). Returns false when there was nothing to fold.
+    */
+  def ivfCompact(spark: SparkSession, dir: String): Boolean =
+    graft.operators.AnnSuite.ivfCompact(spark, dir)
 
   // ---- Joins ---------------------------------------------------------
 

@@ -168,9 +168,9 @@ object AnnSuite {
     * price each nprobe in corpus rows scanned). `queriesDf` must carry
     * (query_id, embedding).
     */
-  private def probeCells(idx: IvfIndex, queriesDf: DataFrame,
+  private def probeCells(cents: DataFrame, queriesDf: DataFrame,
       nprobe: Int): DataFrame =
-    queriesDf.crossJoin(broadcast(centArray(idx.centroids)))
+    queriesDf.crossJoin(broadcast(centArray(cents)))
       .withColumn("dists", expr(DistsExpr))
       .select(col("query_id"), col("embedding").as("qe"),
         explode(expr(s"slice(array_sort(dists), 1, $nprobe)")).as("p"))
@@ -195,16 +195,38 @@ object AnnSuite {
     */
   private[graft] def pqSearch(corpus: DataFrame, queriesDf: DataFrame,
       m: Int, dsub: Int, ksub: Int, topK: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    org.apache.spark.sql.graft.Bridge.register(spark)
     val e = corpus.select(col("vec_id"), col("embedding"))
-    // one row: subcents[j+1] = cid-ascending array<struct<cid, ce>> of
-    // subspace j's codebook (array order IS the oracle's ORDER BY cid)
-    def subcentsArr(cents: DataFrame): DataFrame =
-      cents.groupBy(col("j"))
-        .agg(array_sort(collect_list(struct(col("cid"), col("sc").as("ce")))).as("jc"))
-        .agg(array_sort(collect_list(struct(col("j"), col("jc")))).as("jcs"))
-        .select(expr("transform(jcs, x -> x.jc)").as("subcents"))
+    val book = pqTrain(e, m, dsub, ksub)
+    val codes = pqEncode(e, book, m, dsub)
+    val dtab = pqAdcTables(queriesDf, book, m, dsub)
+    val scored = codes.crossJoin(broadcast(dtab))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist_e6", expr(adcSumExpr(m)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("query_id", "cand_id", "adist_e6", "rk")
+  }
+
+  /** One row: subcents[j+1] = cid-ascending array<struct<cid, ce>> of
+    * subspace j's codebook (array order IS the oracle's ORDER BY cid).
+    */
+  private def subcentsArr(cents: DataFrame): DataFrame =
+    cents.groupBy(col("j"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("sc").as("ce")))).as("jc"))
+      .agg(array_sort(collect_list(struct(col("j"), col("jc")))).as("jcs"))
+      .select(expr("transform(jcs, x -> x.jc)").as("subcents"))
+
+  /** PQ codebook training over (vec_id, embedding): per-subspace
+    * hash-ordered seeds + one fixed-point Lloyd step (the [[ivfBuild]]
+    * kernels per SUBSPACE), returned as the one-row broadcastable
+    * `subcents` frame, localCheckpointed — everything deterministic,
+    * so a retrained codebook is bit-identical and the oracle's md5
+    * ORDER BY reproduces it. The Lloyd mean is the one corpus × dims
+    * explode in the PQ family — training-time only.
+    */
+  private[graft] def pqTrain(e: DataFrame, m: Int, dsub: Int, ksub: Int): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.register(e.sparkSession)
     // seed codebook: subspace slices of the hash-ordered seed vectors
     // (the ivfBuild seed rule, so the oracle shares its md5 ORDER BY)
     val cents0 = kmeansSeeds(e, ksub)
@@ -229,21 +251,35 @@ object AnnSuite {
       .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
       .select(col("j"), col("cid"),
         expr("transform(pm, x -> CAST(x.mv AS FLOAT))").as("sc"))
-    val book = subcentsArr(refined).localCheckpoint()
-    // encode: slot (1-based position in the cid-ascending codebook) of
-    // the winning refined sub-centroid, all M subspaces in one
-    // projection — the corpus is scanned once, nothing explodes
-    val codes = e.crossJoin(broadcast(book))
+    subcentsArr(refined).localCheckpoint()
+  }
+
+  /** Encode: slot (1-based position in the cid-ascending codebook) of
+    * the winning sub-centroid per subspace, all M subspaces in one
+    * narrow projection — the input is scanned once, nothing explodes.
+    * `carry` columns (e.g. the coarse `cell` for IVFADC) pass through
+    * alongside the codes.
+    */
+  private[graft] def pqEncode(e: DataFrame, book: DataFrame,
+      m: Int, dsub: Int, carry: Seq[String] = Seq.empty): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.register(e.sparkSession)
+    e.crossJoin(broadcast(book))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), j ->
            |  array_position(
            |    transform(element_at(subcents, j + 1), c -> c.cid),
            |    nearest_centroid(slice(embedding, j * $dsub + 1, $dsub),
            |      element_at(subcents, j + 1)).cid))""".stripMargin))
-      .select(col("vec_id").as("cand_id"), col("codes"))
-    // ADC tables: per (query, subspace, slot) squared distance,
-    // e6-floored to BIGINT before any summing
-    val dtab = queriesDf.select(col("query_id"), col("embedding"))
+      .select((col("vec_id").as("cand_id") +: col("codes") +: carry.map(col)): _*)
+  }
+
+  /** ADC tables: per (query, subspace, slot) squared distance,
+    * e6-floored to BIGINT before any summing, one row per query —
+    * broadcastable (queries ≪ corpus).
+    */
+  private[graft] def pqAdcTables(queriesDf: DataFrame, book: DataFrame,
+      m: Int, dsub: Int): DataFrame =
+    queriesDf.select(col("query_id"), col("embedding"))
       .crossJoin(broadcast(book))
       .withColumn("dtab", expr(
         s"""transform(sequence(0, ${m - 1}), j ->
@@ -255,16 +291,137 @@ object AnnSuite {
            |      CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1e6 + 0.5) AS BIGINT)))"""
           .stripMargin))
       .select(col("query_id"), col("dtab"))
-    val scored = codes.crossJoin(broadcast(dtab))
+
+  /** The ADC score: M integer table lookups summed as BIGINTs —
+    * reduction-order-proof. Expects `codes` and `dtab` in scope.
+    */
+  private def adcSumExpr(m: Int): String =
+    s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT),
+       |  (acc, j) -> acc + element_at(element_at(dtab, j + 1),
+       |    CAST(element_at(codes, j + 1) AS INT)))""".stripMargin
+
+  /** A persisted-PQ serving index: the one-row codebook plus the
+    * M-byte-per-vector codes (codes may also carry the coarse `cell`
+    * for the IVFADC composition). `m`/`dsub` ride along so a loaded
+    * index can rebuild its ADC expressions without re-deriving them
+    * from the book row.
+    */
+  case class PqIndex(book: DataFrame, codes: DataFrame, m: Int, dsub: Int)
+
+  /** Persist a trained PQ index — build-once-serve-many across
+    * sessions, the [[ivfSave]] twin. Codes partition by `cell` when
+    * the IVFADC composition carries it, so probed-cell serving prunes
+    * whole partitions at the scan.
+    */
+  private[graft] def pqSave(idx: PqIndex, dir: String): Unit = {
+    idx.book.write.mode("overwrite").parquet(s"$dir/book.parquet")
+    val w = idx.codes.write.mode("overwrite")
+    (if (idx.codes.columns.contains("cell")) w.partitionBy("cell") else w)
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** Reload a [[pqSave]]d index; serves identically to the freshly
+    * trained one (training is deterministic, the round-trip lossless —
+    * PqPersistSpec pins reload equality). `m`/`dsub` come from the
+    * book row itself (one head() on a one-row frame).
+    */
+  private[graft] def pqLoad(spark: SparkSession, dir: String): PqIndex = {
+    val book = spark.read.parquet(s"$dir/book.parquet")
+    val sub = book.select(
+      size(col("subcents")).as("m"),
+      size(expr("element_at(element_at(subcents, 1), 1).ce")).as("dsub")).head()
+    val codesRaw = spark.read.parquet(s"$dir/codes.parquet")
+    val codes =
+      if (codesRaw.columns.contains("cell"))
+        codesRaw.withColumn("cell", col("cell").cast("long"))
+      else codesRaw
+    PqIndex(book, codes, sub.getInt(0), sub.getInt(1))
+  }
+
+  /** Serve a query batch from a (possibly reloaded) flat-PQ index:
+    * ADC tables from the index's own book, integer lookups over every
+    * code — no retraining, no corpus access beyond the codes.
+    */
+  private[graft] def pqQuery(idx: PqIndex, queriesDf: DataFrame, topK: Int): DataFrame = {
+    val dtab = pqAdcTables(queriesDf, idx.book, idx.m, idx.dsub)
+    val scored = idx.codes.crossJoin(broadcast(dtab))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adist_e6", expr(
-        s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT),
-           |  (acc, j) -> acc + element_at(element_at(dtab, j + 1),
-           |    CAST(element_at(codes, j + 1) AS INT)))""".stripMargin))
+      .withColumn("adist_e6", expr(adcSumExpr(idx.m)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select("query_id", "cand_id", "adist_e6", "rk")
+  }
+
+  /** The IVFADC composition (Jégou et al. TPAMI 2011 §IV): coarse
+    * quantizer + PQ codes in one index. Flat ADC ([[pqSearch]]) solved
+    * MEMORY (M bytes per vector) but still linear-scans every code per
+    * query batch; here queries probe `nprobe` coarse cells first and
+    * run integer ADC only within them — corpus rows scanned drop by
+    * ~nprobe/k exactly as [[ivfQuery]]'s exact path demonstrates. The
+    * PQ codebook trains on PLAIN sub-vectors, not per-cell residuals —
+    * a documented simplification (Jégou et al. encode the residual
+    * x − q1(x); plain sub-vectors keep the codebook cell-independent,
+    * so the same code serves every probing pattern and the whole chain
+    * stays deterministic + oracle-mirrorable with the kernels already
+    * proven here).
+    */
+  case class IvfPqIndex(centroids: DataFrame, pq: PqIndex)
+
+  /** Build: one coarse [[ivfBuild]] (cells), one [[pqTrain]]
+    * (codebook), then codes encoded FROM the coarse assignment frame —
+    * which already carries (cand_id, cell, vector), so encoding adds
+    * no extra corpus scan and `cell` rides along with the codes.
+    */
+  private[graft] def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
+      kCoarse: Int, m: Int, dsub: Int, ksub: Int): IvfPqIndex = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse)
+    val book = pqTrain(e, m, dsub, ksub)
+    val codes = pqEncode(
+      coarse.assigned.select(col("cand_id").as("vec_id"), col("cell"),
+        col("ce2").as("embedding")),
+      book, m, dsub, carry = Seq("cell"))
+    IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub))
+  }
+
+  /** Persist the composed index: coarse centroids + book +
+    * cell-partitioned codes — the serving layout where a probe of
+    * `nprobe` cells prunes whole code partitions at the scan.
+    */
+  private[graft] def ivfPqSave(idx: IvfPqIndex, dir: String): Unit = {
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    pqSave(idx.pq, dir)
+  }
+
+  private[graft] def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$dir/centroids.parquet"), pqLoad(spark, dir))
+
+  /** Serve: probe `nprobe` coarse cells per query (the [[probeCells]]
+    * ranking — no window, no shuffle), then integer ADC over ONLY the
+    * probed cells' codes. The probes leg localCheckpoints and carries
+    * the likely-selective `cell >= 0` no-op so dynamic partition
+    * pruning fires against the cell-partitioned persisted codes (the
+    * [[ivfQuery]] pattern — PlanShapeSpec pins the pruned read); the
+    * broadcast hash join on `cell` prunes row-level either way.
+    */
+  private[graft] def ivfPqQuery(idx: IvfPqIndex, queriesDf0: DataFrame,
+      idCol: String, embCol: String, nprobe: Int, topK: Int): DataFrame = {
+    val queriesDf = queriesDf0
+      .select(col(idCol).as("query_id"), col(embCol).as("embedding"))
+    val probes = probeCells(idx.centroids, queriesDf, nprobe)
+      .select("query_id", "cell")
+      .localCheckpoint()
+      .filter(col("cell") >= 0)
+    val dtab = pqAdcTables(queriesDf, idx.pq.book, idx.pq.m, idx.pq.dsub)
+    val scored = idx.pq.codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(dtab), Seq("query_id"))
+      .withColumn("adist_e6", expr(adcSumExpr(idx.pq.m)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("query_id", "cand_id", "cell", "adist_e6", "rk")
   }
 
   /** Query phase against a built index: probe `nprobe` nearest cells,
@@ -284,7 +441,7 @@ object AnnSuite {
     // (query-set-sized — tiny) makes both consumers read the same
     // blocks, so a large query batch pays the probe compute once
     // (the r10 twin-subtree pattern; PlanShapeSpec pins the shape).
-    val probes = probeCells(idx, queriesDf, nprobe)
+    val probes = probeCells(idx.centroids, queriesDf, nprobe)
       .localCheckpoint()
       // semantically a no-op (cells are non-negative by construction),
       // but DPP's logical rule only fires when the filtering side
@@ -326,11 +483,103 @@ object AnnSuite {
     idx.assigned.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/assigned.parquet")
     // a save is a FULL rebuild: incremental segments from prior
-    // ivfAppend batches are superseded and must not leak into reloads
+    // ivfAppend batches AND any compacted generations (manifests,
+    // versioned base/appends dirs) are superseded and must not leak
+    // into reloads — the layout resets to generation 0
     val spark = idx.assigned.sparkSession
-    val appends = new org.apache.hadoop.fs.Path(s"$dir/appends.parquet")
-    val fs = appends.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(appends)) fs.delete(appends, true)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n == "appends.parquet" || n.startsWith("MANIFEST-") ||
+        n.startsWith("assigned_v") || n.startsWith("appends_v"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Resolve the index's CURRENT (base, appends, generation) names.
+    * Generation 0 is the [[ivfSave]] layout (`assigned.parquet` +
+    * `appends.parquet`, no manifest); each [[ivfCompact]] commits a
+    * `MANIFEST-<n>` naming a folded `assigned_v<n>.parquet` base and a
+    * fresh `appends_v<n>.parquet` segment root. The reader takes the
+    * HIGHEST manifest that parses completely (trailing newline — a
+    * torn manifest write is self-invalidating) and whose base dir
+    * exists, else falls back a generation — so a crash at ANY point of
+    * a compaction leaves a readable, exactly-once view.
+    */
+  private[graft] def resolveLayout(spark: SparkSession, dir: String)
+      : (String, String, Int) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests: Seq[(Int, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("MANIFEST-"))
+          n.stripPrefix("MANIFEST-").toIntOption.map(_ -> st.getPath)
+        else None
+      }.sortBy(-_._1)
+    manifests.foreach { case (gen, mp) =>
+      val in = fs.open(mp)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (content.endsWith("\n")) content.trim.split(" ") match {
+        case Array("v1", base, appends)
+            if fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$base")) =>
+          return (base, appends, gen)
+        case _ => ()
+      }
+    }
+    ("assigned.parquet", "appends.parquet", 0)
+  }
+
+  /** Fold every committed append segment into a NEW compacted base and
+    * atomically switch readers to it — the living index's answer to
+    * the small-files problem: a 1 s-trigger stream lands ~86k segment
+    * directories/day, and [[ivfLoad]]'s union + FileIndex listing
+    * degrade long before the data does (exactly what layout_compaction
+    * solves for tables). Run on a cadence from the SAME maintenance
+    * loop that drives [[ivfAppend]] (single-writer discipline: an
+    * append racing a compaction could land in a segment root the
+    * compaction is about to retire).
+    *
+    * Crash-safe land-then-swap: (1) the folded base lands under the
+    * next generation's name — an idempotent overwrite, so a torn
+    * attempt just redoes; (2) the generation commits by writing
+    * `MANIFEST-<n+1>` (a torn manifest write is self-invalidating —
+    * see [[resolveLayout]] — so readers stay on the old generation);
+    * (3) the old base + segments delete only AFTER the commit. At no
+    * point can a reader see a row zero or two times (IvfPersistSpec
+    * kills between every stage and proves the served top-k is
+    * byte-identical before/during/after).
+    *
+    * Returns false (no-op) when there are no committed segments to
+    * fold. `crashBeforeCommit` is the spec's torn-compaction hook: do
+    * the landing work, then "die" before the manifest commit.
+    */
+  private[graft] def ivfCompact(spark: SparkSession, dir: String,
+      crashBeforeCommit: Boolean = false): Boolean = {
+    val (base, appends, gen) = resolveLayout(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$appends"))) return false
+    val next = gen + 1
+    val newBase = s"assigned_v$next.parquet"
+    // 1. land the folded base (base ∪ segments, still cell-partitioned)
+    ivfLoad(spark, dir).assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/$newBase")
+    if (crashBeforeCommit) return false
+    // 2. commit the generation (readers switch at their next resolve)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$next"), true)
+    try out.write(s"v1 $newBase appends_v$next.parquet\n".getBytes("UTF-8"))
+    finally out.close()
+    // 3. retire the folded generation (invisible since step 2; a crash
+    // here leaves orphans that the next ivfSave rebuild clears)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$base"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$appends"), true)
+    if (gen > 0) fs.delete(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$gen"), true)
+    true
   }
 
   /** Reload a persisted index; the result serves [[ivfQuery]] exactly
@@ -343,14 +592,15 @@ object AnnSuite {
     * leg of the union).
     */
   private[graft] def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
-    val base = spark.read.parquet(s"$dir/assigned.parquet")
+    val (baseName, appendsName, _) = resolveLayout(spark, dir)
+    val base = spark.read.parquet(s"$dir/$baseName")
       .withColumn("cell", col("cell").cast("long"))
       .select("cand_id", "cell", "ce2")
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/appends.parquet")
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/$appendsName")
     val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
     val assigned = if (fs.exists(appendsPath))
       base.unionByName(
-        spark.read.parquet(s"$dir/appends.parquet")
+        spark.read.parquet(s"$dir/$appendsName")
           .withColumn("cell", col("cell").cast("long"))
           .select("cand_id", "cell", "ce2"))
     else base
@@ -390,13 +640,21 @@ object AnnSuite {
     * same rows instead of duplicating them. Assignment at fixed
     * centroids is deterministic, so the replayed segment is
     * byte-equivalent to the torn one it replaces.
+    *
+    * `batchId` is REQUIRED (no default): two appends sharing an id
+    * overwrite each other's segment — idempotent-replay semantics are
+    * opt-in via an explicit id, never the silent out-of-the-box
+    * behavior (pass foreachBatch's batchId, or any caller-unique id
+    * for ad-hoc appends).
     */
   private[graft] def ivfAppend(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, embCol: String,
-      batchId: Long = 0L): Unit =
+      batchId: Long): Unit = {
+    val (_, appendsName, _) = resolveLayout(spark, dir)
     ivfAssignBatch(spark, dir, batch, idCol, embCol)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/appends.parquet/batch_id=$batchId")
+      .parquet(s"$dir/$appendsName/batch_id=$batchId")
+  }
 
   /** Lake-pinned registry instance of [[ivfSearch]]. */
   private[graft] def ivf(k: Int, nprobe: Int): (SparkSession, String) => DataFrame = { (s, d) =>
@@ -457,7 +715,27 @@ object AnnSuite {
       // build-then-append cycle in the same directory
       ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
         "vec_id", "embedding", IvfK), dir)
-      ivfAppend(s, dir, e.filter(col("vec_id") % 7 === 3), "vec_id", "embedding")
+      ivfAppend(s, dir, e.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
+        batchId = 0L)
+      ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", IvfNProbe, 3)
+    },
+
+    // the living index's maintenance third leg (build → append →
+    // COMPACT): fold the committed segments into a new base generation
+    // and serve from it — same corpus, same fixed centroids, so the
+    // served result is identical to ann_ivf_append's and its oracle
+    // checks the whole fold (crash-safety is IvfPersistSpec's
+    // kill-between-every-stage job; the driver checks the values)
+    "ann_ivf_compact" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivf_compact/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK), dir)
+      ivfAppend(s, dir, e.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
+        batchId = 0L)
+      ivfCompact(s, dir)
       ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", IvfNProbe, 3)
     },
@@ -542,7 +820,7 @@ object AnnSuite {
         val rec = truth.join(got, Seq("query_id", "cand_id"), "left")
           .agg(count(lit(1)).as("n_truth"),
             sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
-        val scan = probeCells(idx, queriesDf, np)
+        val scan = probeCells(idx.centroids, queriesDf, np)
           .join(occ, Seq("cell"))
           .agg(sum(col("cell_n")).as("scanned_rows"),
             countDistinct(col("query_id")).as("nq"))
@@ -633,6 +911,84 @@ object AnnSuite {
         .orderBy("query_id")
     },
 
+    // The cross-session PQ serving path, oracle-checked end-to-end:
+    // train + encode, parquet-persist codebook + codes, reload, THEN
+    // serve query batches by ADC — no retraining, no corpus access
+    // beyond the codes (the ann_ivf_persisted precedent: ann_pq's
+    // fused entry re-ran the Lloyd explode on every invocation of what
+    // is conceptually a serving query). Training is deterministic and
+    // the round-trip lossless, so the fused entry's oracle checks it.
+    "ann_pq_persisted" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val dir = graft.sources.Scratch.stable(
+        "ann_pq_persisted/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val book = pqTrain(e, m = 8, dsub = 8, ksub = 16)
+      pqSave(PqIndex(book, pqEncode(e, book, m = 8, dsub = 8), 8, 8), dir)
+      pqQuery(pqLoad(s, dir),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // IVFADC (Jégou et al. §IV) — the full 100 TB ANN serving shape:
+    // coarse cells prune WHICH codes a query batch scans (~nprobe/k of
+    // the corpus), PQ codes bound what each scanned row costs (M
+    // integer lookups). Runs the operational chain end-to-end: build,
+    // persist (cell-partitioned codes), reload, serve — deterministic
+    // throughout, so the whole composition is hash-checked against the
+    // DuckDB mirror (coarse chain CTEs ∪ PQ chain CTEs).
+    "ann_ivfpq" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e, "vec_id", "embedding",
+        kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
+      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // IVFADC's quality gate against the exact full-vector L2 truth —
+    // what cell pruning COSTS on top of quantization error: recall@3
+    // of the probed-cells ADC top-3 (the ann_pq_recall convention;
+    // compare its recall_adc_e6 to price the nprobe/k pruning).
+    "ann_ivfpq_recall" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val truth = graft.api.Graft.rankedByGroup(
+          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+            .withColumn("d_e6", floor(expr(
+              """aggregate(zip_with(qe, ce,
+                |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+              * 1e6 + 0.5).cast("long"))
+            .select(col("query_id"), col("d_e6"), col("cand_id")),
+          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+      val got = ivfPqQuery(
+          ivfPqBuild(e, "vec_id", "embedding",
+            kCoarse = IvfK, m = 8, dsub = 8, ksub = 16),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          nprobe = IvfNProbe, topK = 3)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+      truth.join(got, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits_adc"))
+        .withColumn("recall_adc_e6",
+          floor(col("hits_adc").cast("double") * 1e6 / col("n_truth") + 0.5)
+            .cast("long"))
+        .orderBy("query_id")
+    },
+
     // Deterministic k-means over the embedding corpus (k = IvfK, TWO
     // Lloyd iterations — one past ivfBuild's single step): the
     // clustering primitive behind domain mixing, corpus cartography,
@@ -665,7 +1021,54 @@ object AnnSuite {
     // query (the round-trip is lossless and the build deterministic),
     // so the same oracle checks it — what makes "reload serves the
     // same answers" a driver-checked claim instead of a spec-only one
-    ("ann_ivf_persisted" -> oraclesBase("ann_ivf"))
+    ("ann_ivf_persisted" -> oraclesBase("ann_ivf")) +
+    // same algebra for PQ: train+persist+reload+serve ≡ the fused
+    // train+serve, so ann_pq's oracle checks the persisted path too
+    ("ann_pq_persisted" -> oraclesBase("ann_pq")) +
+    // compaction folds segments without changing the served set —
+    // build-then-append-then-compact ≡ build-then-append, so the
+    // append chain's oracle checks the folded index end-to-end
+    ("ann_ivf_compact" -> oraclesBase("ann_ivf_append"))
+
+  /** The coarse-quantizer CTE chain of the IVFADC oracles — the
+    * ann_ivf chain (seeds → one Lloyd step → final assignment +
+    * probes) with iv_-prefixed names so it composes with [[PqChainSql]]
+    * in one WITH list. Ends at `iv_a1` (cand_id, cell) and `iv_probes`
+    * (query_id, cell); build corpus = the whole table.
+    */
+  private lazy val IvfCellChainSql: String =
+    s"""iv_seeds AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM e
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+       |  LIMIT $IvfK),
+       |iv_d0 AS (
+       |  SELECT e.vec_id, s.cid, e.embedding,
+       |    ${oracleDist("s.ce")} AS dist
+       |  FROM e, iv_seeds s),
+       |iv_a0 AS (
+       |  SELECT vec_id, cid, embedding FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM iv_d0) t WHERE rn = 1),
+       |iv_dims AS (
+       |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM iv_a0, range(1, 65) r(i)),
+       |iv_cents AS (
+       |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
+       |    SELECT cid, i,
+       |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
+       |    FROM iv_dims GROUP BY cid, i) t GROUP BY cid),
+       |iv_d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${oracleDist("c.ce")} AS dist
+       |  FROM e, iv_cents c),
+       |iv_a1 AS (
+       |  SELECT vec_id AS cand_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM iv_d1) t WHERE rn = 1),
+       |iv_probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM iv_d1 WHERE vec_id < 5) t WHERE rn <= $IvfNProbe)""".stripMargin
 
   /** Shared DuckDB-oracle fragments for the embedding-distance family —
     * one source of truth for the formula that ann_ivf, ann_recall_eval,
@@ -1042,6 +1445,57 @@ object AnnSuite {
          |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id
          |LEFT JOIN rr r
          |  ON r.query_id = t.query_id AND r.cand_id = t.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    },
+
+    "ann_ivfpq" -> {
+      // PqChainSql (codes + ADC scores) ∪ IvfCellChainSql (cells +
+      // probes): the served set is ADC scores restricted to candidates
+      // whose cell one of the query's probes covers, ranked within it
+      s"""$PqChainSql,
+         |$IvfCellChainSql
+         |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                       ORDER BY s.adist_e6, s.cand_id) AS rk
+         |  FROM sc2 s
+         |  JOIN iv_a1 a ON a.cand_id = s.cand_id
+         |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_ivfpq_recall" -> {
+      // probed-cells ADC top-3 graded against the exact full-vector L2
+      // truth (the ann_pq_recall convention, single-leg)
+      s"""$PqChainSql,
+         |$IvfCellChainSql,
+         |tdist AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY d_e6, cand_id) AS rk
+         |    FROM tdist) t WHERE rk <= 3),
+         |adc AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT s.query_id, s.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                         ORDER BY s.adist_e6, s.cand_id) AS rk
+         |    FROM sc2 s
+         |    JOIN iv_a1 a ON a.cand_id = s.cand_id
+         |    JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
+         |  WHERE rk <= 3)
+         |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_adc,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_adc_e6
+         |FROM truth t LEFT JOIN adc g
+         |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
     },
 

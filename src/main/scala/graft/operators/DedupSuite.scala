@@ -625,9 +625,15 @@ object DedupSuite {
 
   /** The dedup_substring kernel over any (doc_id, text) frame: rolling
     * w-token window hashes (native gram_hashes60), duplication = the
-    * hash occurs >1 time anywhere in the corpus, overlapping flagged
+    * hash occurs >1 time anywhere in the corpus, OVERLAPPING flagged
     * windows merged to maximal (start_tok, end_tok) spans (1-based,
-    * end-inclusive). Exposed so specs can drive it at spec-sized w.
+    * end-inclusive). Windows starting at p1 < p2 overlap iff
+    * p2 - p1 <= w-1, so islands merge with gap tolerance w-1 (a
+    * consecutive-only merge — pos - row_number — emitted two
+    * OVERLAPPING spans whenever flagged starts differed by 2..w-1,
+    * double-counting tokens for any consumer summing span lengths);
+    * the lag-based break flag summed into group ids rides the same
+    * per-doc sort. Exposed so specs can drive it at spec-sized w.
     */
   private[graft] def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
     org.apache.spark.sql.graft.Bridge.register(docs.sparkSession)
@@ -639,9 +645,11 @@ object DedupSuite {
     val dup = grams
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("occ") > 1)
-    val isl = dup.withColumn("grp",
-      col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > (w - 1), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wd))
     isl.groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("start_tok"),
         (max(col("pos")) + (w - 1)).as("end_tok"),
@@ -676,9 +684,15 @@ object DedupSuite {
       .withColumn("occ", count(lit(1)).over(wh))
       .withColumn("rk", row_number().over(wh.orderBy(col("doc_id"), col("pos"))))
       .filter(col("occ") > 1 && col("rk") > 1)
-    val spans = flagged.withColumn("grp",
-        col("pos") - row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    // same gap-tolerance-(w-1) island merge as substringDupSpans: the
+    // emitted span set is non-overlapping (token filtering below is
+    // span-union either way, but the spans table is also the apply
+    // pass's audit artifact)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > (w - 1), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wd))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (w - 1)).as("e"))
       .groupBy(col("doc_id"))
@@ -700,6 +714,58 @@ object DedupSuite {
     * sentences the span-level pass tokenizes at).
     */
   private[graft] val SubstringW = 20
+
+  /** Build the STANDING window-hash index for the streaming substring
+    * probe: the distinct w-token window hashes of the standing corpus,
+    * persisted as one 8-byte column — the substring-granularity twin
+    * of dedup_incremental's band index.
+    */
+  private[graft] def substringIndexSave(docs: DataFrame, w: Int, dir: String): Unit = {
+    org.apache.spark.sql.graft.Bridge.register(docs.sparkSession)
+    docs.withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= w)
+      .select(explode(expr(s"gram_hashes60(ws, $w)")).as("h"))
+      .distinct()
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** One micro-batch of the streaming substring probe: the batch's
+    * rolling window hashes flagged by EXISTENCE in the standing index
+    * (one narrow scan of the 8-byte hash column × the broadcast batch
+    * grams — the standing index never shuffles, and the batch side is
+    * batch-bounded), then the same gap-tolerance-(w-1) islands merge
+    * as [[substringDupSpans]], per arriving doc. Emits
+    * (doc_id, start_tok, end_tok, n_win) for spans of the ARRIVING
+    * docs duplicated against the standing corpus — within-batch
+    * repetition is intentionally not flagged (that is the batch pass's
+    * job at the next rebuild; the oracle mirrors batch × standing
+    * exactly).
+    */
+  private[graft] def substringProbeBatch(spark: SparkSession, idxDir: String,
+      df: DataFrame, w: Int): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val grams = df
+      .withColumn("ws", split(lower(col("text")), " "))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(s"gram_hashes60(ws, $w)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    // standing hashes are DISTINCT, so the inner join flags each batch
+    // gram at most once; broadcasting the batch side keeps the
+    // corpus-sized leg shuffle-free
+    val flagged = spark.read.parquet(idxDir)
+      .join(broadcast(grams), Seq("h"))
+      .select("doc_id", "pos")
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > (w - 1), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (w - 1)).as("end_tok"),
+        count(lit(1)).as("n_win"))
+      .select("doc_id", "start_tok", "end_tok", "n_win")
+  }
 
   def oracles: Map[String, String] = baseOracles +
     ("dedup_summary" ->
@@ -889,7 +955,8 @@ object DedupSuite {
     // the same rolling-window chain in SQL: 1-based window positions via
     // the scalar list form unnest(range(...)) (the range() TABLE
     // function rejects lateral column args), md5-60 window hashes,
-    // occurrence count over the hash, gaps-and-islands span merge
+    // occurrence count over the hash, gaps-and-islands span merge with
+    // gap tolerance w-1 (windows overlap iff starts differ <= w-1)
     "dedup_substring" ->
       s"""WITH t AS (
          |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM ($CorpusSql) c),
@@ -904,10 +971,15 @@ object DedupSuite {
          |  SELECT doc_id, pos FROM (
          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ FROM g) o
          |  WHERE occ > 1),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              > ${SubstringW - 1} THEN 1 ELSE 0 END AS brk
+         |  FROM dup),
          |isl AS (
          |  SELECT doc_id, pos,
-         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM dup)
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM brk)
          |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
          |  CAST(MAX(pos) + ${SubstringW - 1} AS BIGINT) AS end_tok,
          |  CAST(COUNT(*) AS BIGINT) AS n_win
@@ -934,10 +1006,15 @@ object DedupSuite {
          |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
          |    FROM g) o
          |  WHERE occ > 1 AND rk > 1),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              > ${SubstringW - 1} THEN 1 ELSE 0 END AS brk
+         |  FROM f),
          |isl AS (
          |  SELECT doc_id, pos,
-         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM f),
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM brk),
          |sp AS (
          |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${SubstringW - 1} AS e
          |  FROM isl GROUP BY doc_id, grp),

@@ -18,16 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object ParquetMeta {
 
-  /** Per-file exact row counts (column `n`, one row per data file). */
+  /** Per-file exact row counts (column `n`, one row per data file).
+    * Listing RECURSES so partitioned layouts (data files under
+    * `col=value/` subdirectories) count correctly, and a table with no
+    * data files yields an empty frame (not a repartition(0) crash) so
+    * [[rowCount]]'s zero-row fallback is reachable.
+    */
   def fileRowCounts(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq
-      else Seq(p.toString)
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            buf += f.getPath.toString
+        }
+        buf.result()
+      } else Seq(p.toString)
     // ship the session's Hadoop conf (spark.hadoop.* — object-store
     // credentials, FS settings) to the executors; a bare Configuration
     // would only resolve against the local FS
@@ -35,7 +46,7 @@ object ParquetMeta {
       new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration))
     s.createDataset(files)
-      .repartition(math.min(files.size, 32))
+      .repartition(math.max(1, math.min(files.size, 32)))
       .mapPartitions { it =>
         val conf = confBc.value.value
         it.map { pstr =>

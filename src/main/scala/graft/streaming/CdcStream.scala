@@ -1032,6 +1032,36 @@ object CdcStream {
     * (DedupSuite.SemanticProbeOracleSql) checks the streamed path
     * end-to-end.
     */
+  /** One micro-batch of the semantic probe: assign the batch at the
+    * standing index's FIXED centroids, then exact-cosine verify against
+    * ONLY the occupants of the batch's own cells. The standing read
+    * goes through ivfLoad — base ∪ COMMITTED APPEND SEGMENTS — so a
+    * probe structurally sees rows an earlier ivfAppend landed (reading
+    * `assigned.parquet` directly was correct only while every caller
+    * rebuilt the index fresh per run; DedupSemanticSpec pins the
+    * segment-visibility case). The isin cell filter prunes partitions
+    * on BOTH legs of the union (each is cell-partitioned on disk).
+    */
+  private[graft] def semanticProbeBatch(spark: SparkSession, idxDir: String,
+      df: DataFrame): DataFrame = {
+    import graft.operators.AnnSuite
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val assigned = AnnSuite.ivfAssignBatch(spark, idxDir, df, "vec_id", "embedding")
+      .select(col("cand_id").as("vec_b"), col("cell"), col("ce2").as("emb_b"))
+      .localCheckpoint()
+    // batch-bounded driver list (distinct cells ≤ batch rows) — it
+    // becomes the partition filter on the standing read
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val standing = AnnSuite.ivfLoad(spark, idxDir).assigned
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cand_id").as("vec_a"), col("cell"), col("ce2").as("emb_a"))
+    standing.join(assigned, Seq("cell"))
+      .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
+      .filter(col("cos") >= 0.8)
+      .select("cell", "vec_a", "vec_b", "cos")
+  }
+
   def dedupSemanticStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{AnnSuite, DedupSuite}
     org.apache.spark.sql.graft.Bridge.register(spark)
@@ -1065,19 +1095,7 @@ object CdcStream {
       .option("maxFilesPerTrigger", "1").parquet(feed)
       .writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val assigned = AnnSuite.ivfAssignBatch(spark, idxDir, df, "vec_id", "embedding")
-          .select(col("cand_id").as("vec_b"), col("cell"), col("ce2").as("emb_b"))
-          .localCheckpoint()
-        val cells = assigned.select("cell").distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val standing = spark.read.parquet(s"$idxDir/assigned.parquet")
-          .withColumn("cell", col("cell").cast("long"))
-          .filter(col("cell").isin(cells: _*))
-          .select(col("cand_id").as("vec_a"), col("cell"), col("ce2").as("emb_a"))
-        standing.join(assigned, Seq("cell"))
-          .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
-          .filter(col("cos") >= 0.8)
-          .select("cell", "vec_a", "vec_b", "cos")
+        semanticProbeBatch(spark, idxDir, df)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
@@ -1087,6 +1105,59 @@ object CdcStream {
     spark.read.parquet(outDir)
       .select("cell", "vec_a", "vec_b", "cos")
       .orderBy("cell", "vec_a", "vec_b")
+  }
+
+  /** Streaming twin of substring dedup (`dedup_substring`) — the one
+    * streaming gap left in the dedup family after exact/minhash/
+    * semantic: arriving documents probe the STANDING window-hash index
+    * (the distinct w-token window hashes of the standing corpus,
+    * persisted once) instead of re-hashing the corpus. Per micro-batch
+    * cost = one narrow scan of the 8-byte hash column × the broadcast
+    * batch grams (the standing side never shuffles) + a per-arriving-
+    * doc islands merge — dedup_incremental's probe shape at substring
+    * granularity. Flagged spans land batchId-keyed with per-segment
+    * overwrite (the torn-batch-idempotent sink every twin here uses).
+    * The probe is stateless given the standing index, so N folded
+    * probes equal one bulk (arriving × standing) pass and a single
+    * DuckDB chain checks the streamed path end-to-end.
+    *
+    * Arriving docs are mutated copies (a novel token PREPENDED to a
+    * standing doc): window 1 is genuinely new content, windows 2..end
+    * are standing boilerplate — so the expected span is [2, len+1],
+    * not a degenerate whole-doc match.
+    */
+  def dedupSubstringStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupSuite
+    val w = DedupSuite.SubstringW
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val idxDir = Scratch.stable(
+      "stream_dedup_substring_idx/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    DedupSuite.substringIndexSave(docs, w, idxDir)
+    val batchRows = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("zzzmutation "), col("text")).as("text"))
+    val feed = Scratch.dir("stream_sub_feed")
+    batchRows.repartition(4).write.mode("overwrite").parquet(feed)
+    val outDir = Scratch.stable(
+      "stream_dedup_substring_out/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    val qname = "sub_probe_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(batchRows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        DedupSuite.substringProbeBatch(spark, idxDir, df, w)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_dedup_substring", q)
+    spark.read.parquet(outDir)
+      .select("doc_id", "start_tok", "end_tok", "n_win")
+      .orderBy("doc_id", "start_tok")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1103,7 +1174,8 @@ object CdcStream {
     "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d)),
     "stream_attribution" -> ((s, d) => attribution(s, d)),
     "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d)),
-    "stream_dedup_semantic" -> ((s, d) => dedupSemanticStream(s, d))
+    "stream_dedup_semantic" -> ((s, d) => dedupSemanticStream(s, d)),
+    "stream_dedup_substring" -> ((s, d) => dedupSubstringStream(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -1119,6 +1191,46 @@ object CdcStream {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_exact" -> graft.operators.DedupSuite.oracles("dedup_exact"),
     "stream_dedup_minhash" -> graft.operators.DedupSuite.oracles("dedup_minhash_lsh"),
+    // the streamed probe is stateless given the standing index, so the
+    // bulk (arriving × standing) chain checks it end-to-end: standing
+    // distinct window hashes, arriving (prepend-mutated) docs' grams
+    // flagged by existence, gap-tolerance-(w-1) islands per doc
+    "stream_dedup_substring" -> {
+      val W = graft.operators.DedupSuite.SubstringW
+      s"""WITH st AS (SELECT str_split(lower(text), ' ') AS ws FROM documents),
+         |su AS (
+         |  SELECT ws, unnest(range(1, len(ws) - ${W - 2})) AS pos
+         |  FROM st WHERE len(ws) >= $W),
+         |sh AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(array_to_string(ws[pos:pos+${W - 1}], ' ')), 1, 15))::BIGINT AS h
+         |  FROM su),
+         |arr AS (
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    str_split(lower('zzzmutation ' || text), ' ') AS ws
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |au AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws) - ${W - 2})) AS pos
+         |  FROM arr WHERE len(ws) >= $W),
+         |ag AS (
+         |  SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(ws[pos:pos+${W - 1}], ' ')), 1, 15))::BIGINT AS h
+         |  FROM au),
+         |f AS (SELECT ag.doc_id, ag.pos FROM ag JOIN sh USING (h)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              > ${W - 1} THEN 1 ELSE 0 END AS brk
+         |  FROM f),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM brk)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+         |  CAST(MAX(pos) + ${W - 1} AS BIGINT) AS end_tok,
+         |  CAST(COUNT(*) AS BIGINT) AS n_win
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_tok""".stripMargin
+    },
     "stream_recon_checksum" ->
       """SELECT o_orderkey % 32 AS chunk,
         |  CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',

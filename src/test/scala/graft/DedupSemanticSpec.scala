@@ -165,8 +165,13 @@ class DedupSemanticSpec extends SparkSpecBase {
     val explicit = jobsDuring {
       graft.api.Graft.semanticCells(e, "vec_id", "embedding", k = expectK)
     }
-    assert(countJobs >= 1 && defaulted - explicit === countJobs,
-      s"explicit k must drop exactly the count probe's jobs " +
+    // monotonic property only: AQE and localCheckpoint job splitting
+    // make EXACT job counts version- and timing-sensitive (the async
+    // listener adds its own race) — the contract is just that the
+    // explicit-k path skips the count probe, i.e. runs strictly fewer
+    // jobs than the defaulted one
+    assert(countJobs >= 1 && defaulted > explicit,
+      s"explicit k must skip the count probe's jobs " +
         s"(defaulted=$defaulted, explicit=$explicit, count=$countJobs)")
   }
 
@@ -203,20 +208,7 @@ class DedupSemanticSpec extends SparkSpecBase {
         .option("maxFilesPerTrigger", "1").parquet(feed)
         .writeStream
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          val assigned = AnnSuite
-            .ivfAssignBatch(spark, idxDir, df, "vec_id", "embedding")
-            .select(col("cand_id").as("vec_b"), col("cell"), col("ce2").as("emb_b"))
-            .localCheckpoint()
-          val cells = assigned.select("cell").distinct()
-            .collect().map(_.getLong(0)).toSeq
-          val standing = spark.read.parquet(s"$idxDir/assigned.parquet")
-            .withColumn("cell", col("cell").cast("long"))
-            .filter(col("cell").isin(cells: _*))
-            .select(col("cand_id").as("vec_a"), col("cell"), col("ce2").as("emb_a"))
-          standing.join(assigned, Seq("cell"))
-            .withColumn("cos", floor(expr("cosine_sim(emb_a, emb_b)") * 1e6 + 0.5) / 1e6)
-            .filter(col("cos") >= 0.8)
-            .select("cell", "vec_a", "vec_b", "cos")
+          graft.streaming.CdcStream.semanticProbeBatch(spark, idxDir, df)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           // die AFTER the landing, BEFORE the checkpoint's offset commit
           if (injectCrash && batchId == 2 && crashed.compareAndSet(false, true))
@@ -253,5 +245,33 @@ class DedupSemanticSpec extends SparkSpecBase {
       .select("cell", "vec_a", "vec_b", "cos")
     assert(streamed.orderBy("cell", "vec_a", "vec_b").collect().map(_.toString).toSeq
       === bulk.orderBy("cell", "vec_a", "vec_b").collect().map(_.toString).toSeq)
+  }
+
+  test("probe sees committed append segments (standing read rides ivfLoad)") {
+    // the twin's standing read goes through ivfLoad (base ∪ committed
+    // segments); a probe against an index that HAS a committed
+    // ivfAppend segment must include pairs against the appended rows —
+    // reading assigned.parquet directly was correct only incidentally
+    // (every caller rebuilt the index fresh per run)
+    import graft.operators.{AnnSuite, DedupSuite}
+    import graft.sources.Scratch
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val idxDir = Scratch.dir("sem_seg_idx")
+    AnnSuite.ivfSave(
+      AnnSuite.ivfBuild(e, "vec_id", "embedding", DedupSuite.semanticK(spark, sf)),
+      idxDir)
+    // a segment committed AFTER the base build (the living-index shape):
+    // an exact copy of vec 7 under a fresh id — same cell as vec 7
+    val seg = e.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    graft.api.Graft.ivfAppend(spark, idxDir, seg, "vec_id", "embedding", batchId = 0L)
+    // the probing batch: another exact copy — cos 1.0 against both the
+    // base row and the appended row
+    val batch = e.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", col("vec_id") + 3000000L)
+    val pairs = graft.streaming.CdcStream.semanticProbeBatch(spark, idxDir, batch)
+      .filter(col("vec_a") === 2000007L).collect()
+    assert(pairs.length === 1 && pairs.head.getAs[Long]("vec_b") === 3000007L,
+      s"committed append segment invisible to the probe: ${pairs.mkString}")
   }
 }

@@ -70,6 +70,56 @@ class DedupSubstringSpec extends SparkSpecBase {
     assert(out(2).getLong(2) === 0L)
   }
 
+  test("flagged windows overlapping with a gap (starts differing by 2..w-1) merge into one span") {
+    val s = spark
+    import s.implicits._
+    // doc 1 = t1..t10; doc 2 repeats windows t1..t8 and t3..t10 but NOT
+    // t2..t9 (an 'x' breaks it), so doc 1's flagged window starts are
+    // {1, 3}: start 2 is unique corpus-wide, yet windows 1 and 3 still
+    // overlap (gap 2 <= w-1 = 7) — the maximal duplicated region is ONE
+    // span [1, 10], not two overlapping ones
+    val a = (1 to 10).map(i => s"t$i").mkString(" ")
+    val b = ((1 to 8).map(i => s"t$i") ++ Seq("x") ++ (3 to 10).map(i => s"t$i"))
+      .mkString(" ")
+    val spans = graft.operators.DedupSuite
+      .substringDupSpans(Seq((1L, a), (2L, b)).toDF("doc_id", "text"), 8)
+      .orderBy("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 2's flagged starts {1, 10} have gap 9 > w-1: two islands
+    assert(spans === Seq((1L, 1L, 10L, 2L), (2L, 1L, 8L, 1L), (2L, 10L, 17L, 1L)))
+  }
+
+  test("stream_dedup_substring: N micro-batch probes equal one bulk probe; mutated spans start at 2") {
+    import graft.operators.DedupSuite
+    import graft.sources.{Scratch, Tables}
+    val streamed = graft.streaming.CdcStream.queries("stream_dedup_substring")(spark, sf)
+      .collect()
+    // the probe is stateless given the standing index, so the 4 folded
+    // micro-batches must equal ONE bulk (arriving × standing) pass
+    val w = DedupSuite.SubstringW
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val idxDir = Scratch.dir("sub_bulk_idx")
+    DedupSuite.substringIndexSave(docs, w, idxDir)
+    val arriving = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("zzzmutation "), col("text")).as("text"))
+    val bulk = DedupSuite.substringProbeBatch(spark, idxDir, arriving, w)
+      .orderBy("doc_id", "start_tok").collect()
+    assert(streamed.nonEmpty &&
+      streamed.map(_.toString).toSeq === bulk.map(_.toString).toSeq)
+    // the prepended novel token means window 1 is genuinely new
+    // content: every detected span starts at token 2 — the probe found
+    // standing boilerplate EMBEDDED in new material, not a degenerate
+    // whole-doc match
+    assert(streamed.forall(_.getLong(1) === 2L))
+    // consumed as exactly the 4 metered one-file micro-batches
+    val prog = graft.streaming.CdcStream.progressLog("stream_dedup_substring")
+    val dataBatches = prog.filter(_._1 > 0)
+    assert(dataBatches.length == 4,
+      s"expected 4 one-file micro-batch probes, got ${dataBatches.length}")
+    assert(dataBatches.map(_._1).sum === arriving.count())
+  }
+
   test("windows shorter than w and unique docs produce no spans") {
     val s = spark
     import s.implicits._

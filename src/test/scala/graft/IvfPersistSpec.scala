@@ -61,7 +61,7 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(scans == 2,
       s"append plan should scan batch + centroids only, got $scans scans:\n$assignPlan")
 
-    AnnSuite.ivfAppend(spark, dir, batch, "vec_id", "embedding")
+    AnnSuite.ivfAppend(spark, dir, batch, "vec_id", "embedding", batchId = 0L)
     val loaded = AnnSuite.ivfLoad(spark, dir)
     assert(loaded.assigned.count() === baseRows + batch.count())
     // the appended index equals a full assignment of the unioned corpus
@@ -150,6 +150,82 @@ class IvfPersistSpec extends SparkSpecBase {
     val batchTwin = AnnSuite.queries("ann_ivf_append")(spark, sf)
       .collect().map(_.toString).toSeq
     assert(served === batchTwin)
+  }
+
+  test("ivfCompact folds segments into one base generation, serves identically, and shrinks the listing") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_compact_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    AnnSuite.ivfAppend(spark, dir,
+      e.filter(col("vec_id") % 7 === 3 && col("vec_id") % 2 === 0),
+      "vec_id", "embedding", batchId = 0L)
+    AnnSuite.ivfAppend(spark, dir,
+      e.filter(col("vec_id") % 7 === 3 && col("vec_id") % 2 === 1),
+      "vec_id", "embedding", batchId = 1L)
+    def served() = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    def dataDirs() = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filterNot(_ == "centroids.parquet").sorted.toSeq
+    }
+    val before = served()
+    val rows = AnnSuite.ivfLoad(spark, dir).assigned.count()
+    assert(before.nonEmpty && rows === e.count())
+
+    assert(AnnSuite.ivfCompact(spark, dir), "compaction had segments to fold")
+    // the old generation is fully retired: one versioned base + its
+    // manifest, no appends root, no gen-0 base
+    assert(dataDirs() === Seq("MANIFEST-1", "assigned_v1.parquet"))
+    assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === rows)
+    assert(served() === before, "compaction changed the served top-k")
+    // nothing left to fold → no-op (and the generation is stable)
+    assert(!AnnSuite.ivfCompact(spark, dir))
+    assert(dataDirs() === Seq("MANIFEST-1", "assigned_v1.parquet"))
+
+    // appends after compaction land in the NEW generation's segment
+    // root and are served (the probe/load path resolves the manifest)
+    AnnSuite.ivfAppend(spark, dir,
+      e.filter(col("vec_id") === 7L).withColumn("vec_id", col("vec_id") + 5000000L),
+      "vec_id", "embedding", batchId = 0L)
+    assert(dataDirs().contains("appends_v1.parquet"))
+    assert(AnnSuite.ivfLoad(spark, dir).assigned
+      .filter(col("cand_id") === 5000007L).count() === 1L)
+    // a second compaction folds generation 1 → 2
+    assert(AnnSuite.ivfCompact(spark, dir))
+    assert(dataDirs() === Seq("MANIFEST-2", "assigned_v2.parquet"))
+    assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === rows + 1)
+  }
+
+  test("a torn compaction is invisible until the manifest commits; a redo completes it exactly-once") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_compact_torn")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L)
+    def served() = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    val before = served()
+    // die after landing the folded base but BEFORE the manifest commit:
+    // readers must still see the OLD generation, bit-identically
+    assert(!AnnSuite.ivfCompact(spark, dir, crashBeforeCommit = true))
+    assert(AnnSuite.resolveLayout(spark, dir)._3 === 0,
+      "a torn compaction must not advance the generation")
+    assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === e.count())
+    assert(served() === before, "torn compaction leaked into the served view")
+    // the redo overwrites the torn landing and completes the fold —
+    // every row exactly once, served set unchanged
+    assert(AnnSuite.ivfCompact(spark, dir))
+    val loaded = AnnSuite.ivfLoad(spark, dir)
+    assert(loaded.assigned.groupBy("cand_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count() === 0L)
+    assert(loaded.assigned.count() === e.count())
+    assert(served() === before)
   }
 
   test("cell-partitioned layout prunes unprobed cells at the scan") {

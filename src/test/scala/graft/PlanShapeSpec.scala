@@ -177,4 +177,24 @@ class PlanShapeSpec extends SparkSpecBase {
     val exchanges = p.linesIterator.count(_.trim.matches("[+\\-:\\s]*Exchange.*"))
     assert(exchanges <= 3, s"ann_pq: $exchanges exchanges in the serving plan\n$p")
   }
+
+  test("ivfpq serving prunes code partitions dynamically and stays narrow") {
+    // The IVFADC serving contract: the persisted codes are
+    // cell-partitioned and a query batch must read ONLY its probed
+    // cells — dynamic partition pruning against the checkpointed
+    // probes leg (the ivfQuery pattern: probes derive once, eagerly,
+    // and carry the synthetic selective predicate DPP needs). The ADC
+    // side stays flat PQ's narrow shape: broadcast codebook/tables,
+    // in-row integer lookups, no Generate, no cartesian.
+    val p = plan("ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), "ann_ivfpq: cartesian product")
+    assert(!p.contains("Generate"), s"ann_ivfpq: serving plan explodes the corpus\n$p")
+    assert(!p.contains("array_sort"),
+      s"ann_ivfpq: probes leg re-derived in the serving plan:\n$p")
+    assert(p.contains("ExistingRDD"), "ann_ivfpq: checkpointed probes missing")
+    val partLine = p.linesIterator.filter(_.trim.startsWith("PartitionFilters"))
+      .mkString("\n")
+    assert(partLine.toLowerCase.contains("dynamicpruning"),
+      s"ann_ivfpq: dynamic partition pruning lost on the codes scan:\n$p")
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnSuite
+import graft.sources.{Scratch, Tables}
+
+/** PQ serving persistence (the ivfSave/ivfLoad twins for the
+  * quantized family): train once, parquet-persist codebook + codes,
+  * reload in a FRESH session, serve query batches by ADC with no
+  * retraining and no corpus access beyond the codes — plus the IVFADC
+  * composition's core claim, that probing coarse cells first changes
+  * WHAT is scanned, never what a scanned candidate scores.
+  */
+class PqPersistSpec extends SparkSpecBase {
+
+  private val (m, dsub, ksub) = (8, 8, 16)
+
+  test("persisted PQ index serves identically to the fused train+serve") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val fused = AnnSuite.pqSearch(e, queries, m, dsub, ksub, topK = 5)
+      .orderBy("query_id", "rk").collect()
+    assert(fused.nonEmpty)
+
+    val dir = Scratch.dir("pq_persist_spec")
+    val book = AnnSuite.pqTrain(e, m, dsub, ksub)
+    AnnSuite.pqSave(
+      AnnSuite.PqIndex(book, AnnSuite.pqEncode(e, book, m, dsub), m, dsub), dir)
+
+    val fresh = spark.newSession()
+    val loaded = AnnSuite.pqLoad(fresh, dir)
+    // m/dsub re-derive from the book row itself
+    assert(loaded.m === m && loaded.dsub === dsub)
+    val fromLoaded = AnnSuite.pqQuery(loaded,
+      Tables.embeddings(fresh, sf).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      topK = 5).orderBy("query_id", "rk").collect()
+    assert(fromLoaded.map(_.toString).toSeq === fused.map(_.toString).toSeq)
+  }
+
+  test("serving from a loaded PQ index never rescans the corpus or retrains") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dir = Scratch.dir("pq_noscan_spec")
+    val book = AnnSuite.pqTrain(e, m, dsub, ksub)
+    AnnSuite.pqSave(
+      AnnSuite.PqIndex(book, AnnSuite.pqEncode(e, book, m, dsub), m, dsub), dir)
+    val loaded = AnnSuite.pqLoad(spark, dir)
+    val servePlan = AnnSuite.pqQuery(loaded,
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        topK = 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the only embeddings access is the (tiny) query side; the
+    // training explode (posexplode of subspace slices) must be absent
+    assert(!servePlan.contains("posexplode"),
+      s"serving plan retrains the codebook:\n$servePlan")
+    assert(!servePlan.contains("CartesianProduct"))
+  }
+
+  test("IVFADC scores equal flat ADC on every candidate it scans (pruning changes coverage, not scores)") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+    // flat ADC over everything, wide enough to cover all candidates
+    val n = e.count().toInt
+    val flat = AnnSuite.pqSearch(e,
+        queries.select(col("vec_id").as("query_id"), col("embedding")),
+        m, dsub, ksub, topK = n)
+      .select("query_id", "cand_id", "adist_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val composed = AnnSuite.ivfPqQuery(
+        AnnSuite.ivfPqBuild(e, "vec_id", "embedding",
+          AnnSuite.IvfK, m, dsub, ksub),
+        queries, "vec_id", "embedding", AnnSuite.IvfNProbe, topK = 5)
+      .collect()
+    assert(composed.nonEmpty)
+    composed.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(flat.get(key).contains(r.getAs[Long]("adist_e6")),
+        s"IVFADC re-quantized candidate $key differently from flat ADC")
+    }
+  }
+}
