@@ -989,6 +989,27 @@ object AnnSuite {
         .orderBy("query_id")
     },
 
+    // Sample-trained codebook — the 100 TB training economics: the PQ
+    // codebook learns from a deterministic 50% hash-sample of the
+    // corpus (seeds + Lloyd touch half the rows) while the ENCODE pass
+    // still covers every vector. The sample is hash-derived
+    // (rowHash60 % 2), so it is reproducible, unbiased, and
+    // oracle-mirrorable — the whole chain stays hash-checked, making
+    // the codebook-quality trade a measurable delta against ann_pq's
+    // full-corpus-trained top-5 rather than a leap of faith.
+    "ann_pq_sampled" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val train = e.filter(
+        graft.functions.Portable.rowHash60(col("vec_id").cast("string")) % 2 === 0)
+      val book = pqTrain(train, m = 8, dsub = 8, ksub = 16)
+      pqQuery(PqIndex(book, pqEncode(e, book, m = 8, dsub = 8), 8, 8),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // Deterministic k-means over the embedding corpus (k = IvfK, TWO
     // Lloyd iterations — one past ivfBuild's single step): the
     // clustering primitive behind domain mixing, corpus cartography,
@@ -1097,10 +1118,19 @@ object AnnSuite {
     s"""list_sum(list_transform(range(1, 9),
        |      i -> (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))
        |         * (CAST($sv AS DOUBLE) - CAST($sc AS DOUBLE))))""".stripMargin
-  private lazy val PqChainSql: String =
+  /** The chain parameterized by the TRAINING corpus (`et` — seeds and
+    * the Lloyd mean run over rows matching `trainPred`; the encode and
+    * ADC legs always cover the whole table). `TRUE` is the full-corpus
+    * codebook every fused entry uses; a hash predicate checks
+    * sample-trained codebooks (`ann_pq_sampled`) — at 100 TB the
+    * codebook trains on a sample, only the encode pass touches
+    * everything.
+    */
+  private def pqChainSqlFor(trainPred: String): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |et AS (SELECT vec_id, embedding FROM e WHERE $trainPred),
        |seeds AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM e
+       |  SELECT vec_id AS cid, embedding AS ce FROM et
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
        |  LIMIT 16),
        |sub0 AS (
@@ -1108,7 +1138,7 @@ object AnnSuite {
        |d0 AS (
        |  SELECT e.vec_id, s.j, s.cid,
        |    ${pqSubDist("e.embedding[s.j*8+i]", "s.sc[i]")} AS dist
-       |  FROM e, sub0 s),
+       |  FROM et e, sub0 s),
        |a0 AS (
        |  SELECT vec_id, j, cid FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
@@ -1144,6 +1174,9 @@ object AnnSuite {
        |  FROM codes cd JOIN dt ON dt.j = cd.j AND dt.slot = cd.slot
        |  WHERE dt.query_id <> cd.vec_id
        |  GROUP BY dt.query_id, cd.vec_id)""".stripMargin
+
+  /** The full-corpus-trained instance every fused PQ oracle rides. */
+  private lazy val PqChainSql: String = pqChainSqlFor("TRUE")
 
   /** The full IVF oracle chain, parameterized by the index-BUILD
     * corpus: seeds + the Lloyd step run over rows matching `basePred`
@@ -1395,6 +1428,17 @@ object AnnSuite {
     "ann_pq" -> {
       // the shared PqChainSql (see its doc) + the served top-5
       s"""$PqChainSql
+         |SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY adist_e6, cand_id) AS rk
+         |  FROM sc2) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_pq_sampled" -> {
+      // same serve as ann_pq, codebook trained on the hash-half sample
+      s"""${pqChainSqlFor(
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0")}
          |SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |                               ORDER BY adist_e6, cand_id) AS rk
