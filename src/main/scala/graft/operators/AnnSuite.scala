@@ -278,8 +278,8 @@ object AnnSuite {
     * broadcastable (queries ≪ corpus).
     */
   private[graft] def pqAdcTables(queriesDf: DataFrame, book: DataFrame,
-      m: Int, dsub: Int): DataFrame =
-    queriesDf.select(col("query_id"), col("embedding"))
+      m: Int, dsub: Int, carry: Seq[String] = Seq.empty): DataFrame =
+    queriesDf.select((col("query_id") +: col("embedding") +: carry.map(col)): _*)
       .crossJoin(broadcast(book))
       .withColumn("dtab", expr(
         s"""transform(sequence(0, ${m - 1}), j ->
@@ -290,7 +290,7 @@ object AnnSuite {
            |                * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
            |      CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1e6 + 0.5) AS BIGINT)))"""
           .stripMargin))
-      .select(col("query_id"), col("dtab"))
+      .select((col("query_id") +: col("dtab") +: carry.map(col)): _*)
 
   /** The ADC score: M integer table lookups summed as BIGINTs —
     * reduction-order-proof. Expects `codes` and `dtab` in scope.
@@ -418,6 +418,59 @@ object AnnSuite {
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(dtab), Seq("query_id"))
       .withColumn("adist_e6", expr(adcSumExpr(idx.pq.m)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("query_id", "cand_id", "cell", "adist_e6", "rk")
+  }
+
+  /** Portable residual: elementwise double subtraction re-narrowed to
+    * float (IEEE round-to-nearest on both engines — the proven
+    * lloydStep CAST-to-FLOAT/REAL pattern), keeping every downstream
+    * PQ kernel (which contracts array<float>) unchanged.
+    */
+  private def residExpr(vec: String, cent: String): String =
+    s"""zip_with($vec, $cent,
+       |  (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))""".stripMargin
+
+  /** FULL-FIDELITY IVFADC (Jégou et al. §IV, eq. 13): the codebook
+    * trains on and the codes encode the RESIDUAL x − q1(x) — the
+    * vector relative to its own coarse cell's centroid — rather than
+    * [[ivfPqBuild]]'s plain sub-vectors. Residual magnitudes are much
+    * smaller and concentrated around 0, so the same 4-bit-per-subspace
+    * budget quantizes finer (the paper's reported accuracy gap between
+    * IVFADC and plain ADC). The price: the query side must compute one
+    * residual PER PROBED CELL (its ADC table is (query, cell)-keyed,
+    * nprobe tables instead of one) — still broadcast-sized for a query
+    * batch. Everything rides the deterministic kernels above, so the
+    * whole chain — coarse cells, residual codebook, codes, served
+    * top-k — is hash-checked against the DuckDB mirror.
+    */
+  private[graft] def ivfPqResidualSearch(corpus: DataFrame, queriesDf0: DataFrame,
+      kCoarse: Int, nprobe: Int, m: Int, dsub: Int, ksub: Int,
+      topK: Int): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse)
+    val cents = coarse.centroids.select(col("cid").as("cell"), col("ce").as("cce"))
+    // corpus residuals: one narrow pass over the (already-assigned)
+    // corpus × the broadcast k-row centroid table
+    val resid = coarse.assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("cand_id").as("vec_id"), col("cell"),
+        expr(residExpr("ce2", "cce")).as("embedding"))
+      .localCheckpoint()
+    val book = pqTrain(resid.select("vec_id", "embedding"), m, dsub, ksub)
+    val codes = pqEncode(resid, book, m, dsub, carry = Seq("cell"))
+    val queriesDf = queriesDf0
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // per-(query, probed cell) residual → per-(query, cell) ADC table
+    val probes = probeCells(coarse.centroids, queriesDf, nprobe)
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        expr(residExpr("qe", "cce")).as("embedding"))
+    val dtab = pqAdcTables(probes, book, m, dsub, carry = Seq("cell"))
+    val scored = codes.join(broadcast(dtab), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist_e6", expr(adcSumExpr(m)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
@@ -989,6 +1042,23 @@ object AnnSuite {
         .orderBy("query_id")
     },
 
+    // FULL-FIDELITY IVFADC — PQ over RESIDUALS (x − coarse centroid),
+    // Jégou et al. §IV eq. 13, closing ann_ivfpq's documented
+    // plain-sub-vector simplification: residuals concentrate around 0,
+    // so the same 4-bit subspace budget quantizes finer; the query
+    // side prices this as one residual + ADC table PER PROBED CELL
+    // (nprobe broadcast-sized tables instead of one). Deterministic
+    // end-to-end (double-subtract → float re-narrow is the proven
+    // portable cast), so coarse cells, residual codebook, codes, and
+    // the served top-5 are all hash-checked.
+    "ann_ivfpq_residual" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      ivfPqResidualSearch(e, e.filter(col("vec_id") < 5),
+        kCoarse = IvfK, nprobe = IvfNProbe, m = 8, dsub = 8, ksub = 16, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // Sample-trained codebook — the 100 TB training economics: the PQ
     // codebook learns from a deterministic 50% hash-sample of the
     // corpus (seeds + Lloyd touch half the rows) while the ENCODE pass
@@ -1126,43 +1196,52 @@ object AnnSuite {
     * codebook trains on a sample, only the encode pass touches
     * everything.
     */
-  private def pqChainSqlFor(trainPred: String): String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |et AS (SELECT vec_id, embedding FROM e WHERE $trainPred),
-       |seeds AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM et
+  /** The PQ train+encode CTE fragment (seeds → slots → codes),
+    * parameterized so both the raw-vector chains and the residual
+    * IVFADC chain share one source of truth: train over `$trainBase`,
+    * encode every row of `$encodeBase` (both CTE names whose rows are
+    * (vec_id, embedding)); all emitted CTE names carry prefix `$p`.
+    */
+  private def pqCodesSql(trainBase: String, encodeBase: String, p: String): String =
+    s"""${p}seeds AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM $trainBase
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
        |  LIMIT 16),
-       |sub0 AS (
-       |  SELECT j, cid, ce[j*8+1 : j*8+8] AS sc FROM seeds, range(0, 8) r(j)),
-       |d0 AS (
+       |${p}sub0 AS (
+       |  SELECT j, cid, ce[j*8+1 : j*8+8] AS sc FROM ${p}seeds, range(0, 8) r(j)),
+       |${p}d0 AS (
        |  SELECT e.vec_id, s.j, s.cid,
        |    ${pqSubDist("e.embedding[s.j*8+i]", "s.sc[i]")} AS dist
-       |  FROM et e, sub0 s),
-       |a0 AS (
+       |  FROM $trainBase e, ${p}sub0 s),
+       |${p}a0 AS (
        |  SELECT vec_id, j, cid FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
-       |    FROM d0) t WHERE rn = 1),
-       |dims AS (
+       |    FROM ${p}d0) t WHERE rn = 1),
+       |${p}dims AS (
        |  SELECT a0.j, a0.cid, i AS pos,
        |    CAST(e.embedding[a0.j*8+i] AS DOUBLE) AS v
-       |  FROM a0 JOIN e USING (vec_id), range(1, 9) r(i)),
-       |cents AS (
+       |  FROM ${p}a0 a0 JOIN $trainBase e USING (vec_id), range(1, 9) r(i)),
+       |${p}cents AS (
        |  SELECT j, cid, list(CAST(mv AS REAL) ORDER BY pos) AS sc FROM (
        |    SELECT j, cid, pos,
        |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS mv
-       |    FROM dims GROUP BY j, cid, pos) t GROUP BY j, cid),
-       |slots AS (
+       |    FROM ${p}dims GROUP BY j, cid, pos) t GROUP BY j, cid),
+       |${p}slots AS (
        |  SELECT j, cid, sc, ROW_NUMBER() OVER (PARTITION BY j ORDER BY cid) AS slot
-       |  FROM cents),
-       |d1 AS (
+       |  FROM ${p}cents),
+       |${p}d1 AS (
        |  SELECT e.vec_id, c.j, c.slot, c.cid,
        |    ${pqSubDist("e.embedding[c.j*8+i]", "c.sc[i]")} AS dist
-       |  FROM e, slots c),
-       |codes AS (
+       |  FROM $encodeBase e, ${p}slots c),
+       |${p}codes AS (
        |  SELECT vec_id, j, slot FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
-       |    FROM d1) t WHERE rn = 1),
+       |    FROM ${p}d1) t WHERE rn = 1)""".stripMargin
+
+  private def pqChainSqlFor(trainPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |et AS (SELECT vec_id, embedding FROM e WHERE $trainPred),
+       |${pqCodesSql("et", "e", "")},
        |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
        |dt AS (
        |  SELECT q.query_id, c.j, c.slot,
@@ -1505,6 +1584,46 @@ object AnnSuite {
          |  FROM sc2 s
          |  JOIN iv_a1 a ON a.cand_id = s.cand_id
          |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_ivfpq_residual" -> {
+      // coarse chain → per-row residuals (r) → the shared PQ
+      // train/encode fragment over r → per-(query, probed cell)
+      // residual ADC tables → cell-keyed integer scoring
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |$IvfCellChainSql,
+         |r AS (
+         |  SELECT a.cand_id AS vec_id, a.cell,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(CAST(e2.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS REAL)) AS embedding
+         |  FROM iv_a1 a
+         |  JOIN e e2 ON e2.vec_id = a.cand_id
+         |  JOIN iv_cents c ON c.cid = a.cell),
+         |${pqCodesSql("r", "r", "r_")},
+         |qr AS (
+         |  SELECT p.query_id, p.cell,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(CAST(q.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS REAL)) AS embedding
+         |  FROM iv_probes p
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN iv_cents c ON c.cid = p.cell),
+         |dtr AS (
+         |  SELECT qr.query_id, qr.cell, c.j, c.slot,
+         |    CAST(FLOOR(${pqSubDist("qr.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM qr, r_slots c),
+         |scr AS (
+         |  SELECT dtr.query_id, cr.vec_id AS cand_id, rr.cell,
+         |    CAST(SUM(dtr.d_e6) AS BIGINT) AS adist_e6
+         |  FROM r_codes cr
+         |  JOIN r rr ON rr.vec_id = cr.vec_id
+         |  JOIN dtr ON dtr.j = cr.j AND dtr.slot = cr.slot AND dtr.cell = rr.cell
+         |  WHERE dtr.query_id <> cr.vec_id
+         |  GROUP BY dtr.query_id, cr.vec_id, rr.cell)
+         |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY adist_e6, cand_id) AS rk
+         |  FROM scr) t
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 

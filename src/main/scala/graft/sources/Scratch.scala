@@ -28,9 +28,19 @@ object Scratch {
   /** A STABLE path under the root (no unique suffix) — for state that
     * must survive across runs, e.g. the incremental-checksum tracker.
     * Caller owns overwrite semantics.
+    *
+    * Segments are sanitized to never START with '_' or '.': Spark's
+    * file index treats such names as hidden metadata (the
+    * lake-path-derived suffix `_root_testdata_sf0.1` made every read
+    * of such a dir log "All paths were ignored" — reads still worked
+    * because explicitly-given roots survive the filter, but the noise
+    * hid real warnings and the behavior is listing-mode-dependent).
     */
   def stable(name: String): String = {
-    val p = Paths.get(root, name)
+    val clean = name.split('/')
+      .map(seg => if (seg.startsWith("_") || seg.startsWith(".")) "d" + seg else seg)
+      .mkString("/")
+    val p = Paths.get(root, clean)
     Files.createDirectories(p.getParent)
     p.toString
   }
