@@ -196,5 +196,15 @@ class PlanShapeSpec extends SparkSpecBase {
       .mkString("\n")
     assert(partLine.toLowerCase.contains("dynamicpruning"),
       s"ann_ivfpq: dynamic partition pruning lost on the codes scan:\n$p")
+
+    // residual IVFADC: the corpus-side legs (residual computation,
+    // encode, scoring) must be sealed behind the residual frame's
+    // localCheckpoint — only query-side Generates (the nprobe probe
+    // ranking over ≤ 5 rows) may remain in the serving plan, and
+    // nothing goes cartesian
+    val pr = plan("ann_ivfpq_residual")
+    assert(!pr.contains("CartesianProduct"), "ann_ivfpq_residual: cartesian product")
+    assert(pr.contains("ExistingRDD"),
+      "ann_ivfpq_residual: checkpointed residual frame missing from the plan")
   }
 }
