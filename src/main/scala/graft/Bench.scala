@@ -640,9 +640,11 @@ object Bench {
     // (per-batch series, per-query maps at four SFs) far exceeds it —
     // r12's BENCH artifact captured a mid-JSON fragment and parsed to
     // null. The compact line carries the headline walls + errors and
-    // fits the tail whole; the full record persists below.
+    // fits the tail whole; the full record persists below. Its metric
+    // name is DISTINCT ("total_compact") so a consumer grepping
+    // '{"metric"' can tell the two shapes apart deterministically.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","detail":"bench/last_bench.json"}""")
+      s"""{"metric":"total_compact","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","detail":"bench/last_bench.json"}""")
     // Persist the line: the driver's stdout capture keeps only a tail,
     // which truncated the per-query maps out of two rounds' artifacts —
     // the committed file makes round-over-round comparison

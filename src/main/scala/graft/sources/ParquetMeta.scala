@@ -22,19 +22,28 @@ object ParquetMeta {
     * Listing RECURSES so partitioned layouts (data files under
     * `col=value/` subdirectories) count correctly, and a table with no
     * data files yields an empty frame (not a repartition(0) crash) so
-    * [[rowCount]]'s zero-row fallback is reachable.
+    * [[rowCount]]'s zero-row fallback is reachable. Paths with any
+    * segment (relative to the root) starting with '_' or '.' are
+    * skipped, mirroring Spark's hidden-file filter: in-flight/aborted
+    * writes under `_temporary`/`.staging` must not inflate the count
+    * versus what a read of the table actually sees.
     */
   def fileRowCounts(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rootUri = fs.getFileStatus(p).getPath.toUri.getPath
+    def hidden(f: org.apache.hadoop.fs.Path): Boolean =
+      f.toUri.getPath.stripPrefix(rootUri).split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
     val files: Seq[String] =
       if (fs.getFileStatus(p).isDirectory) {
         val it = fs.listFiles(p, true)
         val buf = Seq.newBuilder[String]
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !hidden(f.getPath))
             buf += f.getPath.toString
         }
         buf.result()
