@@ -509,10 +509,11 @@ object Graft {
     * one-row broadcastable codebook frame.
     */
   def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
-      m: Int = 8, dsub: Int = 8, ksub: Int = 16): DataFrame =
+      m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+      sampleMod: Int = 1): DataFrame =
     graft.operators.AnnSuite.pqTrain(
       corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
-      m, dsub, ksub)
+      m, dsub, ksub, sampleMod)
 
   /** Persist a trained PQ index (codebook + M-byte-per-vector codes);
     * reload with [[pqLoad]] and serve with [[pqQuery]] — no retraining,
@@ -540,12 +541,19 @@ object Graft {
     * memory M bytes/vector AND compute ~nprobe/k of the corpus per
     * query batch. The codebook trains on plain sub-vectors (documented
     * simplification vs per-cell residuals — keeps codes
-    * cell-independent and the chain oracle-checkable).
+    * cell-independent). `residual = true` is the paper's full-fidelity
+    * variant (eq. 13): codebook trained on and codes encoding
+    * x − q1(x), finer quantization at the same bit budget for the
+    * price of one query-side ADC table per probed cell
+    * (`ann_ivfpq_residual_recall` publishes the measured gain). Both
+    * variants are deterministic and oracle-checked end-to-end.
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
-      kCoarse: Int = 10, m: Int = 8, dsub: Int = 8, ksub: Int = 16)
+      kCoarse: Int = 10, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+      residual: Boolean = false)
       : graft.operators.AnnSuite.IvfPqIndex =
-    graft.operators.AnnSuite.ivfPqBuild(corpus, idCol, embCol, kCoarse, m, dsub, ksub)
+    graft.operators.AnnSuite.ivfPqBuild(corpus, idCol, embCol, kCoarse,
+      m, dsub, ksub, residual)
 
   def ivfPqSave(index: graft.operators.AnnSuite.IvfPqIndex, dir: String): Unit =
     graft.operators.AnnSuite.ivfPqSave(index, dir)
@@ -560,6 +568,29 @@ object Graft {
   def ivfPqQuery(index: graft.operators.AnnSuite.IvfPqIndex, queries: DataFrame,
       idCol: String, embCol: String, nprobe: Int = 2, topK: Int = 5): DataFrame =
     graft.operators.AnnSuite.ivfPqQuery(index, queries, idCol, embCol, nprobe, topK)
+
+  /** Incremental IVFADC maintenance — [[ivfAppend]]'s twin for the
+    * composed quantized index: assign the arriving batch at the
+    * persisted index's FIXED coarse centroids, encode at its FIXED
+    * codebook (residual-aware), land a batchId-keyed cell-partitioned
+    * code segment. Queries then see old + new corpus with no retrain.
+    * Cost ∝ batch; the standing codes are never read. Same replay
+    * contract as [[ivfAppend]] (idempotent per batchId, no-op at or
+    * below the compaction watermark, ids monotonically increasing —
+    * foreachBatch's contract). Returns false for a watermarked replay.
+    */
+  def ivfPqAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, embCol: String, batchId: Long): Boolean =
+    graft.operators.AnnSuite.ivfPqAppend(spark, dir, batch, idCol, embCol, batchId)
+
+  /** Fold every committed [[ivfPqAppend]] code segment into a new
+    * compacted base generation — [[ivfCompact]]'s twin for the code
+    * store (same crash-safe manifest commit, folded-batchId watermark,
+    * and one-generation reader retention). Returns false when there
+    * was nothing to fold.
+    */
+  def ivfPqCompact(spark: SparkSession, dir: String): Boolean =
+    graft.operators.AnnSuite.ivfPqCompact(spark, dir)
 
   /** Deterministic k-means over an embedding column: hash-ordered seed
     * sample, `iters` exact fixed-point Lloyd iterations, then a
@@ -627,11 +658,17 @@ object Graft {
     * through. `batchId` is REQUIRED: two appends sharing an id
     * overwrite each other, so replay semantics are opt-in via an
     * explicit id rather than a silent default (ad-hoc appends should
-    * pass any caller-unique id). Re-cluster (a fresh [[ivfBuild]])
-    * when drift degrades recall — `ann_recall_eval` is the gate.
+    * pass any caller-unique id, monotonically increasing per index —
+    * foreachBatch's batchId already is). A batchId at or below the
+    * compaction watermark is a replay of an already-folded batch and
+    * lands NOTHING (returns false): without the watermark, a
+    * checkpoint replay arriving after its segment was folded would
+    * duplicate rows already in the compacted base. Re-cluster (a
+    * fresh [[ivfBuild]]) when drift degrades recall —
+    * `ann_recall_eval` is the gate.
     */
   def ivfAppend(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, embCol: String, batchId: Long): Unit =
+      idCol: String, embCol: String, batchId: Long): Boolean =
     graft.operators.AnnSuite.ivfAppend(spark, dir, batch, idCol, embCol, batchId)
 
   /** Fold every committed [[ivfAppend]] segment into a new compacted
@@ -640,10 +677,15 @@ object Graft {
     * load-time listing degrades long before the data does). Crash-safe
     * land-then-swap: the folded base lands under the next generation's
     * name, a MANIFEST write commits it atomically (a torn write is
-    * self-invalidating and readers stay on the old generation), old
-    * dirs retire only after the commit. Run it from the SAME
-    * maintenance loop that drives ivfAppend (single-writer
-    * discipline). Returns false when there was nothing to fold.
+    * self-invalidating and readers stay on the old generation), and
+    * the manifest records the folded-batchId watermark replays check
+    * against. Reader-vs-compactor isolation is by GENERATION
+    * RETENTION: committing generation n+1 retires generation n−1,
+    * never n, so an in-flight reader that resolved the
+    * pre-compaction layout keeps a complete generation on disk until
+    * the NEXT compaction. Run it from the SAME maintenance loop that
+    * drives ivfAppend (single-writer discipline). Returns false when
+    * there was nothing to fold.
     */
   def ivfCompact(spark: SparkSession, dir: String): Boolean =
     graft.operators.AnnSuite.ivfCompact(spark, dir)

@@ -224,8 +224,23 @@ object AnnSuite {
     * so a retrained codebook is bit-identical and the oracle's md5
     * ORDER BY reproduces it. The Lloyd mean is the one corpus × dims
     * explode in the PQ family — training-time only.
+    *
+    * `sampleMod` is the 100 TB training-economics knob: the codebook
+    * learns from the deterministic 1/sampleMod hash-sample of the
+    * input (rowHash60(vec_id) % sampleMod == 0 — reproducible,
+    * unbiased, oracle-mirrorable) while callers still ENCODE every
+    * vector. At corpus scale the codebook trains on ~0.1–1% of rows;
+    * `ann_pq_sampled_recall` publishes the measured recall delta per
+    * rate so the trade is a number, not a guess. Default 1 = train on
+    * everything (the fused entries' behavior).
     */
-  private[graft] def pqTrain(e: DataFrame, m: Int, dsub: Int, ksub: Int): DataFrame = {
+  private[graft] def pqTrain(e0: DataFrame, m: Int, dsub: Int, ksub: Int,
+      sampleMod: Int = 1): DataFrame = {
+    val e =
+      if (sampleMod <= 1) e0
+      else e0.filter(
+        graft.functions.Portable.rowHash60(col("vec_id").cast("string"))
+          % sampleMod === 0)
     org.apache.spark.sql.graft.Bridge.register(e.sparkSession)
     // seed codebook: subspace slices of the hash-ordered seed vectors
     // (the ivfBuild seed rule, so the oracle shares its md5 ORDER BY)
@@ -308,34 +323,58 @@ object AnnSuite {
     */
   case class PqIndex(book: DataFrame, codes: DataFrame, m: Int, dsub: Int)
 
+  /** The code store's naming scheme — the codes table is a living
+    * index exactly like the IVF assignments ([[ivfPqAppend]] lands
+    * batchId-keyed cell-partitioned segments, [[ivfPqCompact]] folds
+    * them), so it rides the same generation-manifest discipline.
+    */
+  private[graft] val CodesScheme = graft.sources.SegmentStore.Scheme(
+    "codes.parquet", "codes_appends.parquet", "codes_v", "codes_appends_v")
+
   /** Persist a trained PQ index — build-once-serve-many across
     * sessions, the [[ivfSave]] twin. Codes partition by `cell` when
     * the IVFADC composition carries it, so probed-cell serving prunes
-    * whole partitions at the scan.
+    * whole partitions at the scan. A save is a FULL rebuild: the code
+    * store resets to generation 0 (prior append segments / compacted
+    * generations must not leak into reloads).
     */
   private[graft] def pqSave(idx: PqIndex, dir: String): Unit = {
     idx.book.write.mode("overwrite").parquet(s"$dir/book.parquet")
     val w = idx.codes.write.mode("overwrite")
     (if (idx.codes.columns.contains("cell")) w.partitionBy("cell") else w)
       .parquet(s"$dir/codes.parquet")
+    graft.sources.SegmentStore.reset(idx.codes.sparkSession, dir, CodesScheme)
   }
 
-  /** Reload a [[pqSave]]d index; serves identically to the freshly
-    * trained one (training is deterministic, the round-trip lossless —
-    * PqPersistSpec pins reload equality). `m`/`dsub` come from the
-    * book row itself (one head() on a one-row frame).
+  /** The codebook half of a persisted index, without touching the
+    * codes — the append path needs (book, m, dsub) only. `m`/`dsub`
+    * come from the book row itself (one head() on a one-row frame).
     */
-  private[graft] def pqLoad(spark: SparkSession, dir: String): PqIndex = {
+  private[graft] def pqBookLoad(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int) = {
     val book = spark.read.parquet(s"$dir/book.parquet")
     val sub = book.select(
       size(col("subcents")).as("m"),
       size(expr("element_at(element_at(subcents, 1), 1).ce")).as("dsub")).head()
-    val codesRaw = spark.read.parquet(s"$dir/codes.parquet")
-    val codes =
-      if (codesRaw.columns.contains("cell"))
-        codesRaw.withColumn("cell", col("cell").cast("long"))
-      else codesRaw
-    PqIndex(book, codes, sub.getInt(0), sub.getInt(1))
+    (book, sub.getInt(0), sub.getInt(1))
+  }
+
+  /** Reload a [[pqSave]]d index; serves identically to the freshly
+    * trained one (training is deterministic, the round-trip lossless —
+    * PqPersistSpec pins reload equality). Codes are the base table
+    * UNION committed [[ivfPqAppend]] segments (both cell-partitioned
+    * when the IVFADC composition carries `cell`, so probe pruning
+    * holds on each leg).
+    */
+  private[graft] def pqLoad(spark: SparkSession, dir: String): PqIndex = {
+    val (book, m, dsub) = pqBookLoad(spark, dir)
+    val codes = graft.sources.SegmentStore.load(spark, dir, CodesScheme) { df =>
+      val typed = if (df.columns.contains("cell"))
+        df.withColumn("cell", col("cell").cast("long")) else df
+      if (typed.columns.contains("cell")) typed.select("cand_id", "codes", "cell")
+      else typed.select("cand_id", "codes")
+    }
+    PqIndex(book, codes, m, dsub)
   }
 
   /** Serve a query batch from a (possibly reloaded) flat-PQ index:
@@ -366,36 +405,145 @@ object AnnSuite {
     * stays deterministic + oracle-mirrorable with the kernels already
     * proven here).
     */
-  case class IvfPqIndex(centroids: DataFrame, pq: PqIndex)
+  case class IvfPqIndex(centroids: DataFrame, pq: PqIndex,
+      residual: Boolean = false)
+
+  /** The k-row (cell, cce) centroid table of an IVFADC index — the
+    * broadcastable lookup both residual legs (corpus encode, query
+    * ADC tables) subtract against.
+    */
+  private def cellCents(centroids: DataFrame): DataFrame =
+    centroids.select(col("cid").as("cell"), col("ce").as("cce"))
 
   /** Build: one coarse [[ivfBuild]] (cells), one [[pqTrain]]
     * (codebook), then codes encoded FROM the coarse assignment frame —
     * which already carries (cand_id, cell, vector), so encoding adds
     * no extra corpus scan and `cell` rides along with the codes.
+    *
+    * `residual = true` is FULL-FIDELITY IVFADC (Jégou et al. §IV,
+    * eq. 13): the codebook trains on and the codes encode the residual
+    * x − q1(x) — the vector relative to its own coarse cell's centroid
+    * — rather than plain sub-vectors. Residual magnitudes concentrate
+    * around 0, so the same bit budget quantizes finer (the paper's
+    * reported IVFADC-vs-ADC accuracy gap; `ann_ivfpq_residual_recall`
+    * measures it here). The residual is a narrow pass over the
+    * already-assigned corpus × the broadcast k-row centroid table —
+    * no extra corpus scan class; the price moves to the QUERY side
+    * (one ADC table per probed cell — see [[ivfPqQuery]]).
     */
   private[graft] def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
-      kCoarse: Int, m: Int, dsub: Int, ksub: Int): IvfPqIndex = {
+      kCoarse: Int, m: Int, dsub: Int, ksub: Int,
+      residual: Boolean = false): IvfPqIndex = {
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse)
-    val book = pqTrain(e, m, dsub, ksub)
-    val codes = pqEncode(
-      coarse.assigned.select(col("cand_id").as("vec_id"), col("cell"),
-        col("ce2").as("embedding")),
-      book, m, dsub, carry = Seq("cell"))
-    IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub))
+    if (!residual) {
+      val book = pqTrain(e, m, dsub, ksub)
+      val codes = pqEncode(
+        coarse.assigned.select(col("cand_id").as("vec_id"), col("cell"),
+          col("ce2").as("embedding")),
+        book, m, dsub, carry = Seq("cell"))
+      IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub))
+    } else {
+      // corpus residuals: one narrow pass over the (already-assigned)
+      // corpus × the broadcast k-row centroid table, materialized once
+      // (the codebook training and the encode both consume it)
+      val resid = coarse.assigned.join(broadcast(cellCents(coarse.centroids)), Seq("cell"))
+        .select(col("cand_id").as("vec_id"), col("cell"),
+          expr(residExpr("ce2", "cce")).as("embedding"))
+        .localCheckpoint()
+      val book = pqTrain(resid.select("vec_id", "embedding"), m, dsub, ksub)
+      val codes = pqEncode(resid, book, m, dsub, carry = Seq("cell"))
+      IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub), residual = true)
+    }
   }
 
   /** Persist the composed index: coarse centroids + book +
     * cell-partitioned codes — the serving layout where a probe of
-    * `nprobe` cells prunes whole code partitions at the scan.
+    * `nprobe` cells prunes whole code partitions at the scan — plus a
+    * one-row flags table recording whether the codes are residual
+    * (a loaded index must know which query-side ADC derivation
+    * matches its codes).
     */
   private[graft] def ivfPqSave(idx: IvfPqIndex, dir: String): Unit = {
     idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     pqSave(idx.pq, dir)
+    val spark = idx.centroids.sparkSession
+    import spark.implicits._
+    Seq(idx.residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/flags.parquet")
   }
 
-  private[graft] def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex =
-    IvfPqIndex(spark.read.parquet(s"$dir/centroids.parquet"), pqLoad(spark, dir))
+  private[graft] def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
+    val flagsPath = new org.apache.hadoop.fs.Path(s"$dir/flags.parquet")
+    val fs = flagsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // pre-flag indexes (r13 layout) are plain-sub-vector by construction
+    val residual = fs.exists(flagsPath) &&
+      spark.read.parquet(s"$dir/flags.parquet").head().getBoolean(0)
+    IvfPqIndex(spark.read.parquet(s"$dir/centroids.parquet"),
+      pqLoad(spark, dir), residual)
+  }
+
+  /** Incremental IVFADC maintenance — the composed quantized index as
+    * a LIVING index: assign the arriving batch at the persisted
+    * index's FIXED coarse centroids ([[ivfAssignBatch]] — cost ∝
+    * batch), encode at the FIXED codebook ([[pqEncode]] — one narrow
+    * projection, residual-aware), and land a batchId-keyed
+    * cell-partitioned code segment that [[pqLoad]] unions with the
+    * base. The standing codes are untouched and unread (IvfPqMaintSpec
+    * pins the plan). Assignment and encoding at fixed parameters are
+    * deterministic, so build-then-append equals one build over the
+    * unioned corpus restricted to the base's training rows — which is
+    * exactly what `ann_ivfpq_append`'s oracle checks.
+    *
+    * Same replay contract as [[ivfAppend]]: idempotent per batchId
+    * (segment overwrite), no-op at or below the compaction watermark,
+    * ids monotonically increasing per index.
+    */
+  private[graft] def ivfPqAppend(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, embCol: String,
+      batchId: Long): Boolean = {
+    val (book, m, dsub) = pqBookLoad(spark, dir)
+    val flagsPath = new org.apache.hadoop.fs.Path(s"$dir/flags.parquet")
+    val fs = flagsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val residual = fs.exists(flagsPath) &&
+      spark.read.parquet(s"$dir/flags.parquet").head().getBoolean(0)
+    graft.sources.SegmentStore.append(spark, dir, CodesScheme,
+      ivfPqEncodeBatch(spark, dir, batch, idCol, embCol, book, m, dsub, residual),
+      Seq("cell"), batchId)
+  }
+
+  /** The append path's assign+encode frame (exposed so IvfPqMaintSpec
+    * can pin that its plan reads batch + centroids + book ONLY — never
+    * the standing codes).
+    */
+  private[graft] def ivfPqEncodeBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, embCol: String,
+      book: DataFrame, m: Int, dsub: Int, residual: Boolean): DataFrame = {
+    val assigned = ivfAssignBatch(spark, dir, batch, idCol, embCol)
+    val toEncode =
+      if (!residual)
+        assigned.select(col("cand_id").as("vec_id"), col("cell"),
+          col("ce2").as("embedding"))
+      else {
+        val cents = cellCents(
+          spark.read.parquet(s"$dir/centroids.parquet"))
+        assigned.join(broadcast(cents), Seq("cell"))
+          .select(col("cand_id").as("vec_id"), col("cell"),
+            expr(residExpr("ce2", "cce")).as("embedding"))
+      }
+    pqEncode(toEncode, book, m, dsub, carry = Seq("cell"))
+  }
+
+  /** Fold every committed [[ivfPqAppend]] code segment into a new
+    * compacted base generation — [[ivfCompact]]'s twin for the code
+    * store (same land-then-swap manifest commit, same folded-batchId
+    * watermark, same one-generation reader retention, via
+    * [[graft.sources.SegmentStore.compact]]).
+    */
+  private[graft] def ivfPqCompact(spark: SparkSession, dir: String,
+      crashBeforeCommit: Boolean = false): Boolean =
+    graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
+      pqLoad(spark, dir).codes, Seq("cell"), crashBeforeCommit)
 
   /** Serve: probe `nprobe` coarse cells per query (the [[probeCells]]
     * ranking — no window, no shuffle), then integer ADC over ONLY the
@@ -404,20 +552,44 @@ object AnnSuite {
     * pruning fires against the cell-partitioned persisted codes (the
     * [[ivfQuery]] pattern — PlanShapeSpec pins the pruned read); the
     * broadcast hash join on `cell` prunes row-level either way.
+    *
+    * A RESIDUAL index prices the paper's accuracy gain as one residual
+    * PER PROBED CELL: its ADC tables are (query, cell)-keyed — nprobe
+    * broadcast-sized tables instead of one — and the cell-keyed join
+    * against the codes is simultaneously the probe restriction and the
+    * score lookup.
     */
   private[graft] def ivfPqQuery(idx: IvfPqIndex, queriesDf0: DataFrame,
       idCol: String, embCol: String, nprobe: Int, topK: Int): DataFrame = {
     val queriesDf = queriesDf0
       .select(col(idCol).as("query_id"), col(embCol).as("embedding"))
-    val probes = probeCells(idx.centroids, queriesDf, nprobe)
-      .select("query_id", "cell")
-      .localCheckpoint()
-      .filter(col("cell") >= 0)
-    val dtab = pqAdcTables(queriesDf, idx.pq.book, idx.pq.m, idx.pq.dsub)
-    val scored = idx.pq.codes.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .join(broadcast(dtab), Seq("query_id"))
-      .withColumn("adist_e6", expr(adcSumExpr(idx.pq.m)))
+    val scored = if (!idx.residual) {
+      val probes = probeCells(idx.centroids, queriesDf, nprobe)
+        .select("query_id", "cell")
+        .localCheckpoint()
+        .filter(col("cell") >= 0)
+      val dtab = pqAdcTables(queriesDf, idx.pq.book, idx.pq.m, idx.pq.dsub)
+      idx.pq.codes.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .join(broadcast(dtab), Seq("query_id"))
+        .withColumn("adist_e6", expr(adcSumExpr(idx.pq.m)))
+    } else {
+      // per-(query, probed cell) residual → per-(query, cell) ADC
+      // table; the checkpoint + cell >= 0 pattern is the plain path's
+      // (one probe derivation feeds both the pruning subquery and the
+      // broadcast join side)
+      val probesResid = probeCells(idx.centroids, queriesDf, nprobe)
+        .join(broadcast(cellCents(idx.centroids)), Seq("cell"))
+        .select(col("query_id"), col("cell"),
+          expr(residExpr("qe", "cce")).as("embedding"))
+        .localCheckpoint()
+        .filter(col("cell") >= 0)
+      val dtab = pqAdcTables(probesResid, idx.pq.book, idx.pq.m, idx.pq.dsub,
+        carry = Seq("cell"))
+      idx.pq.codes.join(broadcast(dtab), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("adist_e6", expr(adcSumExpr(idx.pq.m)))
+    }
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
@@ -433,49 +605,21 @@ object AnnSuite {
     s"""zip_with($vec, $cent,
        |  (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))""".stripMargin
 
-  /** FULL-FIDELITY IVFADC (Jégou et al. §IV, eq. 13): the codebook
-    * trains on and the codes encode the RESIDUAL x − q1(x) — the
-    * vector relative to its own coarse cell's centroid — rather than
-    * [[ivfPqBuild]]'s plain sub-vectors. Residual magnitudes are much
-    * smaller and concentrated around 0, so the same 4-bit-per-subspace
-    * budget quantizes finer (the paper's reported accuracy gap between
-    * IVFADC and plain ADC). The price: the query side must compute one
-    * residual PER PROBED CELL (its ADC table is (query, cell)-keyed,
-    * nprobe tables instead of one) — still broadcast-sized for a query
-    * batch. Everything rides the deterministic kernels above, so the
-    * whole chain — coarse cells, residual codebook, codes, served
-    * top-k — is hash-checked against the DuckDB mirror.
+  /** FULL-FIDELITY IVFADC (Jégou et al. §IV, eq. 13) as one fused
+    * chain — [[ivfPqBuild]] with `residual = true` composed with the
+    * residual branch of [[ivfPqQuery]] (one kernel pair for both the
+    * fused registry entry and the persisted serving path, so they can
+    * never drift apart). Everything rides the deterministic kernels
+    * above, so the whole chain — coarse cells, residual codebook,
+    * codes, served top-k — is hash-checked against the DuckDB mirror.
     */
   private[graft] def ivfPqResidualSearch(corpus: DataFrame, queriesDf0: DataFrame,
       kCoarse: Int, nprobe: Int, m: Int, dsub: Int, ksub: Int,
-      topK: Int): DataFrame = {
-    val e = corpus.select(col("vec_id"), col("embedding"))
-    val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse)
-    val cents = coarse.centroids.select(col("cid").as("cell"), col("ce").as("cce"))
-    // corpus residuals: one narrow pass over the (already-assigned)
-    // corpus × the broadcast k-row centroid table
-    val resid = coarse.assigned.join(broadcast(cents), Seq("cell"))
-      .select(col("cand_id").as("vec_id"), col("cell"),
-        expr(residExpr("ce2", "cce")).as("embedding"))
-      .localCheckpoint()
-    val book = pqTrain(resid.select("vec_id", "embedding"), m, dsub, ksub)
-    val codes = pqEncode(resid, book, m, dsub, carry = Seq("cell"))
-    val queriesDf = queriesDf0
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    // per-(query, probed cell) residual → per-(query, cell) ADC table
-    val probes = probeCells(coarse.centroids, queriesDf, nprobe)
-      .join(broadcast(cents), Seq("cell"))
-      .select(col("query_id"), col("cell"),
-        expr(residExpr("qe", "cce")).as("embedding"))
-    val dtab = pqAdcTables(probes, book, m, dsub, carry = Seq("cell"))
-    val scored = codes.join(broadcast(dtab), Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adist_e6", expr(adcSumExpr(m)))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist_e6"), col("cand_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topK)
-      .select("query_id", "cand_id", "cell", "adist_e6", "rk")
-  }
+      topK: Int): DataFrame =
+    ivfPqQuery(
+      ivfPqBuild(corpus, "vec_id", "embedding", kCoarse, m, dsub, ksub,
+        residual = true),
+      queriesDf0, "vec_id", "embedding", nprobe, topK)
 
   /** Query phase against a built index: probe `nprobe` nearest cells,
     * exact-cosine re-rank inside them only. The index never rebuilds.
@@ -539,53 +683,24 @@ object AnnSuite {
     // ivfAppend batches AND any compacted generations (manifests,
     // versioned base/appends dirs) are superseded and must not leak
     // into reloads — the layout resets to generation 0
-    val spark = idx.assigned.sparkSession
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (n == "appends.parquet" || n.startsWith("MANIFEST-") ||
-        n.startsWith("assigned_v") || n.startsWith("appends_v"))
-        fs.delete(st.getPath, true)
-    }
+    graft.sources.SegmentStore.reset(idx.assigned.sparkSession, dir, IvfScheme)
   }
 
-  /** Resolve the index's CURRENT (base, appends, generation) names.
-    * Generation 0 is the [[ivfSave]] layout (`assigned.parquet` +
-    * `appends.parquet`, no manifest); each [[ivfCompact]] commits a
-    * `MANIFEST-<n>` naming a folded `assigned_v<n>.parquet` base and a
-    * fresh `appends_v<n>.parquet` segment root. The reader takes the
-    * HIGHEST manifest that parses completely (trailing newline — a
-    * torn manifest write is self-invalidating) and whose base dir
-    * exists, else falls back a generation — so a crash at ANY point of
-    * a compaction leaves a readable, exactly-once view.
+  /** The IVF assignment store's naming scheme — generation manifests,
+    * batchId-keyed segments, folded watermark, one-generation reader
+    * retention all live in [[graft.sources.SegmentStore]] (shared with
+    * the IVFADC code store and the substring-hash index).
+    */
+  private[graft] val IvfScheme = graft.sources.SegmentStore.Scheme(
+    "assigned.parquet", "appends.parquet", "assigned_v", "appends_v")
+
+  /** Resolve the index's CURRENT layout (base, appends, generation,
+    * folded-batchId watermark) — see [[graft.sources.SegmentStore]]
+    * for the manifest grammar and crash-safety invariants.
     */
   private[graft] def resolveLayout(spark: SparkSession, dir: String)
-      : (String, String, Int) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val manifests: Seq[(Int, org.apache.hadoop.fs.Path)] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("MANIFEST-"))
-          n.stripPrefix("MANIFEST-").toIntOption.map(_ -> st.getPath)
-        else None
-      }.sortBy(-_._1)
-    manifests.foreach { case (gen, mp) =>
-      val in = fs.open(mp)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      if (content.endsWith("\n")) content.trim.split(" ") match {
-        case Array("v1", base, appends)
-            if fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$base")) =>
-          return (base, appends, gen)
-        case _ => ()
-      }
-    }
-    ("assigned.parquet", "appends.parquet", 0)
-  }
+      : graft.sources.SegmentStore.Layout =
+    graft.sources.SegmentStore.resolve(spark, dir, IvfScheme)
 
   /** Fold every committed append segment into a NEW compacted base and
     * atomically switch readers to it — the living index's answer to
@@ -595,45 +710,16 @@ object AnnSuite {
     * solves for tables). Run on a cadence from the SAME maintenance
     * loop that drives [[ivfAppend]] (single-writer discipline: an
     * append racing a compaction could land in a segment root the
-    * compaction is about to retire).
-    *
-    * Crash-safe land-then-swap: (1) the folded base lands under the
-    * next generation's name — an idempotent overwrite, so a torn
-    * attempt just redoes; (2) the generation commits by writing
-    * `MANIFEST-<n+1>` (a torn manifest write is self-invalidating —
-    * see [[resolveLayout]] — so readers stay on the old generation);
-    * (3) the old base + segments delete only AFTER the commit. At no
-    * point can a reader see a row zero or two times (IvfPersistSpec
-    * kills between every stage and proves the served top-k is
-    * byte-identical before/during/after).
-    *
-    * Returns false (no-op) when there are no committed segments to
-    * fold. `crashBeforeCommit` is the spec's torn-compaction hook: do
-    * the landing work, then "die" before the manifest commit.
+    * compaction is about to retire). Crash-safety — torn landing,
+    * torn manifest, replay-across-compaction, reader-vs-compactor
+    * generation retention — is [[graft.sources.SegmentStore.compact]]'s
+    * contract; IvfPersistSpec kills between every stage and proves the
+    * served top-k is byte-identical before/during/after.
     */
   private[graft] def ivfCompact(spark: SparkSession, dir: String,
-      crashBeforeCommit: Boolean = false): Boolean = {
-    val (base, appends, gen) = resolveLayout(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$appends"))) return false
-    val next = gen + 1
-    val newBase = s"assigned_v$next.parquet"
-    // 1. land the folded base (base ∪ segments, still cell-partitioned)
-    ivfLoad(spark, dir).assigned.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$dir/$newBase")
-    if (crashBeforeCommit) return false
-    // 2. commit the generation (readers switch at their next resolve)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$next"), true)
-    try out.write(s"v1 $newBase appends_v$next.parquet\n".getBytes("UTF-8"))
-    finally out.close()
-    // 3. retire the folded generation (invisible since step 2; a crash
-    // here leaves orphans that the next ivfSave rebuild clears)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$base"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$appends"), true)
-    if (gen > 0) fs.delete(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$gen"), true)
-    true
-  }
+      crashBeforeCommit: Boolean = false): Boolean =
+    graft.sources.SegmentStore.compact(spark, dir, IvfScheme,
+      ivfLoad(spark, dir).assigned, Seq("cell"), crashBeforeCommit)
 
   /** Reload a persisted index; the result serves [[ivfQuery]] exactly
     * like the freshly built one (build is deterministic and the
@@ -644,21 +730,12 @@ object AnnSuite {
     * segments (both cell-partitioned, so probe pruning holds on each
     * leg of the union).
     */
-  private[graft] def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
-    val (baseName, appendsName, _) = resolveLayout(spark, dir)
-    val base = spark.read.parquet(s"$dir/$baseName")
-      .withColumn("cell", col("cell").cast("long"))
-      .select("cand_id", "cell", "ce2")
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/$appendsName")
-    val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val assigned = if (fs.exists(appendsPath))
-      base.unionByName(
-        spark.read.parquet(s"$dir/$appendsName")
-          .withColumn("cell", col("cell").cast("long"))
-          .select("cand_id", "cell", "ce2"))
-    else base
-    IvfIndex(assigned, spark.read.parquet(s"$dir/centroids.parquet"))
-  }
+  private[graft] def ivfLoad(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      graft.sources.SegmentStore.load(spark, dir, IvfScheme)(
+        _.withColumn("cell", col("cell").cast("long"))
+          .select("cand_id", "cell", "ce2")),
+      spark.read.parquet(s"$dir/centroids.parquet"))
 
   /** A new batch assigned at a PERSISTED index's centroids — the
     * incremental-maintenance kernel: cost ∝ batch (one narrow scan of
@@ -698,15 +775,37 @@ object AnnSuite {
     * overwrite each other's segment — idempotent-replay semantics are
     * opt-in via an explicit id, never the silent out-of-the-box
     * behavior (pass foreachBatch's batchId, or any caller-unique id
-    * for ad-hoc appends).
+    * for ad-hoc appends). Ids must be MONOTONICALLY INCREASING per
+    * index (foreachBatch's contract): a batchId at or below the
+    * compaction watermark is treated as a replay of an
+    * already-folded batch and lands NOTHING (returns false) — without
+    * this, a checkpoint replay arriving after its original segment
+    * was folded into the base would duplicate its rows.
     */
   private[graft] def ivfAppend(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, embCol: String,
-      batchId: Long): Unit = {
-    val (_, appendsName, _) = resolveLayout(spark, dir)
-    ivfAssignBatch(spark, dir, batch, idCol, embCol)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/$appendsName/batch_id=$batchId")
+      batchId: Long): Boolean =
+    graft.sources.SegmentStore.append(spark, dir, IvfScheme,
+      ivfAssignBatch(spark, dir, batch, idCol, embCol), Seq("cell"), batchId)
+
+  /** Sample-trained flat-PQ serve (the 100 TB training economics —
+    * see [[pqTrain]]'s sampleMod doc): codebook from the 1/sampleMod
+    * deterministic hash-sample, encode + ADC over the FULL corpus.
+    * The sample is hash-derived, so it is reproducible, unbiased, and
+    * oracle-mirrorable — the whole chain stays hash-checked, making
+    * the codebook-quality trade a measurable delta rather than a leap
+    * of faith.
+    */
+  private[graft] def pqSampledServe(sampleMod: Int)
+      : (SparkSession, String) => DataFrame = { (s, d) =>
+    org.apache.spark.sql.graft.Bridge.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val book = pqTrain(e, m = 8, dsub = 8, ksub = 16, sampleMod = sampleMod)
+    pqQuery(PqIndex(book, pqEncode(e, book, m = 8, dsub = 8), 8, 8),
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      topK = 5)
+      .orderBy("query_id", "rk")
   }
 
   /** Lake-pinned registry instance of [[ivfSearch]]. */
@@ -1059,6 +1158,177 @@ object AnnSuite {
         .orderBy("query_id", "rk")
     },
 
+    // residual IVFADC's cross-session serving path: build (residual
+    // codebook + codes), persist (flags row records residual-ness),
+    // reload, serve — no retraining, the ann_ivfpq precedent. The
+    // round-trip is lossless and the build deterministic, so the fused
+    // entry's oracle checks the persisted path too.
+    "ann_ivfpq_residual_persisted" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivfpq_residual_persisted/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e, "vec_id", "embedding",
+        kCoarse = IvfK, m = 8, dsub = 8, ksub = 16, residual = true), dir)
+      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // what the residual codebook BUYS over plain sub-vectors (Jégou et
+    // al.'s motivation for eq. 13), as a measured number: recall@3 of
+    // residual-IVFADC's top-3 against the exact full-vector L2 truth —
+    // compare per-query to ann_ivfpq_recall's recall_adc_e6 (the plain
+    // variant at the same nprobe/bit budget).
+    "ann_ivfpq_residual_recall" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val truth = graft.api.Graft.rankedByGroup(
+          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+            .withColumn("d_e6", floor(expr(
+              """aggregate(zip_with(qe, ce,
+                |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+              * 1e6 + 0.5).cast("long"))
+            .select(col("query_id"), col("d_e6"), col("cand_id")),
+          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+      val got = ivfPqResidualSearch(e, e.filter(col("vec_id") < 5),
+          kCoarse = IvfK, nprobe = IvfNProbe, m = 8, dsub = 8, ksub = 16,
+          topK = 3)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+      truth.join(got, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits_adc"))
+        .withColumn("recall_adc_e6",
+          floor(col("hits_adc").cast("double") * 1e6 / col("n_truth") + 0.5)
+            .cast("long"))
+        .orderBy("query_id")
+    },
+
+    // IVFADC as a LIVING index — the composed quantized index's
+    // incremental-maintenance path, oracle-checked end-to-end: build
+    // on the base corpus (~6/7 of the rows), persist, append the
+    // arriving batch at the LOADED fixed centroids + codebook, reload,
+    // serve. Assignment and encoding at fixed parameters are
+    // deterministic, so build-then-append equals one build over the
+    // unioned corpus with training restricted to the base rows — the
+    // ann_ivf_append algebra lifted to the quantized index.
+    "ann_ivfpq_append" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivfpq_append/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
+      ivfPqAppend(s, dir, e.filter(col("vec_id") % 7 === 3),
+        "vec_id", "embedding", batchId = 0L)
+      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // the quantized living index's maintenance third leg (build →
+    // append → COMPACT): fold the committed code segments into a new
+    // base generation and serve from it — same corpus, same fixed
+    // parameters, so the served result is identical to
+    // ann_ivfpq_append's and its oracle checks the whole fold
+    // (crash-safety is IvfPqMaintSpec's job; the driver checks values)
+    "ann_ivfpq_compact" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivfpq_compact/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
+      ivfPqAppend(s, dir, e.filter(col("vec_id") % 7 === 3),
+        "vec_id", "embedding", batchId = 0L)
+      ivfPqCompact(s, dir)
+      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // The QUANTIZED operating-point sweep — the knob table a PQ
+    // deployment actually tunes (ann_tune covers exact-re-rank IVF):
+    // for nprobe ∈ {1,2,4,8} × shortlist ∈ {0 = raw ADC, 50 = exact
+    // re-rank over the ADC top-50}, aggregate recall@3 against the
+    // exact L2 truth AND the price paid — code rows inside the probed
+    // cells, as an e6 fraction of queries × corpus. One index build,
+    // one truth pass, one full-corpus distance table (all
+    // localCheckpointed) serve all eight legs; each leg adds only its
+    // probe join, ranking, and (for shortlist legs) the 50-row
+    // re-rank. All legs deterministic → the whole table hash-checks.
+    "ann_ivfpq_tune" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val built = ivfPqBuild(e, "vec_id", "embedding",
+        kCoarse = IvfK, m = 8, dsub = 8, ksub = 16)
+      val idx = built.copy(
+        centroids = built.centroids.localCheckpoint(),
+        pq = built.pq.copy(codes = built.pq.codes.localCheckpoint()))
+      val occ = idx.pq.codes.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cell_n")).localCheckpoint()
+      val corpusN = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+      val queriesDf = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      // full (query × corpus) exact L2 distances, shared by the truth
+      // ranking and every shortlist re-rank leg
+      val tdist = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("d_e6", floor(expr(
+          """aggregate(zip_with(qe, ce,
+            |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+            |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          * 1e6 + 0.5).cast("long"))
+        .select(col("query_id"), col("d_e6"), col("cand_id"))
+        .localCheckpoint()
+      val truth = graft.api.Graft.rankedByGroup(tdist,
+          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+      val legs = for { np <- Seq(1, 2, 4, 8); sl <- Seq(0, 50) } yield {
+        val served = ivfPqQuery(idx, queriesDf, "query_id", "embedding",
+          nprobe = np, topK = if (sl == 0) 3 else sl)
+        val got = (if (sl == 0) served.select("query_id", "cand_id")
+          else graft.api.Graft.rankedByGroup(
+              tdist.join(served.select("query_id", "cand_id"),
+                Seq("query_id", "cand_id")),
+              Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+            .filter(col("rn") <= 3)
+            .select("query_id", "cand_id"))
+          .withColumn("got", lit(1L))
+        val rec = truth.join(got, Seq("query_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
+        val scan = probeCells(idx.centroids, queriesDf, np)
+          .join(occ, Seq("cell"))
+          .agg(sum(col("cell_n")).as("scanned_rows"),
+            countDistinct(col("query_id")).as("nq"))
+        rec.crossJoin(scan).select(
+          lit(np.toLong).as("nprobe"),
+          lit(sl.toLong).as("shortlist"),
+          col("n_truth"), col("hits"),
+          floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
+            .cast("long").as("recall_e6"),
+          col("scanned_rows"),
+          floor(col("scanned_rows").cast("double") * 1e6
+            / (col("nq") * lit(corpusN)) + 0.5)
+            .cast("long").as("frac_scanned_e6"))
+      }
+      legs.reduce(_.unionByName(_)).orderBy("nprobe", "shortlist")
+    },
+
     // Sample-trained codebook — the 100 TB training economics: the PQ
     // codebook learns from a deterministic 50% hash-sample of the
     // corpus (seeds + Lloyd touch half the rows) while the ENCODE pass
@@ -1067,17 +1337,57 @@ object AnnSuite {
     // oracle-mirrorable — the whole chain stays hash-checked, making
     // the codebook-quality trade a measurable delta against ann_pq's
     // full-corpus-trained top-5 rather than a leap of faith.
-    "ann_pq_sampled" -> { (s, d) =>
+    "ann_pq_sampled" -> pqSampledServe(sampleMod = 2),
+
+    // the same chain at a 16× cheaper training rate — together with
+    // ann_pq_sampled (mod 2) and ann_pq (mod 1) the family publishes
+    // the training-economics curve; ann_pq_sampled_recall grades what
+    // each rate costs in recall
+    "ann_pq_sampled16" -> pqSampledServe(sampleMod = 16),
+
+    // The sampled-training QUALITY curve — recall@3 of the ADC top-3
+    // against the exact full-vector L2 truth, at training rates
+    // 1/1, 1/2, 1/16 (one row per rate): the measured evidence that a
+    // corpus-scale codebook can train on a sample. One truth pass
+    // (localCheckpointed) grades all three legs; each leg retrains its
+    // own codebook (that is the thing under test) but encodes the full
+    // corpus. All legs deterministic → the whole table is hash-checked.
+    "ann_pq_sampled_recall" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val train = e.filter(
-        graft.functions.Portable.rowHash60(col("vec_id").cast("string")) % 2 === 0)
-      val book = pqTrain(train, m = 8, dsub = 8, ksub = 16)
-      pqQuery(PqIndex(book, pqEncode(e, book, m = 8, dsub = 8), 8, 8),
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding")),
-        topK = 5)
-        .orderBy("query_id", "rk")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val truth = graft.api.Graft.rankedByGroup(
+          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+            .withColumn("d_e6", floor(expr(
+              """aggregate(zip_with(qe, ce,
+                |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+              * 1e6 + 0.5).cast("long"))
+            .select(col("query_id"), col("d_e6"), col("cand_id")),
+          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+      val queriesDf = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val legs = Seq(1, 2, 16).map { mod =>
+        val book = pqTrain(e, m = 8, dsub = 8, ksub = 16, sampleMod = mod)
+        val got = pqQuery(
+            PqIndex(book, pqEncode(e, book, m = 8, dsub = 8), 8, 8),
+            queriesDf, topK = 3)
+          .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+        truth.join(got, Seq("query_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits_adc"))
+          .select(lit(mod.toLong).as("sample_mod"),
+            col("n_truth"), col("hits_adc"),
+            floor(col("hits_adc").cast("double") * 1e6 / col("n_truth") + 0.5)
+              .cast("long").as("recall_adc_e6"))
+      }
+      legs.reduce(_.unionByName(_)).orderBy("sample_mod")
     },
 
     // Deterministic k-means over the embedding corpus (k = IvfK, TWO
@@ -1119,23 +1429,36 @@ object AnnSuite {
     // compaction folds segments without changing the served set —
     // build-then-append-then-compact ≡ build-then-append, so the
     // append chain's oracle checks the folded index end-to-end
-    ("ann_ivf_compact" -> oraclesBase("ann_ivf_append"))
+    ("ann_ivf_compact" -> oraclesBase("ann_ivf_append")) +
+    // the persisted residual index is value-identical to the fused
+    // residual chain (deterministic build, lossless round-trip)
+    ("ann_ivfpq_residual_persisted" -> oraclesBase("ann_ivfpq_residual")) +
+    // code-store compaction folds segments without changing the served
+    // set, so the quantized append chain's oracle checks the fold
+    ("ann_ivfpq_compact" -> oraclesBase("ann_ivfpq_append"))
 
   /** The coarse-quantizer CTE chain of the IVFADC oracles — the
     * ann_ivf chain (seeds → one Lloyd step → final assignment +
     * probes) with iv_-prefixed names so it composes with [[PqChainSql]]
-    * in one WITH list. Ends at `iv_a1` (cand_id, cell) and `iv_probes`
-    * (query_id, cell); build corpus = the whole table.
+    * in one WITH list. Ends at `iv_a1` (cand_id, cell), `iv_pr` (each
+    * query's FULL cell ranking — the tune sweep filters it per
+    * nprobe), and `iv_probes` (the default-nprobe probe set).
+    * Parameterized by the index-BUILD corpus (`basePred` — seeds and
+    * the Lloyd step run over matching rows; the final assignment and
+    * probes cover the whole table): `TRUE` checks the plain build,
+    * a proper subset checks build-then-append at the base's fixed
+    * centroids (the ann_ivf_append algebra).
     */
-  private lazy val IvfCellChainSql: String =
-    s"""iv_seeds AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM e
+  private def ivfCellChainSql(basePred: String): String =
+    s"""iv_eb AS (SELECT vec_id, embedding FROM e WHERE $basePred),
+       |iv_seeds AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM iv_eb
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
        |  LIMIT $IvfK),
        |iv_d0 AS (
        |  SELECT e.vec_id, s.cid, e.embedding,
        |    ${oracleDist("s.ce")} AS dist
-       |  FROM e, iv_seeds s),
+       |  FROM iv_eb e, iv_seeds s),
        |iv_a0 AS (
        |  SELECT vec_id, cid, embedding FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -1156,10 +1479,12 @@ object AnnSuite {
        |  SELECT vec_id AS cand_id, cid AS cell FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM iv_d1) t WHERE rn = 1),
+       |iv_pr AS (
+       |  SELECT vec_id AS query_id, cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM iv_d1 WHERE vec_id < 5),
        |iv_probes AS (
-       |  SELECT vec_id AS query_id, cid AS cell FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM iv_d1 WHERE vec_id < 5) t WHERE rn <= $IvfNProbe)""".stripMargin
+       |  SELECT query_id, cell FROM iv_pr WHERE rn <= $IvfNProbe)""".stripMargin
 
   /** Shared DuckDB-oracle fragments for the embedding-distance family —
     * one source of truth for the formula that ann_ivf, ann_recall_eval,
@@ -1256,6 +1581,43 @@ object AnnSuite {
 
   /** The full-corpus-trained instance every fused PQ oracle rides. */
   private lazy val PqChainSql: String = pqChainSqlFor("TRUE")
+
+  /** The residual-IVFADC oracle chain, shared by ann_ivfpq_residual,
+    * its persisted twin, and its recall gate: coarse chain → per-row
+    * residuals (r) → the shared PQ train/encode fragment over r →
+    * per-(query, probed cell) residual ADC tables → cell-keyed integer
+    * scoring. Ends at `scr` (query_id, cand_id, cell, adist_e6).
+    */
+  private lazy val ResidualChainSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |${ivfCellChainSql("TRUE")},
+       |r AS (
+       |  SELECT a.cand_id AS vec_id, a.cell,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(CAST(e2.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS REAL)) AS embedding
+       |  FROM iv_a1 a
+       |  JOIN e e2 ON e2.vec_id = a.cand_id
+       |  JOIN iv_cents c ON c.cid = a.cell),
+       |${pqCodesSql("r", "r", "r_")},
+       |qr AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(CAST(q.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS REAL)) AS embedding
+       |  FROM iv_probes p
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN iv_cents c ON c.cid = p.cell),
+       |dtr AS (
+       |  SELECT qr.query_id, qr.cell, c.j, c.slot,
+       |    CAST(FLOOR(${pqSubDist("qr.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+       |  FROM qr, r_slots c),
+       |scr AS (
+       |  SELECT dtr.query_id, cr.vec_id AS cand_id, rr.cell,
+       |    CAST(SUM(dtr.d_e6) AS BIGINT) AS adist_e6
+       |  FROM r_codes cr
+       |  JOIN r rr ON rr.vec_id = cr.vec_id
+       |  JOIN dtr ON dtr.j = cr.j AND dtr.slot = cr.slot AND dtr.cell = rr.cell
+       |  WHERE dtr.query_id <> cr.vec_id
+       |  GROUP BY dtr.query_id, cr.vec_id, rr.cell)""".stripMargin
 
   /** The full IVF oracle chain, parameterized by the index-BUILD
     * corpus: seeds + the Lloyd step run over rows matching `basePred`
@@ -1576,7 +1938,7 @@ object AnnSuite {
       // probes): the served set is ADC scores restricted to candidates
       // whose cell one of the query's probes covers, ranked within it
       s"""$PqChainSql,
-         |$IvfCellChainSql
+         |${ivfCellChainSql("TRUE")}
          |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
          |    ROW_NUMBER() OVER (PARTITION BY s.query_id
@@ -1587,39 +1949,159 @@ object AnnSuite {
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 
-    "ann_ivfpq_residual" -> {
-      // coarse chain → per-row residuals (r) → the shared PQ
-      // train/encode fragment over r → per-(query, probed cell)
-      // residual ADC tables → cell-keyed integer scoring
+    "ann_ivfpq_append" -> {
+      // build-then-append at FIXED coarse centroids + FIXED codebook
+      // equals one build over the unioned corpus with BOTH trainings
+      // restricted to the base rows: the same served-top-5 chain as
+      // ann_ivfpq, with the coarse chain's build corpus and the PQ
+      // chain's training corpus both predicated on the base
+      s"""${pqChainSqlFor("vec_id % 7 <> 3")},
+         |${ivfCellChainSql("vec_id % 7 <> 3")}
+         |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                       ORDER BY s.adist_e6, s.cand_id) AS rk
+         |  FROM sc2 s
+         |  JOIN iv_a1 a ON a.cand_id = s.cand_id
+         |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_ivfpq_tune" -> {
+      // the quantized operating-point sweep: per (nprobe, shortlist)
+      // leg, probed-cell ADC candidates ranked (rk), served either raw
+      // (rk <= 3) or exact-re-ranked over the rk <= 50 shortlist, each
+      // graded against the exact L2 truth; the price is the probed
+      // cells' code-row occupancy as a fraction of queries × corpus
+      def cand(np: Int): String =
+        s"""SELECT s.query_id, s.cand_id,
+           |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+           |                         ORDER BY s.adist_e6, s.cand_id) AS rk
+           |    FROM sc2 s
+           |    JOIN iv_a1 a ON a.cand_id = s.cand_id
+           |    JOIN iv_pr p ON p.query_id = s.query_id AND p.cell = a.cell
+           |      AND p.rn <= $np""".stripMargin
+      def got(np: Int, sl: Int): String =
+        if (sl == 0)
+          s"SELECT query_id, cand_id FROM (${cand(np)}) rr WHERE rk <= 3"
+        else
+          s"""SELECT query_id, cand_id FROM (
+             |  SELECT t.query_id, t.cand_id,
+             |    ROW_NUMBER() OVER (PARTITION BY t.query_id
+             |                       ORDER BY t.d_e6, t.cand_id) AS rk2
+             |  FROM tdist t JOIN (${cand(np)}) sh
+             |    ON sh.rk <= $sl AND sh.query_id = t.query_id
+             |   AND sh.cand_id = t.cand_id) x WHERE rk2 <= 3""".stripMargin
+      def leg(np: Int, sl: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, CAST($sl AS BIGINT) AS shortlist,
+           |    r.n_truth, r.hits,
+           |    CAST(FLOOR(CAST(r.hits AS DOUBLE) * 1e6 / r.n_truth + 0.5) AS BIGINT) AS recall_e6,
+           |    s.scanned_rows,
+           |    CAST(FLOOR(CAST(s.scanned_rows AS DOUBLE) * 1e6
+           |      / (s.nq * (SELECT COUNT(*) FROM e)) + 0.5) AS BIGINT) AS frac_scanned_e6
+           |  FROM (
+           |    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |      CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |    FROM truth t LEFT JOIN (${got(np, sl)}) g
+           |      ON g.query_id = t.query_id AND g.cand_id = t.cand_id) r,
+           |    (SELECT CAST(SUM(occ.cell_n) AS BIGINT) AS scanned_rows,
+           |       CAST(COUNT(DISTINCT p.query_id) AS BIGINT) AS nq
+           |     FROM iv_pr p JOIN iv_occ occ ON occ.cell = p.cell
+           |     WHERE p.rn <= $np) s""".stripMargin
+      val legs = for { np <- Seq(1, 2, 4, 8); sl <- Seq(0, 50) } yield leg(np, sl)
+      s"""$PqChainSql,
+         |${ivfCellChainSql("TRUE")},
+         |iv_occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n
+         |           FROM iv_a1 GROUP BY cell),
+         |tdist AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY d_e6, cand_id) AS rk
+         |    FROM tdist) t WHERE rk <= 3)
+         |SELECT * FROM (
+         |${legs.mkString("", "\nUNION ALL\n", "")}
+         |) u ORDER BY nprobe, shortlist""".stripMargin
+    },
+
+    "ann_pq_sampled16" -> {
+      // same serve as ann_pq, codebook trained on the 1/16 hash-sample
+      s"""${pqChainSqlFor(
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0")}
+         |SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY adist_e6, cand_id) AS rk
+         |  FROM sc2) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_pq_sampled_recall" -> {
+      // three sampled-training chains (mod 1 / 2 / 16, m<mod>_-prefixed
+      // CTEs) graded against one exact-L2 truth — the recall-per-
+      // training-rate curve
+      def modChain(mod: Int, p: String): String = {
+        val trainBase = if (mod <= 1) "e" else s"${p}et"
+        val tb = if (mod <= 1) "" else
+          s"""${p}et AS (SELECT vec_id, embedding FROM e
+             |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $mod = 0),
+             |""".stripMargin
+        s"""$tb${pqCodesSql(trainBase, "e", p)},
+           |${p}dt AS (
+           |  SELECT q.query_id, c.j, c.slot,
+           |    CAST(FLOOR(${pqSubDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+           |  FROM q, ${p}slots c),
+           |${p}sc2 AS (
+           |  SELECT dt.query_id, cd.vec_id AS cand_id,
+           |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
+           |  FROM ${p}codes cd JOIN ${p}dt dt ON dt.j = cd.j AND dt.slot = cd.slot
+           |  WHERE dt.query_id <> cd.vec_id
+           |  GROUP BY dt.query_id, cd.vec_id),
+           |${p}adc AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |                                 ORDER BY adist_e6, cand_id) AS rk
+           |    FROM ${p}sc2) t WHERE rk <= 3)""".stripMargin
+      }
+      def legSql(mod: Int, p: String): String =
+        s"""SELECT CAST($mod AS BIGINT) AS sample_mod,
+           |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_adc,
+           |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_adc_e6
+           |FROM truth t LEFT JOIN ${p}adc g
+           |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |$IvfCellChainSql,
-         |r AS (
-         |  SELECT a.cand_id AS vec_id, a.cell,
-         |    list_transform(range(1, 65), i ->
-         |      CAST(CAST(e2.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS REAL)) AS embedding
-         |  FROM iv_a1 a
-         |  JOIN e e2 ON e2.vec_id = a.cand_id
-         |  JOIN iv_cents c ON c.cid = a.cell),
-         |${pqCodesSql("r", "r", "r_")},
-         |qr AS (
-         |  SELECT p.query_id, p.cell,
-         |    list_transform(range(1, 65), i ->
-         |      CAST(CAST(q.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS REAL)) AS embedding
-         |  FROM iv_probes p
-         |  JOIN e q ON q.vec_id = p.query_id
-         |  JOIN iv_cents c ON c.cid = p.cell),
-         |dtr AS (
-         |  SELECT qr.query_id, qr.cell, c.j, c.slot,
-         |    CAST(FLOOR(${pqSubDist("qr.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
-         |  FROM qr, r_slots c),
-         |scr AS (
-         |  SELECT dtr.query_id, cr.vec_id AS cand_id, rr.cell,
-         |    CAST(SUM(dtr.d_e6) AS BIGINT) AS adist_e6
-         |  FROM r_codes cr
-         |  JOIN r rr ON rr.vec_id = cr.vec_id
-         |  JOIN dtr ON dtr.j = cr.j AND dtr.slot = cr.slot AND dtr.cell = rr.cell
-         |  WHERE dtr.query_id <> cr.vec_id
-         |  GROUP BY dtr.query_id, cr.vec_id, rr.cell)
+         |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
+         |tdist AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY d_e6, cand_id) AS rk
+         |    FROM tdist) t WHERE rk <= 3),
+         |${modChain(1, "m1_")},
+         |${modChain(2, "m2_")},
+         |${modChain(16, "m16_")}
+         |SELECT * FROM (
+         |${Seq(legSql(1, "m1_"), legSql(2, "m2_"), legSql(16, "m16_"))
+            .mkString("\nUNION ALL\n")}
+         |) u ORDER BY sample_mod""".stripMargin
+    },
+
+    "ann_ivfpq_residual" -> {
+      // the shared residual chain + the served top-5
+      s"""$ResidualChainSql
          |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |                               ORDER BY adist_e6, cand_id) AS rk
@@ -1627,11 +2109,43 @@ object AnnSuite {
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 
+    "ann_ivfpq_residual_recall" -> {
+      // the shared residual chain's ADC top-3 graded against the exact
+      // full-vector L2 truth — compare per-query to ann_ivfpq_recall's
+      // recall_adc_e6 to price what the residual codebook buys
+      s"""$ResidualChainSql,
+         |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
+         |tdist AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY d_e6, cand_id) AS rk
+         |    FROM tdist) t WHERE rk <= 3),
+         |adc AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY adist_e6, cand_id) AS rk
+         |    FROM scr) t WHERE rk <= 3)
+         |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_adc,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_adc_e6
+         |FROM truth t LEFT JOIN adc g
+         |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    },
+
     "ann_ivfpq_recall" -> {
       // probed-cells ADC top-3 graded against the exact full-vector L2
       // truth (the ann_pq_recall convention, single-leg)
       s"""$PqChainSql,
-         |$IvfCellChainSql,
+         |${ivfCellChainSql("TRUE")},
          |tdist AS (
          |  SELECT q.query_id, c.vec_id AS cand_id,
          |    CAST(FLOOR(list_sum(list_transform(range(1, 65),

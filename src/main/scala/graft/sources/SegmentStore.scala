@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generation-manifested segment storage — the shared maintenance
+  * discipline behind every "living index" in the engine (IVF
+  * assignments, IVFADC code tables, the streaming substring-dedup
+  * window-hash index). The reference's incremental reconciliation
+  * keeps a watermark table and re-reads only what moved
+  * (ref: src/reconciliation/incremental/watermark.py:1,
+  * incremental.py:1); the lake analog for an APPEND-ONLY index is
+  * batchId-keyed segments plus manifest-committed compactions, which
+  * is what this implements.
+  *
+  * Layout inside an index directory:
+  *   - generation 0: `<base0>` (the initial build) + `<appends0>/
+  *     batch_id=<id>/...` segments, no manifest;
+  *   - each compaction commits `MANIFEST-<n>` naming a folded
+  *     `<vBase><n>.parquet` base and a fresh `<vAppends><n>.parquet`
+  *     segment root, plus the folded-batchId WATERMARK.
+  *
+  * Crash-safety invariants (spec-pinned in IvfPersistSpec):
+  *   - a torn segment write is healed by replay: [[append]] OVERWRITES
+  *     exactly its own `batch_id=` directory, so re-driving a batch
+  *     whose landing succeeded but whose offset commit did not rewrites
+  *     the same rows instead of duplicating them;
+  *   - a torn compaction is invisible: the folded base lands under the
+  *     NEXT generation's name (idempotent redo), and the generation
+  *     only exists once its manifest commits (a torn manifest write is
+  *     self-invalidating — [[resolve]] requires the trailing newline);
+  *   - a replay ACROSS a compaction is a no-op: the manifest carries
+  *     the highest batchId folded into the base, and [[append]]
+  *     refuses ids at or below it — without this, a checkpoint replay
+  *     arriving after its original segment was folded would land the
+  *     rows a second time (they already live in the new base). This
+  *     requires batch ids to be MONOTONICALLY INCREASING per index,
+  *     which is exactly foreachBatch's batchId contract;
+  *   - readers and the compactor are isolated by GENERATION RETENTION:
+  *     committing generation n+1 retires generation n−1, never n, so
+  *     an in-flight reader that resolved the pre-compaction layout
+  *     keeps a complete generation on disk until the NEXT compaction.
+  *     (Single-WRITER discipline still applies: run append and compact
+  *     from one maintenance loop.)
+  */
+object SegmentStore {
+
+  /** Directory-naming scheme of one segment store. `vBase`/`vAppends`
+    * are PREFIXES: generation n's dirs are `<vBase><n>.parquet` /
+    * `<vAppends><n>.parquet` (prefix form so [[reset]] can clear every
+    * generation without knowing how many exist).
+    */
+  case class Scheme(base0: String, appends0: String,
+      vBase: String, vAppends: String) {
+    def baseOf(gen: Int): String = if (gen == 0) base0 else s"$vBase$gen.parquet"
+    def appendsOf(gen: Int): String =
+      if (gen == 0) appends0 else s"$vAppends$gen.parquet"
+  }
+
+  /** The resolved CURRENT view: base + appends dir names, generation
+    * number, and the folded-batchId watermark (−1 before any
+    * compaction).
+    */
+  case class Layout(base: String, appends: String, gen: Int, folded: Long)
+
+  private def fileSystem(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Resolve the store's current layout: the HIGHEST manifest that
+    * parses completely (trailing newline — a torn write is
+    * self-invalidating) and whose base dir exists wins; else fall back
+    * a generation; else generation 0. Manifest grammar:
+    * `v2 <base> <appends> <foldedWatermark>\n` (v1 lines — no
+    * watermark — still parse, folded = −1).
+    */
+  def resolve(spark: SparkSession, dir: String, scheme: Scheme): Layout = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fileSystem(spark, dir)
+    val manifests: Seq[(Int, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("MANIFEST-"))
+          n.stripPrefix("MANIFEST-").toIntOption.map(_ -> st.getPath)
+        else None
+      }.sortBy(-_._1)
+    manifests.foreach { case (gen, mp) =>
+      val in = fs.open(mp)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (content.endsWith("\n")) content.trim.split(" ") match {
+        case Array("v1", base, appends)
+            if fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$base")) =>
+          return Layout(base, appends, gen, -1L)
+        case Array("v2", base, appends, folded)
+            if folded.toLongOption.nonEmpty &&
+              fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$base")) =>
+          return Layout(base, appends, gen, folded.toLong)
+        case _ => ()
+      }
+    }
+    Layout(scheme.base0, scheme.appends0, 0, -1L)
+  }
+
+  /** Land one batch as an idempotent, batchId-keyed segment. Returns
+    * false (and writes NOTHING) when `batchId` is at or below the
+    * folded watermark — a checkpoint replay of a batch a compaction
+    * already folded into the base. `batchId` must be monotonically
+    * increasing per store (foreachBatch's contract); ad-hoc callers
+    * own picking fresh ids above the watermark.
+    */
+  def append(spark: SparkSession, dir: String, scheme: Scheme,
+      segment: DataFrame, partitionCols: Seq[String], batchId: Long): Boolean = {
+    val lay = resolve(spark, dir, scheme)
+    if (batchId <= lay.folded) return false
+    val w = segment.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/${lay.appends}/batch_id=$batchId")
+    true
+  }
+
+  /** Base ∪ committed segments, both passed through `normalize`
+    * (column selection / partition-value type restoration). The union
+    * preserves each leg's partition layout, so partition-column
+    * predicates prune on both.
+    */
+  def load(spark: SparkSession, dir: String, scheme: Scheme)
+      (normalize: DataFrame => DataFrame): DataFrame = {
+    val lay = resolve(spark, dir, scheme)
+    val base = normalize(spark.read.parquet(s"$dir/${lay.base}"))
+    val ap = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
+    if (fileSystem(spark, dir).exists(ap))
+      base.unionByName(normalize(spark.read.parquet(s"$dir/${lay.appends}")))
+    else base
+  }
+
+  /** Fold base ∪ committed segments into generation gen+1 with
+    * crash-safe land-then-swap (see object doc). `folded` must be the
+    * frame to land — callers pass their reader-side union so fold ≡
+    * read. Retains generation gen for in-flight readers; retires
+    * generation gen−1. Returns false (no-op) when there are no
+    * committed segments. `crashBeforeCommit` is the specs' torn-
+    * compaction hook: land, then "die" before the manifest commit.
+    */
+  def compact(spark: SparkSession, dir: String, scheme: Scheme,
+      folded: => DataFrame, partitionCols: Seq[String],
+      crashBeforeCommit: Boolean = false): Boolean = {
+    val lay = resolve(spark, dir, scheme)
+    val fs = fileSystem(spark, dir)
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
+    if (!fs.exists(appendsPath)) return false
+    // the new watermark: every committed segment id folds into the base
+    val segIds = fs.listStatus(appendsPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(_.stripPrefix("batch_id=").toLongOption)
+    val newFolded = (segIds :+ lay.folded).max
+    val next = lay.gen + 1
+    // 1. land the folded base under the NEXT generation's name
+    //    (idempotent overwrite — a torn attempt just redoes)
+    val w = folded.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/${scheme.baseOf(next)}")
+    if (crashBeforeCommit) return false
+    // 2. commit the generation (readers switch at their next resolve)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$next"), true)
+    try out.write(
+      s"v2 ${scheme.baseOf(next)} ${scheme.appendsOf(next)} $newFolded\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    // 3. retire generation gen−1 ONLY — generation gen stays on disk
+    //    until the next compaction, so a reader that resolved it
+    //    pre-commit keeps its files (and the manifest-fallback chain
+    //    stays serviceable)
+    if (lay.gen >= 1) {
+      val prev = lay.gen - 1
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.baseOf(prev)}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.appendsOf(prev)}"), true)
+      if (prev > 0)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$prev"), true)
+    }
+    true
+  }
+
+  /** Clear every segment, manifest, and versioned generation — a full
+    * index rebuild resets the store to generation 0 (the fresh base
+    * the caller is about to write). Prior segments must not leak into
+    * reloads of the new build.
+    */
+  def reset(spark: SparkSession, dir: String, scheme: Scheme): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fileSystem(spark, dir)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n == scheme.appends0 || n.startsWith("MANIFEST-") ||
+        n.startsWith(scheme.vBase) || n.startsWith(scheme.vAppends))
+        fs.delete(st.getPath, true)
+    }
+  }
+}

@@ -1002,8 +1002,10 @@ object CdcStream {
     val q = spark.readStream.schema(batchRows.schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
       .writeStream
-      .foreachBatch((df: DataFrame, batchId: Long) =>
-        graft.api.Graft.ivfAppend(spark, idxDir, df, "vec_id", "embedding", batchId))
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.api.Graft.ivfAppend(spark, idxDir, df, "vec_id", "embedding", batchId)
+        ()
+      }
       .option("checkpointLocation", Scratch.dir(qname + "_cp"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

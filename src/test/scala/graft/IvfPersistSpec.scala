@@ -177,27 +177,119 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(before.nonEmpty && rows === e.count())
 
     assert(AnnSuite.ivfCompact(spark, dir), "compaction had segments to fold")
-    // the old generation is fully retired: one versioned base + its
-    // manifest, no appends root, no gen-0 base
-    assert(dataDirs() === Seq("MANIFEST-1", "assigned_v1.parquet"))
+    // generation 1 committed; generation 0 is RETAINED for in-flight
+    // readers (it retires only when generation 2 commits)
+    assert(dataDirs() === Seq("MANIFEST-1", "appends.parquet",
+      "assigned.parquet", "assigned_v1.parquet"))
     assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === rows)
     assert(served() === before, "compaction changed the served top-k")
     // nothing left to fold → no-op (and the generation is stable)
     assert(!AnnSuite.ivfCompact(spark, dir))
-    assert(dataDirs() === Seq("MANIFEST-1", "assigned_v1.parquet"))
+    assert(dataDirs() === Seq("MANIFEST-1", "appends.parquet",
+      "assigned.parquet", "assigned_v1.parquet"))
 
-    // appends after compaction land in the NEW generation's segment
-    // root and are served (the probe/load path resolves the manifest)
-    AnnSuite.ivfAppend(spark, dir,
+    // replays of folded batches are no-ops: segments 0 and 1 folded
+    // into generation 1, so the manifest watermark refuses ids <= 1
+    // (a checkpoint replay arriving after the fold must not land rows
+    // that already live in the compacted base)
+    assert(!AnnSuite.ivfAppend(spark, dir,
       e.filter(col("vec_id") === 7L).withColumn("vec_id", col("vec_id") + 5000000L),
-      "vec_id", "embedding", batchId = 0L)
+      "vec_id", "embedding", batchId = 1L))
+    assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === rows)
+
+    // appends after compaction (fresh ids above the watermark) land in
+    // the NEW generation's segment root and are served
+    assert(AnnSuite.ivfAppend(spark, dir,
+      e.filter(col("vec_id") === 7L).withColumn("vec_id", col("vec_id") + 5000000L),
+      "vec_id", "embedding", batchId = 2L))
     assert(dataDirs().contains("appends_v1.parquet"))
     assert(AnnSuite.ivfLoad(spark, dir).assigned
       .filter(col("cand_id") === 5000007L).count() === 1L)
-    // a second compaction folds generation 1 → 2
+    // a second compaction folds generation 1 → 2 AND retires the
+    // retained generation 0
     assert(AnnSuite.ivfCompact(spark, dir))
-    assert(dataDirs() === Seq("MANIFEST-2", "assigned_v2.parquet"))
+    assert(dataDirs() === Seq("MANIFEST-1", "MANIFEST-2",
+      "appends_v1.parquet", "assigned_v1.parquet", "assigned_v2.parquet"))
     assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === rows + 1)
+  }
+
+  test("a reader that resolved the pre-compaction layout still collects after the commit") {
+    // reader-vs-compactor isolation: generation retention means the
+    // frame a reader planned against generation 0 keeps its files on
+    // disk through ONE compaction (gen 0 retires only at gen 2's
+    // commit), so a lazy scan started before the fold cannot lose
+    // files mid-query
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_reader_isolation")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L)
+    // plan (but do not execute) a read of the CURRENT generation
+    val inFlight = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3)
+    assert(AnnSuite.ivfCompact(spark, dir))
+    // the pre-compaction plan still executes — and serves the same
+    // rows the post-compaction view does (the fold changed layout,
+    // never content)
+    val fromOld = inFlight.collect().map(_.toString).toSeq
+    val fromNew = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    assert(fromOld.nonEmpty && fromOld === fromNew)
+  }
+
+  test("a torn-batch replay arriving AFTER a compaction folded its segment is a no-op") {
+    // the replay-interleaving crash window: batch N lands, the offset
+    // commit dies, a maintenance compaction folds batch N into the
+    // base, THEN the stream restarts and re-drives batch N. Without
+    // the manifest watermark the replay would land N's rows a second
+    // time beside the folded copy.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables.embeddings(spark, sf)
+    val held = e.filter(col("vec_id") % 7 === 3).select("vec_id", "embedding")
+    val dir = Scratch.dir("ivf_replay_after_compact")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val feed = Scratch.dir("ivf_rac_feed")
+    held.repartition(4).write.mode("overwrite").parquet(feed)
+    val cp = Scratch.dir("ivf_rac_cp")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(injectCrash: Boolean): Unit = {
+      val q = spark.readStream.schema(held.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          graft.api.Graft.ivfAppend(spark, dir, df, "vec_id", "embedding", batchId)
+          // die AFTER the landing, BEFORE the checkpoint's offset commit
+          if (injectCrash && batchId == 2 && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected torn-batch crash")
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch {
+        case ex: org.apache.spark.sql.streaming.StreamingQueryException
+            if injectCrash && ex.getMessage.contains("injected torn-batch crash") => ()
+      }
+    }
+    run(injectCrash = true)
+    assert(crashed.get, "the injected crash never fired — batch 2 was not reached")
+    // maintenance compaction folds the landed-but-uncommitted batch 2
+    assert(AnnSuite.ivfCompact(spark, dir))
+    run(injectCrash = false) // restart: the checkpoint replays batch 2
+    val loaded = AnnSuite.ivfLoad(spark, dir)
+    assert(loaded.assigned.groupBy("cand_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count() === 0L,
+      "the post-compaction replay duplicated folded rows")
+    assert(loaded.assigned.count() === e.count())
+    val served = AnnSuite.ivfQuery(loaded, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    val batchTwin = AnnSuite.queries("ann_ivf_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(served === batchTwin)
   }
 
   test("a torn compaction is invisible until the manifest commits; a redo completes it exactly-once") {
@@ -214,7 +306,7 @@ class IvfPersistSpec extends SparkSpecBase {
     // die after landing the folded base but BEFORE the manifest commit:
     // readers must still see the OLD generation, bit-identically
     assert(!AnnSuite.ivfCompact(spark, dir, crashBeforeCommit = true))
-    assert(AnnSuite.resolveLayout(spark, dir)._3 === 0,
+    assert(AnnSuite.resolveLayout(spark, dir).gen === 0,
       "a torn compaction must not advance the generation")
     assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === e.count())
     assert(served() === before, "torn compaction leaked into the served view")

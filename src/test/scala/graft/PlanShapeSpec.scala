@@ -206,5 +206,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!pr.contains("CartesianProduct"), "ann_ivfpq_residual: cartesian product")
     assert(pr.contains("ExistingRDD"),
       "ann_ivfpq_residual: checkpointed residual frame missing from the plan")
+
+    // the PERSISTED residual index serves with the same pruned-read
+    // contract as the plain one: the (query, cell)-keyed ADC tables
+    // derive from the checkpointed probe leg (cell >= 0 attached), so
+    // dynamic partition pruning restricts the cell-partitioned code
+    // scan to the probed cells
+    val pp = plan("ann_ivfpq_residual_persisted")
+    assert(!pp.contains("CartesianProduct"),
+      "ann_ivfpq_residual_persisted: cartesian product")
+    assert(pp.contains("ExistingRDD"),
+      "ann_ivfpq_residual_persisted: checkpointed probes missing")
+    val ppPart = pp.linesIterator.filter(_.trim.startsWith("PartitionFilters"))
+      .mkString("\n")
+    assert(ppPart.toLowerCase.contains("dynamicpruning"),
+      s"ann_ivfpq_residual_persisted: dynamic partition pruning lost on the codes scan:\n$pp")
+
+    // the quantized APPEND chain serves base ∪ segment codes — both
+    // legs cell-partitioned; the serving read must stay
+    // dynamically pruned and the plan free of cartesian blowups
+    val pa = plan("ann_ivfpq_append")
+    assert(!pa.contains("CartesianProduct"), "ann_ivfpq_append: cartesian product")
+    val paPart = pa.linesIterator.filter(_.trim.startsWith("PartitionFilters"))
+      .mkString("\n")
+    assert(paPart.toLowerCase.contains("dynamicpruning"),
+      s"ann_ivfpq_append: dynamic partition pruning lost on the codes scan:\n$pa")
   }
 }
