@@ -715,19 +715,68 @@ object DedupSuite {
     */
   private[graft] val SubstringW = 20
 
-  /** Build the STANDING window-hash index for the streaming substring
-    * probe: the distinct w-token window hashes of the standing corpus,
-    * persisted as one 8-byte column — the substring-granularity twin
-    * of dedup_incremental's band index.
+  /** The standing window-hash index's segment-store naming — the same
+    * generation-manifest discipline as the IVF/IVFADC stores (it is a
+    * one-column hash table, so segments carry no partition columns).
     */
-  private[graft] def substringIndexSave(docs: DataFrame, w: Int, dir: String): Unit = {
+  private[graft] val SubstringScheme = graft.sources.SegmentStore.Scheme(
+    "hashes.parquet", "hash_appends.parquet", "hashes_v", "hash_appends_v")
+
+  /** The distinct w-token window hashes of a document frame — the
+    * 8-byte column every standing-index write shapes.
+    */
+  private def substringHashes(docs: DataFrame, w: Int): DataFrame = {
     org.apache.spark.sql.graft.Bridge.register(docs.sparkSession)
     docs.withColumn("ws", split(lower(col("text")), " "))
       .filter(size(col("ws")) >= w)
       .select(explode(expr(s"gram_hashes60(ws, $w)")).as("h"))
       .distinct()
-      .write.mode("overwrite").parquet(dir)
   }
+
+  /** Build the STANDING window-hash index for the streaming substring
+    * probe: the distinct w-token window hashes of the standing corpus,
+    * persisted as one 8-byte column — the substring-granularity twin
+    * of dedup_incremental's band index. A save is a FULL rebuild: the
+    * segment store resets to generation 0.
+    */
+  private[graft] def substringIndexSave(docs: DataFrame, w: Int, dir: String): Unit = {
+    substringHashes(docs, w)
+      .write.mode("overwrite").parquet(s"$dir/hashes.parquet")
+    graft.sources.SegmentStore.reset(docs.sparkSession, dir, SubstringScheme)
+  }
+
+  /** Grow the standing index WITHOUT a rebuild: land one committed
+    * batch's distinct window hashes as a batchId-keyed segment the
+    * loader unions with the base — so `stream_dedup_substring` tracks
+    * a growing corpus at cost ∝ batch (the full-rewrite save is n·w
+    * hashing over everything). Same replay contract as ivfAppend:
+    * idempotent per batchId, no-op at or below the compaction
+    * watermark, ids monotonically increasing. Cross-segment duplicate
+    * hashes are tolerated (a hash may enter through two batches): the
+    * probe dedups its batch-bounded flagged set, and
+    * [[substringIndexCompact]] restores the distinct invariant.
+    */
+  private[graft] def substringIndexAppend(docs: DataFrame, w: Int, dir: String,
+      batchId: Long): Boolean =
+    graft.sources.SegmentStore.append(docs.sparkSession, dir, SubstringScheme,
+      substringHashes(docs, w), Seq.empty, batchId)
+
+  /** The standing index's reader view: base hashes ∪ committed append
+    * segments (may contain cross-segment duplicates — see
+    * [[substringIndexAppend]]).
+    */
+  private[graft] def substringIndexLoad(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.SegmentStore.load(spark, dir, SubstringScheme)(_.select("h"))
+
+  /** Fold committed hash segments into a new distinct base generation —
+    * the crash-safe land-then-swap of the shared segment store; the
+    * DISTINCT here restores the base's no-duplicates invariant across
+    * segment boundaries.
+    */
+  private[graft] def substringIndexCompact(spark: SparkSession, dir: String,
+      crashBeforeCommit: Boolean = false): Boolean =
+    graft.sources.SegmentStore.compact(spark, dir, SubstringScheme,
+      substringIndexLoad(spark, dir).distinct(), Seq.empty, crashBeforeCommit)
 
   /** One micro-batch of the streaming substring probe: the batch's
     * rolling window hashes flagged by EXISTENCE in the standing index
@@ -749,12 +798,14 @@ object DedupSuite {
       .filter(size(col("ws")) >= w)
       .select(col("doc_id"), posexplode(expr(s"gram_hashes60(ws, $w)")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
-    // standing hashes are DISTINCT, so the inner join flags each batch
-    // gram at most once; broadcasting the batch side keeps the
-    // corpus-sized leg shuffle-free
-    val flagged = spark.read.parquet(idxDir)
+    // the standing read is base ∪ committed append segments; a hash
+    // seen through two segments would flag a batch gram twice, so the
+    // (batch-bounded) flagged set dedups — broadcasting the batch side
+    // still keeps the corpus-sized leg shuffle-free
+    val flagged = substringIndexLoad(spark, idxDir)
       .join(broadcast(grams), Seq("h"))
       .select("doc_id", "pos")
+      .distinct()
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .withColumn("brk",

@@ -120,6 +120,49 @@ class DedupSubstringSpec extends SparkSpecBase {
     assert(dataBatches.map(_._1).sum === arriving.count())
   }
 
+  test("the standing index grows by segments: probes see appended hashes, compaction and replays are safe") {
+    import graft.operators.DedupSuite
+    import graft.sources.Scratch
+    val s = spark
+    import s.implicits._
+    val w = 8
+    val standingDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val newDoc = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val dir = Scratch.dir("sub_seg_idx")
+    // base index knows only standingDoc
+    DedupSuite.substringIndexSave(Seq((1L, standingDoc)).toDF("doc_id", "text"), w, dir)
+    // an arriving copy of newDoc is invisible to the base...
+    val arriving = Seq((100L, "zzz " + newDoc)).toDF("doc_id", "text")
+    assert(DedupSuite.substringProbeBatch(spark, dir, arriving, w).count() === 0L)
+    // ...until newDoc's hashes land as a committed append segment
+    assert(DedupSuite.substringIndexAppend(
+      Seq((2L, newDoc)).toDF("doc_id", "text"), w, dir, batchId = 0L))
+    val spans = DedupSuite.substringProbeBatch(spark, dir, arriving, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans === Seq((100L, 2L, 11L)),
+      s"probe missed the appended doc's boilerplate: $spans")
+    // a doc whose hashes enter through BOTH base and a second segment
+    // flags once, not twice (the probe dedups its flagged set)
+    assert(DedupSuite.substringIndexAppend(
+      Seq((3L, standingDoc)).toDF("doc_id", "text"), w, dir, batchId = 1L))
+    val arrStanding = Seq((200L, "zzz " + standingDoc)).toDF("doc_id", "text")
+    val spans2 = DedupSuite.substringProbeBatch(spark, dir, arrStanding, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(spans2 === Seq((200L, 2L, 11L, 3L)))
+    // compaction folds the segments into a distinct base generation
+    // without changing what probes see
+    assert(DedupSuite.substringIndexCompact(spark, dir))
+    assert(DedupSuite.substringIndexLoad(spark, dir)
+      .groupBy("h").count().filter(col("count") > 1).count() === 0L,
+      "compaction left duplicate hashes in the folded base")
+    assert(DedupSuite.substringProbeBatch(spark, dir, arriving, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((100L, 2L, 11L)))
+    // a replay of a folded batch is a no-op (the manifest watermark)
+    assert(!DedupSuite.substringIndexAppend(
+      Seq((2L, newDoc)).toDF("doc_id", "text"), w, dir, batchId = 1L))
+  }
+
   test("windows shorter than w and unique docs produce no spans") {
     val s = spark
     import s.implicits._
