@@ -54,7 +54,11 @@ object Bench {
     // cell layout), and the persisted flat-PQ serve (reload + ADC with
     // no retraining — the fused ann_pq entry pays training, this one
     // prices pure serving)
-    "ann_ivfpq", "ann_pq_persisted")
+    "ann_ivfpq", "ann_pq_persisted",
+    // round-14: the quantized LIVING index — append at fixed
+    // centroids/codebook then serve base ∪ code segments (the union
+    // read none of the other PQ shapes cover)
+    "ann_ivfpq_append")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.

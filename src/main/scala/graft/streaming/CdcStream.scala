@@ -1015,6 +1015,47 @@ object CdcStream {
       AnnSuite.IvfNProbe, 3)
   }
 
+  /** Streaming twin of `ann_ivfpq_append` — the QUANTIZED living index
+    * as a stream: arriving vectors fold into the persisted IVFADC
+    * index via foreachBatch → Graft.ivfPqAppend (assign at the loaded
+    * fixed coarse centroids, encode at the loaded fixed codebook, land
+    * batchId-keyed cell-partitioned code segments; cost ∝ batch, the
+    * standing codes never read — IvfPqMaintSpec pins the plan).
+    * Identical crash story to stream_ivf_append (idempotent per-
+    * segment overwrite, manifest watermark refuses replays a
+    * compaction already folded), and the same fixed-parameters algebra
+    * makes N folded micro-batches equal one bulk append — so the batch
+    * twin's DuckDB oracle (ann_ivfpq_append) checks the streamed path
+    * end-to-end.
+    */
+  def ivfPqAppendStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnSuite
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val idxDir = Scratch.stable(
+      "stream_ivfpq_append/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK, m = 8, dsub = 8, ksub = 16), idxDir)
+    val batchRows = e.filter(col("vec_id") % 7 === 3)
+    val feed = Scratch.dir("stream_ivfpq_feed")
+    batchRows.repartition(4).write.mode("overwrite").parquet(feed)
+    val qname = "ivfpq_append_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(batchRows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.api.Graft.ivfPqAppend(spark, idxDir, df, "vec_id", "embedding", batchId)
+        ()
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_ivfpq_append", q)
+    AnnSuite.ivfPqQuery(AnnSuite.ivfPqLoad(spark, idxDir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, topK = 5)
+      .orderBy("query_id", "rk")
+  }
+
   /** Streaming twin of semantic dedup (`dedup_semantic`): arriving
     * documents probe the STANDING semantic-cell index instead of
     * re-clustering the corpus. Build once (the dedup_semantic kernel —
@@ -1176,6 +1217,7 @@ object CdcStream {
     "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d)),
     "stream_attribution" -> ((s, d) => attribution(s, d)),
     "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d)),
+    "stream_ivfpq_append" -> ((s, d) => ivfPqAppendStream(s, d)),
     "stream_dedup_semantic" -> ((s, d) => dedupSemanticStream(s, d)),
     "stream_dedup_substring" -> ((s, d) => dedupSubstringStream(s, d))
   )
@@ -1261,6 +1303,9 @@ object CdcStream {
     // of their union = one full assignment of the unioned corpus at
     // those centroids — the batch twin's oracle checks the streamed path
     "stream_ivf_append" -> graft.operators.AnnSuite.oracles("ann_ivf_append"),
+    // N folded micro-batches equal one bulk quantized append (fixed
+    // centroids + fixed codebook), so the batch twin's chain checks it
+    "stream_ivfpq_append" -> graft.operators.AnnSuite.oracles("ann_ivfpq_append"),
     // N folded micro-batch probes at fixed centroids = one bulk
     // (standing × batch) same-cell verify — the chain clusters the
     // standing corpus, assigns the batch at its centroids, verifies cos

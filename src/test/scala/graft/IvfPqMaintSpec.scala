@@ -95,6 +95,25 @@ class IvfPqMaintSpec extends SparkSpecBase {
     assert(AnnSuite.ivfPqLoad(spark, dir).pq.codes.count() === e.count())
   }
 
+  test("stream_ivfpq_append: N micro-batch folds equal the batch twin") {
+    // the streaming twin folds the held-out rows in as 4 one-file
+    // micro-batches (foreachBatch → ivfPqAppend); fixed-parameters
+    // algebra says the result must equal ann_ivfpq_append's one bulk
+    // append — row-for-row, rank-for-rank
+    val streamed = graft.streaming.CdcStream.queries("stream_ivfpq_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = AnnSuite.queries("ann_ivfpq_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    val prog = graft.streaming.CdcStream.progressLog("stream_ivfpq_append")
+    val dataBatches = prog.filter(_._1 > 0)
+    assert(dataBatches.length == 4,
+      s"expected 4 one-file micro-batch folds, got ${dataBatches.length}")
+    val heldOut = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 7 === 3).count()
+    assert(dataBatches.map(_._1).sum === heldOut)
+  }
+
   test("persisted residual index round-trips: reload serves the fused residual chain identically") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id") < 5)
