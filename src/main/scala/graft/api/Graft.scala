@@ -589,8 +589,8 @@ object Graft {
     * and one-generation reader retention). Returns false when there
     * was nothing to fold.
     */
-  def ivfPqCompact(spark: SparkSession, dir: String): Boolean =
-    graft.operators.AnnSuite.ivfPqCompact(spark, dir)
+  def ivfPqCompact(spark: SparkSession, dir: String, retain: Int = 1): Boolean =
+    graft.operators.AnnSuite.ivfPqCompact(spark, dir, retain = retain)
 
   /** Deterministic k-means over an embedding column: hash-ordered seed
     * sample, `iters` exact fixed-point Lloyd iterations, then a
@@ -684,11 +684,14 @@ object Graft {
     * never n, so an in-flight reader that resolved the
     * pre-compaction layout keeps a complete generation on disk until
     * the NEXT compaction. Run it from the SAME maintenance loop that
-    * drives ivfAppend (single-writer discipline). Returns false when
-    * there was nothing to fold.
+    * drives ivfAppend (single-writer discipline). `retain` sizes the
+    * reader grace window: keep the newest `retain` previous
+    * generations (default 1), matched to the longest query a
+    * deployment lets run across compaction cadences. Returns false
+    * when there was nothing to fold.
     */
-  def ivfCompact(spark: SparkSession, dir: String): Boolean =
-    graft.operators.AnnSuite.ivfCompact(spark, dir)
+  def ivfCompact(spark: SparkSession, dir: String, retain: Int = 1): Boolean =
+    graft.operators.AnnSuite.ivfCompact(spark, dir, retain = retain)
 
   // ---- Joins ---------------------------------------------------------
 

@@ -433,11 +433,11 @@ object AnnSuite {
     */
   private[graft] def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
       kCoarse: Int, m: Int, dsub: Int, ksub: Int,
-      residual: Boolean = false): IvfPqIndex = {
+      residual: Boolean = false, sampleMod: Int = 1): IvfPqIndex = {
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse)
     if (!residual) {
-      val book = pqTrain(e, m, dsub, ksub)
+      val book = pqTrain(e, m, dsub, ksub, sampleMod)
       val codes = pqEncode(
         coarse.assigned.select(col("cand_id").as("vec_id"), col("cell"),
           col("ce2").as("embedding")),
@@ -451,7 +451,8 @@ object AnnSuite {
         .select(col("cand_id").as("vec_id"), col("cell"),
           expr(residExpr("ce2", "cce")).as("embedding"))
         .localCheckpoint()
-      val book = pqTrain(resid.select("vec_id", "embedding"), m, dsub, ksub)
+      val book = pqTrain(resid.select("vec_id", "embedding"), m, dsub, ksub,
+        sampleMod)
       val codes = pqEncode(resid, book, m, dsub, carry = Seq("cell"))
       IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub), residual = true)
     }
@@ -541,9 +542,9 @@ object AnnSuite {
     * [[graft.sources.SegmentStore.compact]]).
     */
   private[graft] def ivfPqCompact(spark: SparkSession, dir: String,
-      crashBeforeCommit: Boolean = false): Boolean =
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
-      pqLoad(spark, dir).codes, Seq("cell"), crashBeforeCommit)
+      pqLoad(spark, dir).codes, Seq("cell"), crashBeforeCommit, retain)
 
   /** Serve: probe `nprobe` coarse cells per query (the [[probeCells]]
     * ranking — no window, no shuffle), then integer ADC over ONLY the
@@ -717,9 +718,9 @@ object AnnSuite {
     * served top-k is byte-identical before/during/after.
     */
   private[graft] def ivfCompact(spark: SparkSession, dir: String,
-      crashBeforeCommit: Boolean = false): Boolean =
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, IvfScheme,
-      ivfLoad(spark, dir).assigned, Seq("cell"), crashBeforeCommit)
+      ivfLoad(spark, dir).assigned, Seq("cell"), crashBeforeCommit, retain)
 
   /** Reload a persisted index; the result serves [[ivfQuery]] exactly
     * like the freshly built one (build is deterministic and the
@@ -1252,6 +1253,24 @@ object AnnSuite {
       ivfPqCompact(s, dir)
       ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // The composed 100 TB recipe in one entry: the PQ codebook trains
+    // on the deterministic 1/16 hash-sample (training economics),
+    // every vector still encodes, and serving is IVFADC (coarse cells
+    // prune, integer ADC scores) — sampled training and cell pruning
+    // composed, each proven separately above, hash-checked together
+    // here (PQ chain with the sampled training predicate ∪ the coarse
+    // chain).
+    "ann_ivfpq_sampled" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      ivfPqQuery(
+        ivfPqBuild(e, "vec_id", "embedding",
+          kCoarse = IvfK, m = 8, dsub = 8, ksub = 16, sampleMod = 16),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nprobe = IvfNProbe, topK = 5)
         .orderBy("query_id", "rk")
     },
 
@@ -1938,6 +1957,22 @@ object AnnSuite {
       // probes): the served set is ADC scores restricted to candidates
       // whose cell one of the query's probes covers, ranked within it
       s"""$PqChainSql,
+         |${ivfCellChainSql("TRUE")}
+         |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                       ORDER BY s.adist_e6, s.cand_id) AS rk
+         |  FROM sc2 s
+         |  JOIN iv_a1 a ON a.cand_id = s.cand_id
+         |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_ivfpq_sampled" -> {
+      // sampled-training PQ chain ∪ full-corpus coarse chain, served
+      // exactly like ann_ivfpq
+      s"""${pqChainSqlFor(
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0")},
          |${ivfCellChainSql("TRUE")}
          |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,

@@ -774,9 +774,10 @@ object DedupSuite {
     * segment boundaries.
     */
   private[graft] def substringIndexCompact(spark: SparkSession, dir: String,
-      crashBeforeCommit: Boolean = false): Boolean =
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, SubstringScheme,
-      substringIndexLoad(spark, dir).distinct(), Seq.empty, crashBeforeCommit)
+      substringIndexLoad(spark, dir).distinct(), Seq.empty, crashBeforeCommit,
+      retain)
 
   /** One micro-batch of the streaming substring probe: the batch's
     * rolling window hashes flagged by EXISTENCE in the standing index

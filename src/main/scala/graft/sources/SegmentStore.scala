@@ -139,14 +139,19 @@ object SegmentStore {
   /** Fold base ∪ committed segments into generation gen+1 with
     * crash-safe land-then-swap (see object doc). `folded` must be the
     * frame to land — callers pass their reader-side union so fold ≡
-    * read. Retains generation gen for in-flight readers; retires
-    * generation gen−1. Returns false (no-op) when there are no
+    * read. Retains the newest `retain` PREVIOUS generations for
+    * in-flight readers (default 1: committing n+1 retires n−1, never
+    * n) and retires everything older. Size `retain` to the longest
+    * query a deployment lets run across compaction cadences — a
+    * reader stalling across MORE than `retain` compactions of the
+    * same store loses files. Returns false (no-op) when there are no
     * committed segments. `crashBeforeCommit` is the specs' torn-
     * compaction hook: land, then "die" before the manifest commit.
     */
   def compact(spark: SparkSession, dir: String, scheme: Scheme,
       folded: => DataFrame, partitionCols: Seq[String],
-      crashBeforeCommit: Boolean = false): Boolean = {
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean = {
+    require(retain >= 1, s"retain must be >= 1 (got $retain)")
     val lay = resolve(spark, dir, scheme)
     val fs = fileSystem(spark, dir)
     val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
@@ -169,16 +174,16 @@ object SegmentStore {
       s"v2 ${scheme.baseOf(next)} ${scheme.appendsOf(next)} $newFolded\n"
         .getBytes("UTF-8"))
     finally out.close()
-    // 3. retire generation gen−1 ONLY — generation gen stays on disk
-    //    until the next compaction, so a reader that resolved it
-    //    pre-commit keeps its files (and the manifest-fallback chain
-    //    stays serviceable)
-    if (lay.gen >= 1) {
-      val prev = lay.gen - 1
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.baseOf(prev)}"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.appendsOf(prev)}"), true)
-      if (prev > 0)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$prev"), true)
+    // 3. retire every generation older than the newest `retain`
+    //    previous ones — the retained generations keep a pre-commit
+    //    reader's files on disk (and the manifest-fallback chain
+    //    serviceable); the loop form also heals leftovers if `retain`
+    //    shrank between calls
+    for (g <- 0 to next - 1 - retain) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.baseOf(g)}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.appendsOf(g)}"), true)
+      if (g > 0)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$g"), true)
     }
     true
   }

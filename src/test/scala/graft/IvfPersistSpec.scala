@@ -240,6 +240,38 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(fromOld.nonEmpty && fromOld === fromNew)
   }
 
+  test("retain sizes the reader grace window: retain=2 keeps two previous generations") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_retain_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    def names() = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).toSet
+    }
+    AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L)
+    assert(AnnSuite.ivfCompact(spark, dir, retain = 2)) // gen 1
+    AnnSuite.ivfAppend(spark, dir,
+      e.filter(col("vec_id") === 7L).withColumn("vec_id", col("vec_id") + 6000000L),
+      "vec_id", "embedding", batchId = 1L)
+    assert(AnnSuite.ivfCompact(spark, dir, retain = 2)) // gen 2
+    // retain=2 at gen 2's commit keeps generations 0 AND 1 on disk
+    assert(names().contains("assigned.parquet"))
+    assert(names().contains("assigned_v1.parquet"))
+    AnnSuite.ivfAppend(spark, dir,
+      e.filter(col("vec_id") === 8L).withColumn("vec_id", col("vec_id") + 6000000L),
+      "vec_id", "embedding", batchId = 2L)
+    // shrinking retain back to 1 heals the extra retained generations
+    assert(AnnSuite.ivfCompact(spark, dir)) // gen 3, retain = 1
+    assert(!names().contains("assigned.parquet"))
+    assert(!names().contains("assigned_v1.parquet"))
+    assert(names().contains("assigned_v2.parquet"))
+    assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === e.count() + 2)
+  }
+
   test("a torn-batch replay arriving AFTER a compaction folded its segment is a no-op") {
     // the replay-interleaving crash window: batch N lands, the offset
     // commit dies, a maintenance compaction folds batch N into the
