@@ -592,6 +592,23 @@ object Graft {
   def ivfPqCompact(spark: SparkSession, dir: String, retain: Int = 1): Boolean =
     graft.operators.AnnSuite.ivfPqCompact(spark, dir, retain = retain)
 
+  /** Tombstone a batch of vector ids out of a persisted IVFADC index —
+    * right-to-be-forgotten without a rebuild: the ids land as a
+    * batchId-keyed DELETE segment (cost ∝ the delete batch; the
+    * standing codes are never read or rewritten), every [[ivfPqLoad]]
+    * anti-joins them out immediately (broadcast — the tombstone set is
+    * delete-traffic-sized), and the next [[ivfPqCompact]] purges the
+    * code rows physically and clears the tombstones. Delete-wins and
+    * TERMINAL per id: re-inserting a deleted id is out of contract
+    * (corpus ids are unique). Shares [[ivfPqAppend]]'s monotonic
+    * batchId space and watermark — that shared watermark is what stops
+    * an append replay from resurrecting rows a folded delete removed.
+    * Returns false for a watermarked replay.
+    */
+  def ivfPqDelete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, batchId: Long): Boolean =
+    graft.operators.AnnSuite.ivfPqDelete(spark, dir, ids, idCol, batchId)
+
   /** Deterministic k-means over an embedding column: hash-ordered seed
     * sample, `iters` exact fixed-point Lloyd iterations, then a
     * per-cluster rollup (member count, e6-quantized inertia summed as
@@ -692,6 +709,36 @@ object Graft {
     */
   def ivfCompact(spark: SparkSession, dir: String, retain: Int = 1): Boolean =
     graft.operators.AnnSuite.ivfCompact(spark, dir, retain = retain)
+
+  /** Tombstone a batch of vector ids out of a persisted IVF index —
+    * [[ivfPqDelete]]'s twin on the assignments store (same delete
+    * channel, same watermark, same purge-at-[[ivfCompact]] lifecycle).
+    * Returns false for a watermarked replay.
+    */
+  def ivfDelete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, batchId: Long): Boolean =
+    graft.operators.AnnSuite.ivfDelete(spark, dir, ids, idCol, batchId)
+
+  /** ZERO-DOWNTIME REINDEX of a persisted IVF index — the drift
+    * answer (`ann_recall_eval` is the gate that says when): re-cluster
+    * the CURRENT reader view (base ∪ appends − deletes, carried
+    * attributes preserved) with a fresh deterministic build and swap
+    * it in as the next generation through the compactions' crash-safe
+    * land-then-commit. Readers keep serving the old centroids +
+    * assignments pair until the manifest commits (centroid tables are
+    * generation-versioned, so a serving pair can never mix
+    * generations); a torn retrain is invisible; in-flight readers are
+    * protected by the same `retain` window as compactions. Appends
+    * after the retrain assign at the NEW centroids. Also purges
+    * tombstones (it trains on the filtered view). Works with zero
+    * pending segments; single-writer discipline with append/compact
+    * applies. Equal to a fresh [[ivfBuild]]+[[ivfSave]] over the live
+    * corpus — but without ivfSave's reset window, during which a
+    * concurrent reader would observe a half-written base.
+    */
+  def ivfRetrain(spark: SparkSession, dir: String, k: Int = 10,
+      retain: Int = 1): Boolean =
+    graft.operators.AnnSuite.ivfRetrain(spark, dir, k, retain = retain)
 
   // ---- Joins ---------------------------------------------------------
 

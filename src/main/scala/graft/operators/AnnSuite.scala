@@ -60,15 +60,24 @@ object AnnSuite {
     * reassign. Everything deterministic, so a rebuilt index is
     * bit-identical.
     */
+  /** `carry` names ATTRIBUTE columns of the corpus to store alongside
+    * each index row (label, language, license …) — the filtered-search
+    * layout: a predicate on a carried column evaluates at the parquet
+    * scan of the persisted index (pushed filter), so attribute-filtered
+    * ANN never joins the corpus back in. Training ignores them.
+    */
   private[graft] def ivfBuild(corpus: DataFrame,
-      idCol: String, embCol: String, k: Int): IvfIndex = {
-    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      idCol: String, embCol: String, k: Int,
+      carry: Seq[String] = Nil): IvfIndex = {
+    val e = corpus.select(
+      (col(idCol).as("vec_id") +: col(embCol).as("embedding") +:
+        carry.map(col)): _*)
     val assign0 = kmeansAssign(e, kmeansSeeds(e, k))
       .select(col("vec_id"), col("cid"), col("embedding"))
     val refined = lloydStep(assign0)
     val assign1 = kmeansAssign(e, refined)
-      .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
-        col("embedding").as("ce2"))
+      .select((col("vec_id").as("cand_id") +: col("cid").as("cell") +:
+        col("embedding").as("ce2") +: carry.map(col)): _*)
     IvfIndex(assign1, refined)
   }
 
@@ -329,7 +338,8 @@ object AnnSuite {
     * them), so it rides the same generation-manifest discipline.
     */
   private[graft] val CodesScheme = graft.sources.SegmentStore.Scheme(
-    "codes.parquet", "codes_appends.parquet", "codes_v", "codes_appends_v")
+    "codes.parquet", "codes_appends.parquet", "codes_v", "codes_appends_v",
+    "codes_deletes.parquet", "codes_deletes_v")
 
   /** Persist a trained PQ index — build-once-serve-many across
     * sessions, the [[ivfSave]] twin. Codes partition by `cell` when
@@ -368,7 +378,8 @@ object AnnSuite {
     */
   private[graft] def pqLoad(spark: SparkSession, dir: String): PqIndex = {
     val (book, m, dsub) = pqBookLoad(spark, dir)
-    val codes = graft.sources.SegmentStore.load(spark, dir, CodesScheme) { df =>
+    val codes = graft.sources.SegmentStore.load(spark, dir, CodesScheme,
+      deleteKeys = Seq("cand_id")) { df =>
       val typed = if (df.columns.contains("cell"))
         df.withColumn("cell", col("cell").cast("long")) else df
       if (typed.columns.contains("cell")) typed.select("cand_id", "codes", "cell")
@@ -376,6 +387,23 @@ object AnnSuite {
     }
     PqIndex(book, codes, m, dsub)
   }
+
+  /** Tombstone a batch of vector ids out of a persisted (IVF)PQ code
+    * store — the right-to-be-forgotten operation on the quantized
+    * living index: the ids land as a batchId-keyed delete segment
+    * ([[graft.sources.SegmentStore.appendDeletes]] — cost ∝ the delete
+    * batch, the standing codes are never read or rewritten), every
+    * [[pqLoad]] view anti-joins them out immediately (broadcast — the
+    * tombstone set is delete-traffic-sized), and the next
+    * [[ivfPqCompact]] purges the code rows physically. Delete-wins,
+    * terminal per id; same monotonic-batchId watermark contract as
+    * [[ivfPqAppend]] (shared id space — the watermark is what stops an
+    * append replay from resurrecting rows a folded delete removed).
+    */
+  private[graft] def ivfPqDelete(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String, batchId: Long): Boolean =
+    graft.sources.SegmentStore.appendDeletes(spark, dir, CodesScheme,
+      ids.select(col(idCol).as("cand_id")).distinct(), batchId)
 
   /** Serve a query batch from a (possibly reloaded) flat-PQ index:
     * ADC tables from the index's own book, integer lookups over every
@@ -683,8 +711,80 @@ object AnnSuite {
     // a save is a FULL rebuild: incremental segments from prior
     // ivfAppend batches AND any compacted generations (manifests,
     // versioned base/appends dirs) are superseded and must not leak
-    // into reloads — the layout resets to generation 0
-    graft.sources.SegmentStore.reset(idx.assigned.sparkSession, dir, IvfScheme)
+    // into reloads — the layout resets to generation 0, including any
+    // retrain-versioned centroid tables (a stale centroids_v<g> would
+    // shadow the fresh build's centroids once the store re-reaches
+    // generation g)
+    val spark = idx.assigned.sparkSession
+    graft.sources.SegmentStore.reset(spark, dir, IvfScheme)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName.startsWith("centroids_v"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The centroid table generation `gen` of a persisted index serves
+    * at: the HIGHEST retrain-versioned table at or below the current
+    * generation (`centroids_v<m>.parquet`, m ≤ gen), else the build's
+    * `centroids.parquet`. Compactions never touch centroids, so the
+    * mapping only moves at a [[ivfRetrain]] — whose manifest commit is
+    * what makes a landed `centroids_v<next>` visible (gen < next
+    * ignores it, so a torn retrain is invisible).
+    */
+  private[graft] def ivfCentroidsPath(spark: SparkSession, dir: String): String = {
+    val lay = resolveLayout(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    ((lay.gen to 1 by -1).map(g => s"centroids_v$g.parquet") :+ "centroids.parquet")
+      .find(n => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n")))
+      .map(n => s"$dir/$n")
+      .getOrElse(s"$dir/centroids.parquet")
+  }
+
+  /** ZERO-DOWNTIME REINDEX — the answer to codebook/centroid drift on
+    * a living index: re-cluster the CURRENT reader view (base ∪
+    * appends − deletes, attributes carried) with a fresh [[ivfBuild]]
+    * and swap it in as the next generation through the same crash-safe
+    * land-then-commit the compactions use. Readers keep serving the
+    * old generation (old centroids + old assignments — the versioned
+    * centroid table means the pair can never mix) until the manifest
+    * commits; a torn retrain is invisible; generation retention keeps
+    * in-flight readers whole. Appends after the retrain assign at the
+    * NEW centroids ([[ivfAssignBatch]] resolves [[ivfCentroidsPath]]).
+    * The retrain corpus is exactly what a reader sees, so
+    * build-on-the-view determinism makes the swapped index equal a
+    * fresh full build over the live corpus — which is the oracle
+    * (`ann_ivf_retrain` = the plain ann_ivf chain). Works with ZERO
+    * pending segments (pure drift re-cluster) and doubles as a purge.
+    * Single-writer discipline with append/compact applies.
+    */
+  private[graft] def ivfRetrain(spark: SparkSession, dir: String,
+      k: Int, crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean = {
+    val carry = ivfCarryOf(spark, dir)
+    val view = ivfLoad(spark, dir, carry).assigned
+      .select((col("cand_id").as("vec_id") +: col("ce2").as("embedding") +:
+        carry.map(col)): _*)
+    val idx = ivfBuild(view, "vec_id", "embedding", k, carry)
+    val lowestRetained = resolveLayout(spark, dir).gen + 1 - retain
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.SegmentStore.compact(spark, dir, IvfScheme,
+      idx.assigned, Seq("cell"), crashBeforeCommit, retain,
+      requireSegments = false,
+      beforeCommit = next => idx.centroids.write.mode("overwrite")
+        .parquet(s"$dir/centroids_v$next.parquet"),
+      onRetire = g => {
+        // GC a superseded centroid version only when every RETAINED
+        // generation maps to a newer one (gen→centroids is
+        // highest-version-at-or-below, so deleting too eagerly would
+        // orphan a retained generation's serving pair)
+        val newerCovers = (g + 1 to lowestRetained).exists(v =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_v$v.parquet")))
+        if (newerCovers)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/centroids_v$g.parquet"), true)
+      })
   }
 
   /** The IVF assignment store's naming scheme — generation manifests,
@@ -720,7 +820,19 @@ object AnnSuite {
   private[graft] def ivfCompact(spark: SparkSession, dir: String,
       crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, IvfScheme,
-      ivfLoad(spark, dir).assigned, Seq("cell"), crashBeforeCommit, retain)
+      ivfLoad(spark, dir, carry = ivfCarryOf(spark, dir)).assigned,
+      Seq("cell"), crashBeforeCommit, retain)
+
+  /** The ATTRIBUTE columns a persisted index carries beyond the core
+    * (cand_id, cell, ce2) triple — read from the base's parquet schema
+    * so maintenance (compaction) preserves them without the caller
+    * restating the build's `carry` list.
+    */
+  private[graft] def ivfCarryOf(spark: SparkSession, dir: String): Seq[String] = {
+    val lay = resolveLayout(spark, dir)
+    spark.read.parquet(s"$dir/${lay.base}").columns.toSeq
+      .filterNot(Set("cand_id", "cell", "ce2"))
+  }
 
   /** Reload a persisted index; the result serves [[ivfQuery]] exactly
     * like the freshly built one (build is deterministic and the
@@ -731,12 +843,26 @@ object AnnSuite {
     * segments (both cell-partitioned, so probe pruning holds on each
     * leg of the union).
     */
-  private[graft] def ivfLoad(spark: SparkSession, dir: String): IvfIndex =
+  private[graft] def ivfLoad(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): IvfIndex =
     IvfIndex(
-      graft.sources.SegmentStore.load(spark, dir, IvfScheme)(
+      graft.sources.SegmentStore.load(spark, dir, IvfScheme,
+        deleteKeys = Seq("cand_id"))(
         _.withColumn("cell", col("cell").cast("long"))
-          .select("cand_id", "cell", "ce2")),
-      spark.read.parquet(s"$dir/centroids.parquet"))
+          .select((Seq("cand_id", "cell", "ce2") ++ carry).map(col): _*)),
+      spark.read.parquet(ivfCentroidsPath(spark, dir)))
+
+  /** Tombstone a batch of vector ids out of a persisted IVF index —
+    * see [[ivfPqDelete]] (the same delete channel on the assignments
+    * store): ids land as a batchId-keyed delete segment, [[ivfLoad]]
+    * anti-joins them out, [[ivfCompact]] purges them physically and
+    * clears the tombstones. Delete-wins and terminal per id; shares
+    * the append channel's monotonic-batchId watermark.
+    */
+  private[graft] def ivfDelete(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String, batchId: Long): Boolean =
+    graft.sources.SegmentStore.appendDeletes(spark, dir, IvfScheme,
+      ids.select(col(idCol).as("cand_id")).distinct(), batchId)
 
   /** A new batch assigned at a PERSISTED index's centroids — the
     * incremental-maintenance kernel: cost ∝ batch (one narrow scan of
@@ -745,12 +871,14 @@ object AnnSuite {
     * (IvfPersistSpec asserts the plan never scans them).
     */
   private[graft] def ivfAssignBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, idCol: String, embCol: String): DataFrame =
+      batch: DataFrame, idCol: String, embCol: String,
+      carry: Seq[String] = Nil): DataFrame =
     kmeansAssign(
-        batch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
-        spark.read.parquet(s"$dir/centroids.parquet"))
-      .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
-        col("embedding").as("ce2"))
+        batch.select((col(idCol).as("vec_id") +:
+          col(embCol).as("embedding") +: carry.map(col)): _*),
+        spark.read.parquet(ivfCentroidsPath(spark, dir)))
+      .select((col("vec_id").as("cand_id") +: col("cid").as("cell") +:
+        col("embedding").as("ce2") +: carry.map(col)): _*)
 
   /** Incremental IVF maintenance: append an arriving batch to a
     * persisted index. The batch is assigned at the LOADED (fixed)
@@ -785,9 +913,10 @@ object AnnSuite {
     */
   private[graft] def ivfAppend(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, embCol: String,
-      batchId: Long): Boolean =
+      batchId: Long, carry: Seq[String] = Nil): Boolean =
     graft.sources.SegmentStore.append(spark, dir, IvfScheme,
-      ivfAssignBatch(spark, dir, batch, idCol, embCol), Seq("cell"), batchId)
+      ivfAssignBatch(spark, dir, batch, idCol, embCol, carry),
+      Seq("cell"), batchId)
 
   /** Sample-trained flat-PQ serve (the 100 TB training economics —
     * see [[pqTrain]]'s sampleMod doc): codebook from the 1/sampleMod
@@ -889,6 +1018,83 @@ object AnnSuite {
       ivfAppend(s, dir, e.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
         batchId = 0L)
       ivfCompact(s, dir)
+      ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", IvfNProbe, 3)
+    },
+
+    // the living index's DELETE leg — right-to-be-forgotten without a
+    // rebuild: tombstone ids land as a batchId-keyed delete segment
+    // (cost ∝ the delete batch; the standing assignments are never read
+    // or rewritten) and every load anti-joins them out immediately
+    // (broadcast — tombstones are delete-traffic-sized). The oracle is
+    // the plain build chain with the deleted ids excluded from the
+    // SERVE leg only — training ran before the deletes and centroids
+    // are fixed, exactly what the engine computes.
+    "ann_ivf_delete" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivf_delete/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK), dir)
+      ivfDelete(s, dir, e.filter(col("vec_id") % 11 === 5).select("vec_id"),
+        "vec_id", batchId = 0L)
+      ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", IvfNProbe, 3)
+    },
+
+    // delete → COMPACT → serve: the purge leg. Compaction folds the
+    // tombstone-filtered reader view into a new base generation, so the
+    // deleted rows are PHYSICALLY gone (the GDPR requirement — a
+    // tombstone masks, a purge erases) and the tombstone set returns to
+    // zero; serving is unchanged, so ann_ivf_delete's oracle checks the
+    // purged index end-to-end (IvfPersistSpec pins the physical side:
+    // no deleted id in any base file, delete channel cleared).
+    "ann_ivf_purge" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivf_purge/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK), dir)
+      ivfDelete(s, dir, e.filter(col("vec_id") % 11 === 5).select("vec_id"),
+        "vec_id", batchId = 0L)
+      ivfCompact(s, dir)
+      ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", IvfNProbe, 3)
+    },
+
+    // attribute-FILTERED ANN — top-k within a metadata predicate (the
+    // production "nearest English-language docs" shape): the attribute
+    // is CARRIED on the index rows at build time, so the predicate
+    // evaluates at the parquet scan of the persisted index (pushed
+    // filter, PlanShapeSpec pins it) — filtered search never joins the
+    // corpus back in, and cell partition pruning still applies on top.
+    "ann_ivf_filtered" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivf_filtered/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK, carry = Seq("label")), dir)
+      val idx = ivfLoad(s, dir, carry = Seq("label"))
+      ivfQuery(
+        IvfIndex(idx.assigned.filter(col("label") === 3), idx.centroids),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", IvfNProbe, 3)
+    },
+
+    // ZERO-DOWNTIME REINDEX: the drift answer. Build on ~6/7 of the
+    // corpus, append the rest at the STALE centroids, then retrain —
+    // re-cluster the live reader view and swap it in as the next
+    // generation (readers keep serving the old centroids+assignments
+    // pair until the manifest commits; a torn retrain is invisible).
+    // Build-on-the-view determinism makes the swapped index equal a
+    // fresh full-corpus build, so the plain ann_ivf chain is the
+    // oracle — the strongest possible check that the retrain healed
+    // the append's stale assignments.
+    "ann_ivf_retrain" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivf_retrain/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK), dir)
+      ivfAppend(s, dir, e.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
+        batchId = 0L)
+      ivfRetrain(s, dir, IvfK)
       ivfQuery(ivfLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", IvfNProbe, 3)
     },
@@ -1099,6 +1305,26 @@ object AnnSuite {
         "ann_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfPqSave(ivfPqBuild(e, "vec_id", "embedding",
         kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
+      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // the quantized index's DELETE leg — ann_ivf_delete's twin on the
+    // code store: tombstone ids land as a delete segment, pqLoad
+    // anti-joins them (broadcast) on every serve, ivfPqCompact purges
+    // them physically. The oracle is the IVFADC chain with the deleted
+    // ids excluded from the served candidates only (both trainings saw
+    // the full corpus and are fixed — exactly the engine's state).
+    "ann_ivfpq_delete" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivfpq_delete/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e, "vec_id", "embedding",
+        kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
+      ivfPqDelete(s, dir, e.filter(col("vec_id") % 11 === 5).select("vec_id"),
+        "vec_id", batchId = 0L)
       ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
         .orderBy("query_id", "rk")
@@ -1454,7 +1680,15 @@ object AnnSuite {
     ("ann_ivfpq_residual_persisted" -> oraclesBase("ann_ivfpq_residual")) +
     // code-store compaction folds segments without changing the served
     // set, so the quantized append chain's oracle checks the fold
-    ("ann_ivfpq_compact" -> oraclesBase("ann_ivfpq_append"))
+    ("ann_ivfpq_compact" -> oraclesBase("ann_ivfpq_append")) +
+    // a purge (delete-then-compact) serves exactly what the tombstone
+    // mask served — compaction only makes the exclusion physical — so
+    // the delete chain's oracle checks the purged index end-to-end
+    ("ann_ivf_purge" -> oraclesBase("ann_ivf_delete")) +
+    // a retrain re-clusters the LIVE view (here: the full corpus after
+    // the append) with the same deterministic build, so the swapped
+    // index must equal a fresh full-corpus build — the plain chain
+    ("ann_ivf_retrain" -> oraclesBase("ann_ivf"))
 
   /** The coarse-quantizer CTE chain of the IVFADC oracles — the
     * ann_ivf chain (seeds → one Lloyd step → final assignment +
@@ -1646,8 +1880,13 @@ object AnnSuite {
     * appending a batch at the persisted index's FIXED centroids is
     * algebraically one assignment of the unioned corpus at those
     * centroids, so the same chain is the append path's oracle.
+    * `servePred` restricts which CANDIDATE rows the serve leg may
+    * score (training and probes are untouched): `NOT (cand_id …)`
+    * mirrors tombstone deletes, an attribute predicate (`label = …`)
+    * mirrors filtered search — both operate on the a1 columns
+    * (cand_id, cell, label).
     */
-  private def ivfOracleSql(basePred: String): String =
+  private def ivfOracleSql(basePred: String, servePred: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |eb AS (SELECT vec_id, label, embedding FROM e WHERE $basePred),
        |seeds AS (
@@ -1690,13 +1929,39 @@ object AnnSuite {
        |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE))) /
        |      (${OracleNorm.format("qe")} * ${OracleNorm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
        |  FROM a1 JOIN probes ON a1.cell = probes.cell
-       |  WHERE query_id <> cand_id),
+       |  WHERE query_id <> cand_id AND ($servePred)),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                               ORDER BY cos DESC, cand_id) AS rk
        |  FROM scored)
        |SELECT query_id, cand_id, cell, cos, rk FROM ranked
        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  /** The CDC-maintained living index's oracle (stream_ivf_cdc): base
+    * build on the rows the stream does not insert, serve with the
+    * stream's deletes masked — insert order and batch boundaries are
+    * irrelevant because appends at fixed centroids are an assignment
+    * algebra and deletes are delete-wins.
+    */
+  private[graft] lazy val IvfCdcOracleSql: String =
+    ivfOracleSql("vec_id % 7 <> 3", "NOT (cand_id % 13 = 2)")
+
+  /** The quantized CDC twin (stream_ivfpq_cdc): the IVFADC
+    * build-then-append chain (both trainings on the base rows) with
+    * the stream's deletes masked from the served candidates.
+    */
+  private[graft] lazy val IvfPqCdcOracleSql: String =
+    s"""${pqChainSqlFor("vec_id % 7 <> 3")},
+       |${ivfCellChainSql("vec_id % 7 <> 3")}
+       |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |                       ORDER BY s.adist_e6, s.cand_id) AS rk
+       |  FROM sc2 s
+       |  JOIN iv_a1 a ON a.cand_id = s.cand_id
+       |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell
+       |  WHERE NOT (s.cand_id % 13 = 2)) t
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   private def oraclesBase: Map[String, String] = Map(
     "ann_bruteforce" ->
@@ -1727,6 +1992,16 @@ object AnnSuite {
     // incremental path: seeds + Lloyd run on the BASE rows only, the
     // final assignment covers the full table
     "ann_ivf_append" -> ivfOracleSql("vec_id % 7 <> 3"),
+
+    // tombstone deletes mask candidates at SERVE time (training ran
+    // before the deletes; the centroids are fixed), so the oracle is
+    // the full-corpus chain with the deleted ids excluded from the
+    // scored candidates only
+    "ann_ivf_delete" -> ivfOracleSql("TRUE", "NOT (cand_id % 11 = 5)"),
+
+    // filtered search restricts the scored candidates by a carried
+    // attribute — same serve-side algebra as a delete mask
+    "ann_ivf_filtered" -> ivfOracleSql("TRUE", "label = 3"),
 
     "ann_recall_eval" -> {
       // the IVF CTE chain (identical to ann_ivf's, i-prefixed) joined
@@ -1965,6 +2240,22 @@ object AnnSuite {
          |  FROM sc2 s
          |  JOIN iv_a1 a ON a.cand_id = s.cand_id
          |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_ivfpq_delete" -> {
+      // the ann_ivfpq chain with tombstoned ids masked out of the
+      // served candidates (trainings saw the full corpus and are fixed)
+      s"""$PqChainSql,
+         |${ivfCellChainSql("TRUE")}
+         |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                       ORDER BY s.adist_e6, s.cand_id) AS rk
+         |  FROM sc2 s
+         |  JOIN iv_a1 a ON a.cand_id = s.cand_id
+         |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell
+         |  WHERE NOT (s.cand_id % 11 = 5)) t
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 

@@ -35,6 +35,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     rows a second time (they already live in the new base). This
   *     requires batch ids to be MONOTONICALLY INCREASING per index,
   *     which is exactly foreachBatch's batchId contract;
+  *   - DELETES are tombstone segments in a third channel
+  *     (`<deletes><gen>/batch_id=<id>/`): [[appendDeletes]] lands a
+  *     batch of keys, [[load]] anti-joins them (broadcast — tombstones
+  *     are bounded by the delete traffic between compactions, never
+  *     corpus-sized), and a compaction PURGES them physically (the
+  *     folded base is the reader view, which already excludes them;
+  *     the new generation starts with an empty delete channel).
+  *     Delete-wins semantics: a tombstoned key is masked no matter
+  *     which segment carries it or in which order the batches landed —
+  *     re-inserting a deleted key is out of contract (keys are unique
+  *     corpus ids; a delete is terminal, the right-to-be-forgotten
+  *     shape). Tombstone replays share the append channel's watermark
+  *     rules, and the watermark is what stops RESURRECTION: an
+  *     append-batch replay arriving after a compaction folded both the
+  *     batch and a later delete of its rows is refused, so the deleted
+  *     rows cannot ride back in through the replay;
   *   - readers and the compactor are isolated by GENERATION RETENTION:
   *     committing generation n+1 retires generation n−1, never n, so
   *     an in-flight reader that resolved the pre-compaction layout
@@ -44,16 +60,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SegmentStore {
 
-  /** Directory-naming scheme of one segment store. `vBase`/`vAppends`
-    * are PREFIXES: generation n's dirs are `<vBase><n>.parquet` /
-    * `<vAppends><n>.parquet` (prefix form so [[reset]] can clear every
-    * generation without knowing how many exist).
+  /** Directory-naming scheme of one segment store. `vBase`/`vAppends`/
+    * `vDeletes` are PREFIXES: generation n's dirs are
+    * `<vBase><n>.parquet` / `<vAppends><n>.parquet` /
+    * `<vDeletes><n>.parquet` (prefix form so [[reset]] can clear every
+    * generation without knowing how many exist). The delete channel's
+    * names default off the append channel's, but stores sharing one
+    * index directory must pick non-colliding explicit names.
     */
   case class Scheme(base0: String, appends0: String,
-      vBase: String, vAppends: String) {
+      vBase: String, vAppends: String,
+      deletes0: String = "deletes.parquet", vDeletes: String = "deletes_v") {
     def baseOf(gen: Int): String = if (gen == 0) base0 else s"$vBase$gen.parquet"
     def appendsOf(gen: Int): String =
       if (gen == 0) appends0 else s"$vAppends$gen.parquet"
+    def deletesOf(gen: Int): String =
+      if (gen == 0) deletes0 else s"$vDeletes$gen.parquet"
   }
 
   /** The resolved CURRENT view: base + appends dir names, generation
@@ -121,19 +143,62 @@ object SegmentStore {
     true
   }
 
+  /** Land one batch of TOMBSTONE KEYS as an idempotent, batchId-keyed
+    * delete segment ([[load]] anti-joins them; the next compaction
+    * purges them). Same watermark contract as [[append]]: ids share
+    * the store's monotonic batch-id space, and a replay at or below
+    * the folded watermark lands nothing — a tombstone whose rows a
+    * compaction already removed must not reappear as a standing
+    * (harmless but unbounded) mask.
+    */
+  def appendDeletes(spark: SparkSession, dir: String, scheme: Scheme,
+      keys: DataFrame, batchId: Long): Boolean = {
+    val lay = resolve(spark, dir, scheme)
+    if (batchId <= lay.folded) return false
+    keys.write.mode("overwrite")
+      .parquet(s"$dir/${scheme.deletesOf(lay.gen)}/batch_id=$batchId")
+    true
+  }
+
+  /** The current generation's committed tombstone keys, if any. */
+  def deletes(spark: SparkSession, dir: String, scheme: Scheme)
+      : Option[DataFrame] = {
+    val lay = resolve(spark, dir, scheme)
+    val dp = new org.apache.hadoop.fs.Path(s"$dir/${scheme.deletesOf(lay.gen)}")
+    if (fileSystem(spark, dir).exists(dp))
+      Some(spark.read.parquet(s"$dir/${scheme.deletesOf(lay.gen)}"))
+    else None
+  }
+
   /** Base ∪ committed segments, both passed through `normalize`
     * (column selection / partition-value type restoration). The union
     * preserves each leg's partition layout, so partition-column
-    * predicates prune on both.
+    * predicates prune on both. `deleteKeys` names the store's key
+    * columns: when tombstone segments exist, the view anti-joins them
+    * out (broadcast — the tombstone set is delete-traffic-sized, and a
+    * compaction purges it back to zero). Pass Nil for stores without a
+    * delete channel — no join is added to the plan at all.
     */
-  def load(spark: SparkSession, dir: String, scheme: Scheme)
+  def load(spark: SparkSession, dir: String, scheme: Scheme,
+      deleteKeys: Seq[String] = Nil)
       (normalize: DataFrame => DataFrame): DataFrame = {
     val lay = resolve(spark, dir, scheme)
     val base = normalize(spark.read.parquet(s"$dir/${lay.base}"))
     val ap = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
-    if (fileSystem(spark, dir).exists(ap))
-      base.unionByName(normalize(spark.read.parquet(s"$dir/${lay.appends}")))
-    else base
+    val union =
+      if (fileSystem(spark, dir).exists(ap))
+        base.unionByName(normalize(spark.read.parquet(s"$dir/${lay.appends}")))
+      else base
+    if (deleteKeys.isEmpty) union
+    else {
+      val dp = new org.apache.hadoop.fs.Path(s"$dir/${scheme.deletesOf(lay.gen)}")
+      if (!fileSystem(spark, dir).exists(dp)) union
+      else union.join(
+        org.apache.spark.sql.functions.broadcast(
+          spark.read.parquet(s"$dir/${scheme.deletesOf(lay.gen)}")
+            .select(deleteKeys.map(org.apache.spark.sql.functions.col): _*)),
+        deleteKeys, "left_anti")
+    }
   }
 
   /** Fold base ∪ committed segments into generation gen+1 with
@@ -145,28 +210,47 @@ object SegmentStore {
     * query a deployment lets run across compaction cadences — a
     * reader stalling across MORE than `retain` compactions of the
     * same store loses files. Returns false (no-op) when there are no
-    * committed segments. `crashBeforeCommit` is the specs' torn-
-    * compaction hook: land, then "die" before the manifest commit.
+    * committed segments in EITHER channel (appends or tombstones — a
+    * deletes-only compaction is the physical-purge operation) UNLESS
+    * `requireSegments = false` (a RETRAIN swaps in a re-derived base
+    * even when nothing is pending). `crashBeforeCommit` is the specs'
+    * torn-compaction hook: land, then "die" before the manifest
+    * commit. `beforeCommit(nextGen)` lands generation-versioned
+    * SIDECARS (e.g. a retrain's new centroids) inside the atomic
+    * window — after the folded base, before the manifest, so a torn
+    * run leaves them invisible; `onRetire(gen)` runs per retired
+    * generation for the caller's sidecar GC.
     */
   def compact(spark: SparkSession, dir: String, scheme: Scheme,
       folded: => DataFrame, partitionCols: Seq[String],
-      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean = {
+      crashBeforeCommit: Boolean = false, retain: Int = 1,
+      requireSegments: Boolean = true,
+      beforeCommit: Int => Unit = _ => (),
+      onRetire: Int => Unit = _ => ()): Boolean = {
     require(retain >= 1, s"retain must be >= 1 (got $retain)")
     val lay = resolve(spark, dir, scheme)
     val fs = fileSystem(spark, dir)
     val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
-    if (!fs.exists(appendsPath)) return false
-    // the new watermark: every committed segment id folds into the base
-    val segIds = fs.listStatus(appendsPath).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .flatMap(_.stripPrefix("batch_id=").toLongOption)
-    val newFolded = (segIds :+ lay.folded).max
+    val deletesPath =
+      new org.apache.hadoop.fs.Path(s"$dir/${scheme.deletesOf(lay.gen)}")
+    if (requireSegments && !fs.exists(appendsPath) && !fs.exists(deletesPath))
+      return false
+    // the new watermark: every committed segment id — append AND
+    // tombstone — folds into the base (tombstoned rows by omission:
+    // `folded` is the reader view, which anti-joined them already)
+    def segIds(p: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .flatMap(_.stripPrefix("batch_id=").toLongOption)
+    val newFolded = (segIds(appendsPath) ++ segIds(deletesPath) :+ lay.folded).max
     val next = lay.gen + 1
     // 1. land the folded base under the NEXT generation's name
     //    (idempotent overwrite — a torn attempt just redoes)
     val w = folded.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/${scheme.baseOf(next)}")
+    beforeCommit(next)
     if (crashBeforeCommit) return false
     // 2. commit the generation (readers switch at their next resolve)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$next"), true)
@@ -182,8 +266,10 @@ object SegmentStore {
     for (g <- 0 to next - 1 - retain) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.baseOf(g)}"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.appendsOf(g)}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.deletesOf(g)}"), true)
       if (g > 0)
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/MANIFEST-$g"), true)
+      onRetire(g)
     }
     true
   }
@@ -199,8 +285,10 @@ object SegmentStore {
     if (!fs.exists(p)) return
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (n == scheme.appends0 || n.startsWith("MANIFEST-") ||
-        n.startsWith(scheme.vBase) || n.startsWith(scheme.vAppends))
+      if (n == scheme.appends0 || n == scheme.deletes0 ||
+        n.startsWith("MANIFEST-") ||
+        n.startsWith(scheme.vBase) || n.startsWith(scheme.vAppends) ||
+        n.startsWith(scheme.vDeletes))
         fs.delete(st.getPath, true)
     }
   }

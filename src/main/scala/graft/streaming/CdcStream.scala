@@ -1056,6 +1056,119 @@ object CdcStream {
       .orderBy("query_id", "rk")
   }
 
+  /** A CDC-MAINTAINED living vector index — the reference's change-
+    * data-capture discipline applied to ANN serving (ref:
+    * src/transformation/transformers/base.py:1 routes c/u/d envelope
+    * ops; here the index is the downstream "table"): one stream of
+    * envelope rows (op, vec_id, embedding) maintains a persisted IVF
+    * index via foreachBatch — insert/update ops append at the FIXED
+    * centroids (Graft.ivfAppend, cost ∝ batch), delete ops land
+    * batchId-keyed tombstone segments (Graft.ivfDelete) that every
+    * load anti-joins and the next compaction purges physically.
+    *
+    * Delete-wins makes batch ORDER irrelevant to the final state: a
+    * tombstone masks its id whether the victim sits in the base or in
+    * any append segment, landed before or after — so the served state
+    * is exactly base ∪ inserts − deletes, and the batch-side oracle
+    * (the IVF chain with the stream's inserts unioned at fixed
+    * centroids and its deletes masked at serve time) checks the
+    * streamed path end-to-end. Deletes are TERMINAL per id
+    * (right-to-be-forgotten): a CDC key that re-inserts after a
+    * delete is out of contract for this index (collapse upstream with
+    * cdc_apply_latest first if keys can resurrect).
+    *
+    * Crash story: both channels are idempotent per batchId (segment
+    * overwrite) and watermark-guarded across compactions — the shared
+    * watermark is what stops an append replay from resurrecting rows
+    * a folded delete removed (IvfPersistSpec pins it).
+    */
+  def ivfCdcStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnSuite
+    val e = Tables.embeddings(spark, dir)
+    val idxDir = Scratch.stable(
+      "stream_ivf_cdc/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), idxDir)
+    // the envelope feed: held-out rows arrive as inserts, a disjoint
+    // hash-slice of ids (base AND inserted rows both — the overlap
+    // exercises delete-of-appended) arrives as deletes
+    val ins = e.filter(col("vec_id") % 7 === 3)
+      .select(lit("c").as("op"), col("vec_id"), col("embedding"))
+    val dels = e.filter(col("vec_id") % 13 === 2)
+      .select(lit("d").as("op"), col("vec_id"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val feed = Scratch.dir("stream_ivf_cdc_feed")
+    ins.unionByName(dels).repartition(4).write.mode("overwrite").parquet(feed)
+    val qname = "ivf_cdc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(ins.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val up = df.filter(col("op").isin("c", "u"))
+          .select("vec_id", "embedding")
+        val del = df.filter(col("op") === "d").select("vec_id")
+        if (!up.isEmpty)
+          graft.api.Graft.ivfAppend(spark, idxDir, up, "vec_id", "embedding", batchId)
+        if (!del.isEmpty)
+          graft.api.Graft.ivfDelete(spark, idxDir, del, "vec_id", batchId)
+        ()
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_ivf_cdc", q)
+    AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, idxDir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3)
+  }
+
+  /** [[ivfCdcStream]]'s QUANTIZED twin: the same CDC envelope stream
+    * maintains the persisted IVFADC index — c/u ops encode at the
+    * fixed coarse centroids + fixed codebook (Graft.ivfPqAppend),
+    * d ops tombstone the code store (Graft.ivfPqDelete). Same
+    * delete-wins order independence and crash story, so the oracle is
+    * the quantized build-then-append chain with the deletes masked.
+    */
+  def ivfPqCdcStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnSuite
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val idxDir = Scratch.stable(
+      "stream_ivfpq_cdc/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK, m = 8, dsub = 8, ksub = 16), idxDir)
+    val ins = e.filter(col("vec_id") % 7 === 3)
+      .select(lit("c").as("op"), col("vec_id"), col("embedding"))
+    val dels = e.filter(col("vec_id") % 13 === 2)
+      .select(lit("d").as("op"), col("vec_id"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val feed = Scratch.dir("stream_ivfpq_cdc_feed")
+    ins.unionByName(dels).repartition(4).write.mode("overwrite").parquet(feed)
+    val qname = "ivfpq_cdc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(ins.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val up = df.filter(col("op").isin("c", "u"))
+          .select("vec_id", "embedding")
+        val del = df.filter(col("op") === "d").select("vec_id")
+        if (!up.isEmpty)
+          graft.api.Graft.ivfPqAppend(spark, idxDir, up, "vec_id", "embedding", batchId)
+        if (!del.isEmpty)
+          graft.api.Graft.ivfPqDelete(spark, idxDir, del, "vec_id", batchId)
+        ()
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_ivfpq_cdc", q)
+    AnnSuite.ivfPqQuery(AnnSuite.ivfPqLoad(spark, idxDir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, topK = 5)
+      .orderBy("query_id", "rk")
+  }
+
   /** Streaming twin of semantic dedup (`dedup_semantic`): arriving
     * documents probe the STANDING semantic-cell index instead of
     * re-clustering the corpus. Build once (the dedup_semantic kernel —
@@ -1217,6 +1330,8 @@ object CdcStream {
     "stream_mix_monitor" -> ((s, d) => mixMonitor(s, d)),
     "stream_attribution" -> ((s, d) => attribution(s, d)),
     "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d)),
+    "stream_ivf_cdc" -> ((s, d) => ivfCdcStream(s, d)),
+    "stream_ivfpq_cdc" -> ((s, d) => ivfPqCdcStream(s, d)),
     "stream_ivfpq_append" -> ((s, d) => ivfPqAppendStream(s, d)),
     "stream_dedup_semantic" -> ((s, d) => dedupSemanticStream(s, d)),
     "stream_dedup_substring" -> ((s, d) => dedupSubstringStream(s, d))
@@ -1303,6 +1418,14 @@ object CdcStream {
     // of their union = one full assignment of the unioned corpus at
     // those centroids — the batch twin's oracle checks the streamed path
     "stream_ivf_append" -> graft.operators.AnnSuite.oracles("ann_ivf_append"),
+    // base ∪ streamed inserts − streamed deletes, independent of batch
+    // order (fixed-centroid assignment algebra + delete-wins): the
+    // batch-side chain with inserts unioned and deletes masked
+    "stream_ivf_cdc" -> graft.operators.AnnSuite.IvfCdcOracleSql,
+    // the quantized CDC twin: encode-at-fixed-parameters algebra +
+    // delete-wins ⇒ the build-then-append IVFADC chain with the
+    // stream's deletes masked checks the streamed path
+    "stream_ivfpq_cdc" -> graft.operators.AnnSuite.IvfPqCdcOracleSql,
     // N folded micro-batches equal one bulk quantized append (fixed
     // centroids + fixed codebook), so the batch twin's chain checks it
     "stream_ivfpq_append" -> graft.operators.AnnSuite.oracles("ann_ivfpq_append"),

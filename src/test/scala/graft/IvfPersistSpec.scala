@@ -352,6 +352,227 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(served() === before)
   }
 
+  test("tombstones mask immediately; compaction purges them physically and clears the channel") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_delete_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e, "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val doomed = e.filter(col("vec_id") % 11 === 5).select("vec_id")
+    val nDoomed = doomed.count()
+    assert(nDoomed > 0)
+    assert(AnnSuite.ivfDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+
+    // masked at once: the loaded view anti-joins the tombstones
+    def deletedVisible() = AnnSuite.ivfLoad(spark, dir).assigned
+      .filter(col("cand_id") % 11 === 5).count()
+    assert(deletedVisible() === 0L)
+    assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === e.count() - nDoomed)
+    def served() = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    val masked = served()
+    assert(masked.nonEmpty)
+
+    // purge: compaction folds the tombstone-filtered view into a new
+    // base generation — the deleted rows are PHYSICALLY absent from the
+    // new base files and the delete channel is cleared
+    assert(AnnSuite.ivfCompact(spark, dir), "a deletes-only compaction must fold")
+    val lay = AnnSuite.resolveLayout(spark, dir)
+    assert(lay.gen === 1)
+    assert(spark.read.parquet(s"$dir/${lay.base}")
+      .filter(col("cand_id") % 11 === 5).count() === 0L,
+      "purged rows still present in the compacted base files")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes_v1.parquet")),
+      "the new generation must start with an empty delete channel")
+    assert(served() === masked, "the purge changed the served top-k")
+
+    // a replay of the folded delete batch is refused by the watermark
+    assert(!AnnSuite.ivfDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+  }
+
+  test("an append replay cannot resurrect rows a folded delete removed") {
+    // the resurrection crash window: insert batch 0 lands, delete
+    // batch 1 tombstones some of its rows, a compaction folds BOTH,
+    // then a checkpoint replay re-drives batch 0. The shared watermark
+    // refuses it — without that, the replayed segment would re-land
+    // rows whose tombstones the compaction already consumed.
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_resurrect_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val batch = e.filter(col("vec_id") % 7 === 3).select("vec_id", "embedding")
+    assert(AnnSuite.ivfAppend(spark, dir, batch, "vec_id", "embedding", batchId = 0L))
+    val doomed = batch.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val nDoomed = doomed.count()
+    assert(nDoomed > 0)
+    assert(AnnSuite.ivfDelete(spark, dir, doomed, "vec_id", batchId = 1L))
+    assert(AnnSuite.ivfCompact(spark, dir))
+    val after = AnnSuite.ivfLoad(spark, dir).assigned.count()
+    assert(after === e.count() - nDoomed)
+    // the replay: batchId 0 <= folded watermark 1 → lands NOTHING
+    assert(!AnnSuite.ivfAppend(spark, dir, batch, "vec_id", "embedding", batchId = 0L))
+    assert(AnnSuite.ivfLoad(spark, dir).assigned.count() === after)
+    assert(AnnSuite.ivfLoad(spark, dir).assigned
+      .filter(col("cand_id") % 7 === 3 && col("cand_id") % 3 === 0).count() === 0L,
+      "the append replay resurrected deleted rows")
+  }
+
+  test("delete-wins is order-independent: a tombstone landed before its row still masks it") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_delete_order_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val batch = e.filter(col("vec_id") % 7 === 3).select("vec_id", "embedding")
+    val doomed = batch.filter(col("vec_id") % 3 === 0).select("vec_id")
+    // the delete arrives in an EARLIER batch than the insert (a CDC
+    // stream slicing one changefeed into micro-batches can do this for
+    // independent keys); the anti-join masks regardless of landing order
+    assert(AnnSuite.ivfDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+    assert(AnnSuite.ivfAppend(spark, dir, batch, "vec_id", "embedding", batchId = 1L))
+    val loaded = AnnSuite.ivfLoad(spark, dir).assigned
+    assert(loaded.filter(col("cand_id") % 7 === 3 && col("cand_id") % 3 === 0)
+      .count() === 0L)
+    assert(loaded.count() === e.count() - e.filter(
+      col("vec_id") % 7 === 3 && col("vec_id") % 3 === 0).count())
+  }
+
+  test("stream_ivf_cdc equals its bulk batch formulation (inserts appended, deletes tombstoned)") {
+    val e = Tables.embeddings(spark, sf)
+    val streamed = graft.streaming.CdcStream.queries("stream_ivf_cdc")(spark, sf)
+      .collect().map(_.toString).toSeq
+    // the bulk twin: one append of all streamed inserts, one tombstone
+    // batch of all streamed deletes, same base build
+    val dir = Scratch.dir("ivf_cdc_bulk_twin")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L)
+    AnnSuite.ivfDelete(spark, dir,
+      e.filter(col("vec_id") % 13 === 2).select("vec_id"), "vec_id", batchId = 1L)
+    val bulk = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === bulk)
+  }
+
+  test("carried attributes survive save/load/append/compact; the filter pushes to the scan") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_carry_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK, carry = Seq("label")), dir)
+    assert(AnnSuite.ivfCarryOf(spark, dir) === Seq("label"))
+    // appends to a carried index carry the same attribute columns
+    assert(AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L, carry = Seq("label")))
+    // compaction preserves the carried column (it derives the carry
+    // list from the base schema, not from the caller)
+    assert(AnnSuite.ivfCompact(spark, dir))
+    val loaded = AnnSuite.ivfLoad(spark, dir, carry = Seq("label"))
+    assert(loaded.assigned.columns.toSeq ===
+      Seq("cand_id", "cell", "ce2", "label"))
+    assert(loaded.assigned.count() === e.count())
+    // the attribute predicate reaches the parquet scan as a pushed
+    // filter — filtered ANN reads less, never joins the corpus back in
+    val p = loaded.assigned.filter(col("label") === 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.filter(_.trim.startsWith("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("label"),
+      s"label predicate was not pushed to the index scan:\n$p")
+    // and the filtered serve returns only matching candidates
+    val got = AnnSuite.ivfQuery(
+      graft.operators.AnnSuite.IvfIndex(
+        loaded.assigned.filter(col("label") === 3), loaded.centroids),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3)
+    val matches = e.select(col("vec_id").as("cand_id"), col("label"))
+    assert(got.join(matches, Seq("cand_id"))
+      .filter(col("label") =!= 3).count() === 0L)
+  }
+
+  test("ivfRetrain swaps in a re-clustered generation; torn retrains are invisible; appends use the new centroids") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_retrain_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L)
+    def served() = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    val stale = served()
+
+    // torn retrain: the new base and centroids land but no manifest —
+    // readers still serve the OLD pair, bit-identically
+    assert(!AnnSuite.ivfRetrain(spark, dir, AnnSuite.IvfK, crashBeforeCommit = true))
+    assert(AnnSuite.resolveLayout(spark, dir).gen === 0)
+    assert(AnnSuite.ivfCentroidsPath(spark, dir).endsWith("centroids.parquet"),
+      "a torn retrain's centroids leaked into the serving path")
+    assert(served() === stale)
+
+    // the redo commits: the swapped index equals a fresh full-corpus
+    // build (build-on-the-view determinism — the oracle's claim,
+    // asserted engine-side here)
+    assert(AnnSuite.ivfRetrain(spark, dir, AnnSuite.IvfK))
+    assert(AnnSuite.resolveLayout(spark, dir).gen === 1)
+    assert(AnnSuite.ivfCentroidsPath(spark, dir).endsWith("centroids_v1.parquet"))
+    val fresh = AnnSuite.ivfQuery(
+      AnnSuite.ivfBuild(e, "vec_id", "embedding", AnnSuite.IvfK),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    assert(served() === fresh)
+
+    // the retrain folded batch 0 → its replay is refused; a FRESH
+    // append lands and assigns at the NEW centroids
+    assert(!AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L))
+    val novel = e.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", col("vec_id") + 7000000L)
+    assert(AnnSuite.ivfAppend(spark, dir, novel, "vec_id", "embedding", batchId = 1L))
+    val expectCell = AnnSuite.kmeansAssign(
+        novel.select(col("vec_id"), col("embedding")),
+        spark.read.parquet(s"$dir/centroids_v1.parquet"))
+      .select("cid").head().getLong(0)
+    assert(AnnSuite.ivfLoad(spark, dir).assigned
+      .filter(col("cand_id") === 7000007L).select("cell").head().getLong(0)
+      === expectCell)
+  }
+
+  test("ivfRetrain purges tombstones and an in-flight reader survives the swap") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_retrain_purge_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e, "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val doomed = e.filter(col("vec_id") % 11 === 5).select("vec_id")
+    assert(AnnSuite.ivfDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+    // plan a read against generation 0, and capture what it should
+    // return (a retrain MOVES centroids, so the old and new
+    // generations may legitimately rank differently — the isolation
+    // claim is that the old plan returns the OLD answer, not that the
+    // two generations agree)
+    val inFlight = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3)
+    val expected = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    assert(AnnSuite.ivfRetrain(spark, dir, AnnSuite.IvfK))
+    // the retrain trained on the tombstone-filtered view: deleted rows
+    // are physically absent from the new base and the channel is clear
+    val lay = AnnSuite.resolveLayout(spark, dir)
+    assert(lay.gen === 1)
+    assert(spark.read.parquet(s"$dir/${lay.base}")
+      .filter(col("cand_id") % 11 === 5).count() === 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes_v1.parquet")))
+    // generation retention kept gen 0 whole — the pre-swap plan still
+    // collects, and returns exactly the pre-swap answer
+    val fromOld = inFlight.collect().map(_.toString).toSeq
+    assert(fromOld.nonEmpty && fromOld === expected)
+  }
+
   test("cell-partitioned layout prunes unprobed cells at the scan") {
     val e = Tables.embeddings(spark, sf)
     val dir = Scratch.dir("ivf_persist_prune")

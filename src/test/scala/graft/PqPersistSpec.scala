@@ -60,6 +60,40 @@ class PqPersistSpec extends SparkSpecBase {
     assert(!servePlan.contains("CartesianProduct"))
   }
 
+  test("code-store tombstones mask IVFADC serving at once; ivfPqCompact purges them") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivfpq_delete_spec")
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e, "vec_id", "embedding",
+      kCoarse = AnnSuite.IvfK, m = m, dsub = dsub, ksub = ksub), dir)
+    val doomed = e.filter(col("vec_id") % 11 === 5).select("vec_id")
+    val nDoomed = doomed.count()
+    assert(nDoomed > 0)
+    assert(AnnSuite.ivfPqDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+    def served() = AnnSuite.ivfPqQuery(AnnSuite.ivfPqLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      nprobe = AnnSuite.IvfNProbe, topK = 5)
+      .orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    // masked immediately — no deleted id in the code view or the top-k
+    assert(AnnSuite.pqLoad(spark, dir).codes
+      .filter(col("cand_id") % 11 === 5).count() === 0L)
+    assert(AnnSuite.pqLoad(spark, dir).codes.count() === e.count() - nDoomed)
+    val masked = served()
+    assert(masked.nonEmpty)
+    // purge: the compacted code base physically excludes them and the
+    // delete channel resets; the served top-k is unchanged
+    assert(AnnSuite.ivfPqCompact(spark, dir), "deletes-only compaction must fold")
+    val lay = graft.sources.SegmentStore.resolve(spark, dir, AnnSuite.CodesScheme)
+    assert(lay.gen === 1)
+    assert(spark.read.parquet(s"$dir/${lay.base}")
+      .filter(col("cand_id") % 11 === 5).count() === 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_deletes_v1.parquet")))
+    assert(served() === masked)
+    // the folded delete's batchId is under the watermark → replay no-ops
+    assert(!AnnSuite.ivfPqDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+  }
+
   test("IVFADC scores equal flat ADC on every candidate it scans (pruning changes coverage, not scores)") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id") < 5)
