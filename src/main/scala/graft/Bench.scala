@@ -57,8 +57,10 @@ object Bench {
     "ann_ivfpq", "ann_pq_persisted",
     // round-14: the quantized LIVING index — append at fixed
     // centroids/codebook then serve base ∪ code segments (the union
-    // read none of the other PQ shapes cover)
-    "ann_ivfpq_append")
+    // read none of the other PQ shapes cover) — and its DELETE leg,
+    // serving through the tombstone broadcast anti-join (the masked
+    // hot path a GDPR-compliant deployment actually runs)
+    "ann_ivfpq_append", "ann_ivfpq_delete")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.

@@ -609,6 +609,22 @@ object Graft {
       idCol: String, batchId: Long): Boolean =
     graft.operators.AnnSuite.ivfPqDelete(spark, dir, ids, idCol, batchId)
 
+  /** ZERO-DOWNTIME REINDEX of a persisted IVFADC index —
+    * [[ivfRetrain]]'s twin for the quantized store. Codes are lossy,
+    * so pass the SOURCE corpus frame: the index's current tombstones
+    * are masked out of it, coarse centroids + codebook + codes rebuild
+    * with the index's own hyperparameters (derived from the persisted
+    * tables), and the whole quadruple swaps in atomically as the next
+    * generation (generation-versioned sidecars — a torn retrain is
+    * invisible, readers never see a mixed pair, post-retrain appends
+    * encode at the new parameters). Single-writer discipline with
+    * append/compact applies.
+    */
+  def ivfPqRetrain(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, embCol: String, retain: Int = 1): Boolean =
+    graft.operators.AnnSuite.ivfPqRetrain(spark, dir, corpus, idCol, embCol,
+      retain = retain)
+
   /** Deterministic k-means over an embedding column: hash-ordered seed
     * sample, `iters` exact fixed-point Lloyd iterations, then a
     * per-cluster rollup (member count, e6-quantized inertia summed as

@@ -353,7 +353,38 @@ object AnnSuite {
     val w = idx.codes.write.mode("overwrite")
     (if (idx.codes.columns.contains("cell")) w.partitionBy("cell") else w)
       .parquet(s"$dir/codes.parquet")
-    graft.sources.SegmentStore.reset(idx.codes.sparkSession, dir, CodesScheme)
+    val spark = idx.codes.sparkSession
+    graft.sources.SegmentStore.reset(spark, dir, CodesScheme)
+    // a save resets to generation 0: retrain-versioned sidecars from a
+    // prior lifecycle would shadow the fresh tables once the store
+    // re-reaches their generation
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("centroids_v") || n.startsWith("book_v") ||
+        n.startsWith("flags_v"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The generation-versioned SIDECAR tables of a quantized index
+    * (coarse centroids, codebook, residual flags): [[ivfPqRetrain]]
+    * lands `<name>_v<next>.parquet` inside its atomic commit window,
+    * and generation `gen` serves at the HIGHEST version at or below it
+    * (else the build's unversioned table) — compactions never move the
+    * mapping, retrains do, and the manifest commit is the single
+    * visibility point for (codes, centroids, book, flags) as a unit.
+    */
+  private[graft] def ivfPqSidecarPath(spark: SparkSession, dir: String,
+      name: String): String = {
+    val lay = graft.sources.SegmentStore.resolve(spark, dir, CodesScheme)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    ((lay.gen to 1 by -1).map(g => s"${name}_v$g.parquet") :+ s"$name.parquet")
+      .find(n => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n")))
+      .map(n => s"$dir/$n")
+      .getOrElse(s"$dir/$name.parquet")
   }
 
   /** The codebook half of a persisted index, without touching the
@@ -362,7 +393,7 @@ object AnnSuite {
     */
   private[graft] def pqBookLoad(spark: SparkSession, dir: String)
       : (DataFrame, Int, Int) = {
-    val book = spark.read.parquet(s"$dir/book.parquet")
+    val book = spark.read.parquet(ivfPqSidecarPath(spark, dir, "book"))
     val sub = book.select(
       size(col("subcents")).as("m"),
       size(expr("element_at(element_at(subcents, 1), 1).ce")).as("dsub")).head()
@@ -502,15 +533,20 @@ object AnnSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/flags.parquet")
   }
 
-  private[graft] def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
-    val flagsPath = new org.apache.hadoop.fs.Path(s"$dir/flags.parquet")
-    val fs = flagsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    // pre-flag indexes (r13 layout) are plain-sub-vector by construction
-    val residual = fs.exists(flagsPath) &&
-      spark.read.parquet(s"$dir/flags.parquet").head().getBoolean(0)
-    IvfPqIndex(spark.read.parquet(s"$dir/centroids.parquet"),
-      pqLoad(spark, dir), residual)
+  /** The index's residual-ness at its CURRENT generation (pre-flag
+    * r13 layouts are plain-sub-vector by construction).
+    */
+  private[graft] def ivfPqResidualFlag(spark: SparkSession, dir: String): Boolean = {
+    val p = ivfPqSidecarPath(spark, dir, "flags")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(p)) &&
+      spark.read.parquet(p).head().getBoolean(0)
   }
+
+  private[graft] def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")),
+      pqLoad(spark, dir), ivfPqResidualFlag(spark, dir))
 
   /** Incremental IVFADC maintenance — the composed quantized index as
     * a LIVING index: assign the arriving batch at the persisted
@@ -532,12 +568,9 @@ object AnnSuite {
       batch: DataFrame, idCol: String, embCol: String,
       batchId: Long): Boolean = {
     val (book, m, dsub) = pqBookLoad(spark, dir)
-    val flagsPath = new org.apache.hadoop.fs.Path(s"$dir/flags.parquet")
-    val fs = flagsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val residual = fs.exists(flagsPath) &&
-      spark.read.parquet(s"$dir/flags.parquet").head().getBoolean(0)
     graft.sources.SegmentStore.append(spark, dir, CodesScheme,
-      ivfPqEncodeBatch(spark, dir, batch, idCol, embCol, book, m, dsub, residual),
+      ivfPqEncodeBatch(spark, dir, batch, idCol, embCol, book, m, dsub,
+        ivfPqResidualFlag(spark, dir)),
       Seq("cell"), batchId)
   }
 
@@ -555,7 +588,7 @@ object AnnSuite {
           col("ce2").as("embedding"))
       else {
         val cents = cellCents(
-          spark.read.parquet(s"$dir/centroids.parquet"))
+          spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")))
         assigned.join(broadcast(cents), Seq("cell"))
           .select(col("cand_id").as("vec_id"), col("cell"),
             expr(residExpr("ce2", "cce")).as("embedding"))
@@ -573,6 +606,67 @@ object AnnSuite {
       crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
       pqLoad(spark, dir).codes, Seq("cell"), crashBeforeCommit, retain)
+
+  /** ZERO-DOWNTIME REINDEX of the QUANTIZED index — [[ivfRetrain]]'s
+    * twin for the store a 100 TB deployment actually serves. Codes are
+    * lossy, so the retrain takes the SOURCE corpus frame (the lake
+    * table), masks the index's current tombstones out of it, rebuilds
+    * coarse centroids + codebook + codes with the index's OWN
+    * hyperparameters (kCoarse from the centroid count, m/dsub/ksub
+    * from the book row, residual-ness from the flags) and swaps
+    * everything in as the next generation: the new codes land as the
+    * folded base, the new centroids/book/flags land as
+    * generation-versioned sidecars inside the atomic commit window
+    * ([[ivfPqSidecarPath]] — gen < next ignores them, so a torn
+    * retrain is invisible and a serving (codes, centroids, book,
+    * flags) quadruple can never mix generations). Appends after the
+    * retrain encode at the NEW parameters; tombstones purge; the
+    * watermark folds. Single-writer discipline with append/compact
+    * applies. Deterministic build ⇒ the swapped index equals a fresh
+    * [[ivfPqBuild]] over the live corpus — `ann_ivfpq_retrain`'s
+    * oracle is the plain full-corpus IVFADC chain.
+    */
+  private[graft] def ivfPqRetrain(spark: SparkSession, dir: String,
+      corpus: DataFrame, idCol: String, embCol: String,
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean = {
+    val (book, m, dsub) = pqBookLoad(spark, dir)
+    val ksub = book.select(size(expr("element_at(subcents, 1)"))).head().getInt(0)
+    val kCoarse = spark.read
+      .parquet(ivfPqSidecarPath(spark, dir, "centroids")).count().toInt
+    val residual = ivfPqResidualFlag(spark, dir)
+    val src0 = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val src = graft.sources.SegmentStore.deletes(spark, dir, CodesScheme)
+      .map(t => src0.join(broadcast(t.select("cand_id")),
+        src0("vec_id") === col("cand_id"), "left_anti"))
+      .getOrElse(src0)
+    val idx = ivfPqBuild(src, "vec_id", "embedding", kCoarse, m, dsub, ksub,
+      residual)
+    val lowestRetained = graft.sources.SegmentStore
+      .resolve(spark, dir, CodesScheme).gen + 1 - retain
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
+      idx.pq.codes, Seq("cell"), crashBeforeCommit, retain,
+      requireSegments = false,
+      beforeCommit = next => {
+        idx.centroids.write.mode("overwrite")
+          .parquet(s"$dir/centroids_v$next.parquet")
+        idx.pq.book.write.mode("overwrite")
+          .parquet(s"$dir/book_v$next.parquet")
+        import spark.implicits._
+        Seq(idx.residual).toDF("residual")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/flags_v$next.parquet")
+      },
+      onRetire = g => Seq("centroids", "book", "flags").foreach { name =>
+        // GC a superseded sidecar version only when every retained
+        // generation maps to a newer one (highest-at-or-below rule)
+        val newerCovers = (g + 1 to lowestRetained).exists(v =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${name}_v$v.parquet")))
+        if (newerCovers)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${name}_v$g.parquet"), true)
+      })
+  }
 
   /** Serve: probe `nprobe` coarse cells per query (the [[probeCells]]
     * ranking — no window, no shuffle), then integer ADC over ONLY the
@@ -1310,6 +1404,29 @@ object AnnSuite {
         .orderBy("query_id", "rk")
     },
 
+    // the quantized ZERO-DOWNTIME REINDEX: build on the base rows,
+    // append the rest at the STALE centroids+codebook, then retrain —
+    // rebuild coarse/book/codes from the live corpus with the index's
+    // own hyperparameters and swap the quadruple in atomically
+    // (generation-versioned sidecars; readers on the old generation
+    // never see a mixed pair). Deterministic build ⇒ equals a fresh
+    // full-corpus IVFADC build, so the plain ann_ivfpq chain is the
+    // oracle — proof the retrain healed the stale-codebook encodings.
+    "ann_ivfpq_retrain" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivfpq_retrain/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding",
+        kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
+      ivfPqAppend(s, dir, e.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
+        batchId = 0L)
+      ivfPqRetrain(s, dir, e, "vec_id", "embedding")
+      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // the quantized index's DELETE leg — ann_ivf_delete's twin on the
     // code store: tombstone ids land as a delete segment, pqLoad
     // anti-joins them (broadcast) on every serve, ivfPqCompact purges
@@ -1688,7 +1805,10 @@ object AnnSuite {
     // a retrain re-clusters the LIVE view (here: the full corpus after
     // the append) with the same deterministic build, so the swapped
     // index must equal a fresh full-corpus build — the plain chain
-    ("ann_ivf_retrain" -> oraclesBase("ann_ivf"))
+    ("ann_ivf_retrain" -> oraclesBase("ann_ivf")) +
+    // same algebra for the quantized retrain: rebuild-on-the-live-
+    // corpus determinism ⇒ the plain full-corpus IVFADC chain
+    ("ann_ivfpq_retrain" -> oraclesBase("ann_ivfpq"))
 
   /** The coarse-quantizer CTE chain of the IVFADC oracles — the
     * ann_ivf chain (seeds → one Lloyd step → final assignment +

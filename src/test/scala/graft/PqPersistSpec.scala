@@ -94,6 +94,67 @@ class PqPersistSpec extends SparkSpecBase {
     assert(!AnnSuite.ivfPqDelete(spark, dir, doomed, "vec_id", batchId = 0L))
   }
 
+  test("ivfPqRetrain swaps the serving quadruple atomically; torn retrains invisible; appends use the new book") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivfpq_retrain_spec")
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK, m = m, dsub = dsub, ksub = ksub), dir)
+    AnnSuite.ivfPqAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L)
+    def served() = AnnSuite.ivfPqQuery(AnnSuite.ivfPqLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      nprobe = AnnSuite.IvfNProbe, topK = 5)
+      .orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    val stale = served()
+
+    // torn retrain: codes/centroids/book/flags all landed versioned,
+    // but no manifest — readers keep the OLD quadruple bit-identically
+    assert(!AnnSuite.ivfPqRetrain(spark, dir, e, "vec_id", "embedding",
+      crashBeforeCommit = true))
+    assert(graft.sources.SegmentStore
+      .resolve(spark, dir, AnnSuite.CodesScheme).gen === 0)
+    assert(AnnSuite.ivfPqSidecarPath(spark, dir, "book")
+      .endsWith("/book.parquet"),
+      "a torn retrain's book leaked into the serving path")
+    assert(served() === stale)
+
+    // the redo commits: the swapped index equals a fresh full-corpus
+    // build (the oracle's claim, asserted engine-side)
+    assert(AnnSuite.ivfPqRetrain(spark, dir, e, "vec_id", "embedding"))
+    assert(AnnSuite.ivfPqSidecarPath(spark, dir, "book")
+      .endsWith("book_v1.parquet"))
+    val freshDir = Scratch.dir("ivfpq_retrain_fresh")
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e, "vec_id", "embedding",
+      AnnSuite.IvfK, m = m, dsub = dsub, ksub = ksub), freshDir)
+    val fresh = AnnSuite.ivfPqQuery(AnnSuite.ivfPqLoad(spark, freshDir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      nprobe = AnnSuite.IvfNProbe, topK = 5)
+      .orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    assert(served() === fresh)
+
+    // the retrain folded batch 0 → replay refused; a fresh append
+    // lands and its codes equal an encode at the NEW book
+    assert(!AnnSuite.ivfPqAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L))
+    val novel = e.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", col("vec_id") + 8000000L)
+      .select("vec_id", "embedding")
+    assert(AnnSuite.ivfPqAppend(spark, dir, novel, "vec_id", "embedding",
+      batchId = 1L))
+    val (book1, m1, d1) = AnnSuite.pqBookLoad(spark, dir)
+    assert(AnnSuite.pqBookLoad(spark, dir)._1.inputFiles
+      .exists(_.contains("book_v1.parquet")))
+    val expect = AnnSuite.ivfPqEncodeBatch(spark, dir, novel,
+      "vec_id", "embedding", book1, m1, d1,
+      AnnSuite.ivfPqResidualFlag(spark, dir))
+      .select("cand_id", "codes").collect().map(_.toString).toSeq
+    val got = AnnSuite.pqLoad(spark, dir).codes
+      .filter(col("cand_id") === 8000007L)
+      .select("cand_id", "codes")
+      .collect().map(_.toString).toSeq
+    assert(got === expect)
+  }
+
   test("IVFADC scores equal flat ADC on every candidate it scans (pruning changes coverage, not scores)") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id") < 5)
