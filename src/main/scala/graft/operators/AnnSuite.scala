@@ -1193,6 +1193,55 @@ object AnnSuite {
         "vec_id", "embedding", IvfNProbe, 3)
     },
 
+    // the WHEN-TO-RETRAIN gate, as a measured number: recall@3 against
+    // the exact cosine truth for the STALE serving state (index built
+    // on the base rows, the held-out batch assigned at those frozen
+    // centroids — exactly what ann_ivf_append serves) vs the RETRAINED
+    // state (fresh full-corpus build — exactly what ann_ivf_retrain
+    // swaps in). One shared truth pass; both legs the deterministic
+    // kernels, so the drift delta is engine-exact and hash-checked —
+    // a deployment reruns this on a query sample and retrains when
+    // the stale row's recall drops below its bar.
+    "ann_ivf_drift" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      val queriesDf = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val truth = graft.api.Graft.rankedByGroup(
+          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+            .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
+            .select(col("query_id"), col("cos"), col("cand_id")),
+          Seq("query_id"), Seq(col("cos").desc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+      def recallOf(idx: IvfIndex, variant: String): DataFrame = {
+        val got = ivfQuery(idx, queriesDf, "query_id", "embedding", IvfNProbe, 3)
+          .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+        truth.join(got, Seq("query_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
+          .select(lit(variant).as("variant"), col("n_truth"), col("hits"),
+            floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
+              .cast("long").as("recall_e6"))
+      }
+      val base = ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK)
+      val staleCents = base.centroids.localCheckpoint()
+      val stale = IvfIndex(
+        kmeansAssign(e.select(col("vec_id"), col("embedding")), staleCents)
+          .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
+            col("embedding").as("ce2")),
+        staleCents)
+      val fresh = ivfBuild(e, "vec_id", "embedding", IvfK)
+      recallOf(stale, "stale")
+        .unionByName(recallOf(fresh, "retrained"))
+        .orderBy("variant")
+    },
+
     // ANN quality evaluation: recall@3 of the IVF path against the
     // exact brute-force ground truth — the accept/reject gate every
     // production ANN deployment runs before trading exactness for
@@ -1820,44 +1869,47 @@ object AnnSuite {
     * the Lloyd step run over matching rows; the final assignment and
     * probes cover the whole table): `TRUE` checks the plain build,
     * a proper subset checks build-then-append at the base's fixed
-    * centroids (the ann_ivf_append algebra).
+    * centroids (the ann_ivf_append algebra). `p` prefixes every
+    * emitted CTE so two differently-trained chains can share one WITH
+    * list (the drift oracle compares them); `a1`/`pr` carry the row
+    * vectors (`ce2`/`qe`) so consumers can exact-cosine re-rank.
     */
-  private def ivfCellChainSql(basePred: String): String =
-    s"""iv_eb AS (SELECT vec_id, embedding FROM e WHERE $basePred),
-       |iv_seeds AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM iv_eb
+  private def ivfCellChainSql(basePred: String, p: String = "iv_"): String =
+    s"""${p}eb AS (SELECT vec_id, embedding FROM e WHERE $basePred),
+       |${p}seeds AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM ${p}eb
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
        |  LIMIT $IvfK),
-       |iv_d0 AS (
+       |${p}d0 AS (
        |  SELECT e.vec_id, s.cid, e.embedding,
        |    ${oracleDist("s.ce")} AS dist
-       |  FROM iv_eb e, iv_seeds s),
-       |iv_a0 AS (
+       |  FROM ${p}eb e, ${p}seeds s),
+       |${p}a0 AS (
        |  SELECT vec_id, cid, embedding FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM iv_d0) t WHERE rn = 1),
-       |iv_dims AS (
+       |    FROM ${p}d0) t WHERE rn = 1),
+       |${p}dims AS (
        |  SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS v
-       |  FROM iv_a0, range(1, 65) r(i)),
-       |iv_cents AS (
+       |  FROM ${p}a0, range(1, 65) r(i)),
+       |${p}cents AS (
        |  SELECT cid, list(CAST(m AS REAL) ORDER BY i) AS ce FROM (
        |    SELECT cid, i,
        |      CAST(SUM(FLOOR(v*1e6 + 0.5)) AS DOUBLE)/COUNT(*)/1e6 AS m
-       |    FROM iv_dims GROUP BY cid, i) t GROUP BY cid),
-       |iv_d1 AS (
-       |  SELECT e.vec_id, c.cid,
+       |    FROM ${p}dims GROUP BY cid, i) t GROUP BY cid),
+       |${p}d1 AS (
+       |  SELECT e.vec_id, c.cid, e.embedding,
        |    ${oracleDist("c.ce")} AS dist
-       |  FROM e, iv_cents c),
-       |iv_a1 AS (
-       |  SELECT vec_id AS cand_id, cid AS cell FROM (
+       |  FROM e, ${p}cents c),
+       |${p}a1 AS (
+       |  SELECT vec_id AS cand_id, cid AS cell, embedding AS ce2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM iv_d1) t WHERE rn = 1),
-       |iv_pr AS (
-       |  SELECT vec_id AS query_id, cid AS cell,
+       |    FROM ${p}d1) t WHERE rn = 1),
+       |${p}pr AS (
+       |  SELECT vec_id AS query_id, cid AS cell, embedding AS qe,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM iv_d1 WHERE vec_id < 5),
-       |iv_probes AS (
-       |  SELECT query_id, cell FROM iv_pr WHERE rn <= $IvfNProbe)""".stripMargin
+       |  FROM ${p}d1 WHERE vec_id < 5),
+       |${p}probes AS (
+       |  SELECT query_id, cell, qe FROM ${p}pr WHERE rn <= $IvfNProbe)""".stripMargin
 
   /** Shared DuckDB-oracle fragments for the embedding-distance family —
     * one source of truth for the formula that ann_ivf, ann_recall_eval,
@@ -2195,6 +2247,57 @@ object AnnSuite {
          |FROM truth t LEFT JOIN ivf i
          |  ON i.query_id = t.query_id AND i.cand_id = t.cand_id
          |GROUP BY t.query_id ORDER BY query_id""".stripMargin
+    },
+
+    "ann_ivf_drift" -> {
+      // two full coarse chains in one WITH list (prefixes s_/f_ —
+      // stale trains on the base rows, fresh on everything), one
+      // exact-cosine truth, recall aggregated per variant
+      def scored(p: String): String =
+        s"""${p}scored AS (
+           |  SELECT p.query_id, a.cand_id,
+           |    FLOOR(
+           |      list_sum(list_transform(range(1, len(qe) + 1),
+           |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE))) /
+           |      (${OracleNorm.format("qe")} * ${OracleNorm.format("ce2")}) * 1e6 + 0.5)/1e6 AS cos
+           |  FROM ${p}a1 a JOIN ${p}probes p ON a.cell = p.cell
+           |  WHERE p.query_id <> a.cand_id),
+           |${p}ivf AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |                                 ORDER BY cos DESC, cand_id) AS rk
+           |    FROM ${p}scored) t WHERE rk <= 3)""".stripMargin
+      def leg(variant: String, p: String): String =
+        s"""SELECT '$variant' AS variant,
+           |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_e6
+           |FROM truth t LEFT JOIN ${p}ivf g
+           |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |${ivfCellChainSql("vec_id % 7 <> 3", "s_")},
+         |${ivfCellChainSql("TRUE", "f_")},
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    FLOOR(
+         |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |      (${OracleNorm.format("q.embedding")} * ${OracleNorm.format("c.embedding")})
+         |      * 1e6 + 0.5)/1e6 AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, cand_id) AS rk
+         |    FROM bscored) t WHERE rk <= 3),
+         |${scored("s_")},
+         |${scored("f_")}
+         |SELECT * FROM (
+         |${leg("stale", "s_")}
+         |UNION ALL
+         |${leg("retrained", "f_")}
+         |) u ORDER BY variant""".stripMargin
     },
 
     "ann_tune" -> {
