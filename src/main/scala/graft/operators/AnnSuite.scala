@@ -407,16 +407,29 @@ object AnnSuite {
     * when the IVFADC composition carries `cell`, so probe pruning
     * holds on each leg).
     */
-  private[graft] def pqLoad(spark: SparkSession, dir: String): PqIndex = {
+  private[graft] def pqLoad(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): PqIndex = {
     val (book, m, dsub) = pqBookLoad(spark, dir)
     val codes = graft.sources.SegmentStore.load(spark, dir, CodesScheme,
       deleteKeys = Seq("cand_id")) { df =>
       val typed = if (df.columns.contains("cell"))
         df.withColumn("cell", col("cell").cast("long")) else df
-      if (typed.columns.contains("cell")) typed.select("cand_id", "codes", "cell")
-      else typed.select("cand_id", "codes")
+      val core = if (typed.columns.contains("cell"))
+        Seq("cand_id", "codes", "cell") else Seq("cand_id", "codes")
+      typed.select((core ++ carry).map(col): _*)
     }
     PqIndex(book, codes, m, dsub)
+  }
+
+  /** The ATTRIBUTE columns a persisted code table carries beyond the
+    * core (cand_id, codes, cell) — read from the base's parquet schema
+    * so maintenance (compaction, appends, retrains) preserves them
+    * without the caller restating the build's `carry` list.
+    */
+  private[graft] def pqCarryOf(spark: SparkSession, dir: String): Seq[String] = {
+    val lay = graft.sources.SegmentStore.resolve(spark, dir, CodesScheme)
+    spark.read.parquet(s"$dir/${lay.base}").columns.toSeq
+      .filterNot(Set("cand_id", "codes", "cell"))
   }
 
   /** Tombstone a batch of vector ids out of a persisted (IVF)PQ code
@@ -492,27 +505,29 @@ object AnnSuite {
     */
   private[graft] def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
       kCoarse: Int, m: Int, dsub: Int, ksub: Int,
-      residual: Boolean = false, sampleMod: Int = 1): IvfPqIndex = {
-    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse)
+      residual: Boolean = false, sampleMod: Int = 1,
+      carry: Seq[String] = Nil): IvfPqIndex = {
+    val e = corpus.select((col(idCol).as("vec_id") +:
+      col(embCol).as("embedding") +: carry.map(col)): _*)
+    val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse, carry)
     if (!residual) {
-      val book = pqTrain(e, m, dsub, ksub, sampleMod)
+      val book = pqTrain(e.select("vec_id", "embedding"), m, dsub, ksub, sampleMod)
       val codes = pqEncode(
-        coarse.assigned.select(col("cand_id").as("vec_id"), col("cell"),
-          col("ce2").as("embedding")),
-        book, m, dsub, carry = Seq("cell"))
+        coarse.assigned.select((col("cand_id").as("vec_id") +: col("cell") +:
+          col("ce2").as("embedding") +: carry.map(col)): _*),
+        book, m, dsub, carry = "cell" +: carry)
       IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub))
     } else {
       // corpus residuals: one narrow pass over the (already-assigned)
       // corpus × the broadcast k-row centroid table, materialized once
       // (the codebook training and the encode both consume it)
       val resid = coarse.assigned.join(broadcast(cellCents(coarse.centroids)), Seq("cell"))
-        .select(col("cand_id").as("vec_id"), col("cell"),
-          expr(residExpr("ce2", "cce")).as("embedding"))
+        .select((col("cand_id").as("vec_id") +: col("cell") +:
+          expr(residExpr("ce2", "cce")).as("embedding") +: carry.map(col)): _*)
         .localCheckpoint()
       val book = pqTrain(resid.select("vec_id", "embedding"), m, dsub, ksub,
         sampleMod)
-      val codes = pqEncode(resid, book, m, dsub, carry = Seq("cell"))
+      val codes = pqEncode(resid, book, m, dsub, carry = "cell" +: carry)
       IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub), residual = true)
     }
   }
@@ -544,9 +559,10 @@ object AnnSuite {
       spark.read.parquet(p).head().getBoolean(0)
   }
 
-  private[graft] def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex =
+  private[graft] def ivfPqLoad(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): IvfPqIndex =
     IvfPqIndex(spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")),
-      pqLoad(spark, dir), ivfPqResidualFlag(spark, dir))
+      pqLoad(spark, dir, carry), ivfPqResidualFlag(spark, dir))
 
   /** Incremental IVFADC maintenance — the composed quantized index as
     * a LIVING index: assign the arriving batch at the persisted
@@ -570,7 +586,7 @@ object AnnSuite {
     val (book, m, dsub) = pqBookLoad(spark, dir)
     graft.sources.SegmentStore.append(spark, dir, CodesScheme,
       ivfPqEncodeBatch(spark, dir, batch, idCol, embCol, book, m, dsub,
-        ivfPqResidualFlag(spark, dir)),
+        ivfPqResidualFlag(spark, dir), pqCarryOf(spark, dir)),
       Seq("cell"), batchId)
   }
 
@@ -580,20 +596,21 @@ object AnnSuite {
     */
   private[graft] def ivfPqEncodeBatch(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, embCol: String,
-      book: DataFrame, m: Int, dsub: Int, residual: Boolean): DataFrame = {
-    val assigned = ivfAssignBatch(spark, dir, batch, idCol, embCol)
+      book: DataFrame, m: Int, dsub: Int, residual: Boolean,
+      carry: Seq[String] = Nil): DataFrame = {
+    val assigned = ivfAssignBatch(spark, dir, batch, idCol, embCol, carry)
     val toEncode =
       if (!residual)
-        assigned.select(col("cand_id").as("vec_id"), col("cell"),
-          col("ce2").as("embedding"))
+        assigned.select((col("cand_id").as("vec_id") +: col("cell") +:
+          col("ce2").as("embedding") +: carry.map(col)): _*)
       else {
         val cents = cellCents(
           spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")))
         assigned.join(broadcast(cents), Seq("cell"))
-          .select(col("cand_id").as("vec_id"), col("cell"),
-            expr(residExpr("ce2", "cce")).as("embedding"))
+          .select((col("cand_id").as("vec_id") +: col("cell") +:
+            expr(residExpr("ce2", "cce")).as("embedding") +: carry.map(col)): _*)
       }
-    pqEncode(toEncode, book, m, dsub, carry = Seq("cell"))
+    pqEncode(toEncode, book, m, dsub, carry = "cell" +: carry)
   }
 
   /** Fold every committed [[ivfPqAppend]] code segment into a new
@@ -605,7 +622,8 @@ object AnnSuite {
   private[graft] def ivfPqCompact(spark: SparkSession, dir: String,
       crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
-      pqLoad(spark, dir).codes, Seq("cell"), crashBeforeCommit, retain)
+      pqLoad(spark, dir, pqCarryOf(spark, dir)).codes, Seq("cell"),
+      crashBeforeCommit, retain)
 
   /** ZERO-DOWNTIME REINDEX of the QUANTIZED index — [[ivfRetrain]]'s
     * twin for the store a 100 TB deployment actually serves. Codes are
@@ -634,13 +652,15 @@ object AnnSuite {
     val kCoarse = spark.read
       .parquet(ivfPqSidecarPath(spark, dir, "centroids")).count().toInt
     val residual = ivfPqResidualFlag(spark, dir)
-    val src0 = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val carry = pqCarryOf(spark, dir)
+    val src0 = corpus.select((col(idCol).as("vec_id") +:
+      col(embCol).as("embedding") +: carry.map(col)): _*)
     val src = graft.sources.SegmentStore.deletes(spark, dir, CodesScheme)
       .map(t => src0.join(broadcast(t.select("cand_id")),
         src0("vec_id") === col("cand_id"), "left_anti"))
       .getOrElse(src0)
     val idx = ivfPqBuild(src, "vec_id", "embedding", kCoarse, m, dsub, ksub,
-      residual)
+      residual, carry = carry)
     val lowestRetained = graft.sources.SegmentStore
       .resolve(spark, dir, CodesScheme).gen + 1 - retain
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1472,6 +1492,32 @@ object AnnSuite {
         batchId = 0L)
       ivfPqRetrain(s, dir, e, "vec_id", "embedding")
       ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // attribute-FILTERED IVFADC — ann_ivf_filtered's twin on the
+    // quantized index: the attribute is carried INTO the code rows at
+    // encode time, so filtered quantized search evaluates its
+    // predicate at the code scan (pushed filter, under the cell
+    // partition pruning) and never joins the corpus back in; carry
+    // survives append/compact/retrain (derived from the base codes'
+    // schema). Oracle = the IVFADC chain with the label predicate on
+    // the served candidates.
+    "ann_ivfpq_filtered" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.stable(
+        "ann_ivfpq_filtered/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e, "vec_id", "embedding",
+        kCoarse = IvfK, m = 8, dsub = 8, ksub = 16,
+        carry = Seq("label")), dir)
+      val idx = ivfPqLoad(s, dir, carry = Seq("label"))
+      ivfPqQuery(
+        IvfPqIndex(idx.centroids,
+          PqIndex(idx.pq.book, idx.pq.codes.filter(col("label") === 3),
+            idx.pq.m, idx.pq.dsub), idx.residual),
+        e.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
         .orderBy("query_id", "rk")
     },
@@ -2463,6 +2509,22 @@ object AnnSuite {
          |  FROM sc2 s
          |  JOIN iv_a1 a ON a.cand_id = s.cand_id
          |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "ann_ivfpq_filtered" -> {
+      // the ann_ivfpq chain with the carried-attribute predicate on
+      // the served candidates (trainings saw the full corpus)
+      s"""$PqChainSql,
+         |${ivfCellChainSql("TRUE")}
+         |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                       ORDER BY s.adist_e6, s.cand_id) AS rk
+         |  FROM sc2 s
+         |  JOIN iv_a1 a ON a.cand_id = s.cand_id
+         |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell
+         |  WHERE s.cand_id IN (SELECT vec_id FROM embeddings WHERE label = 3)) t
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 

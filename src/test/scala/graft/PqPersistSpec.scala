@@ -155,6 +155,40 @@ class PqPersistSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("carried attributes ride the code store through append/compact/retrain; filter pushes to the code scan") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivfpq_carry_spec")
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK, m = m, dsub = dsub, ksub = ksub,
+      carry = Seq("label")), dir)
+    assert(AnnSuite.pqCarryOf(spark, dir) === Seq("label"))
+    // appends derive the carry list from the base codes' schema
+    assert(AnnSuite.ivfPqAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L))
+    assert(AnnSuite.ivfPqCompact(spark, dir))
+    val loaded = AnnSuite.pqLoad(spark, dir, carry = Seq("label"))
+    assert(loaded.codes.columns.toSeq === Seq("cand_id", "codes", "cell", "label"))
+    assert(loaded.codes.count() === e.count())
+    // carried labels must MATCH the corpus rows they rode in with
+    val mismatch = loaded.codes.select(col("cand_id").as("vec_id"),
+        col("label").as("got"))
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("got") =!= col("label")).count()
+    assert(mismatch === 0L)
+    // the attribute predicate reaches the code scan as a pushed filter
+    val p = loaded.codes.filter(col("label") === 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.filter(_.trim.startsWith("PushedFilters"))
+      .mkString("\n").contains("label"),
+      s"label predicate was not pushed to the code scan:\n$p")
+    // a retrain rebuilds codes from the source corpus and keeps carry
+    assert(AnnSuite.ivfPqRetrain(spark, dir, e, "vec_id", "embedding"))
+    val re = AnnSuite.pqLoad(spark, dir, carry = Seq("label"))
+    assert(re.codes.columns.toSeq === Seq("cand_id", "codes", "cell", "label"))
+    assert(re.codes.count() === e.count())
+  }
+
   test("IVFADC scores equal flat ADC on every candidate it scans (pruning changes coverage, not scores)") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id") < 5)
