@@ -23,6 +23,59 @@ object CurationSuite {
   private val ChunkSize = 200
   private val Stride = 150
 
+  /** The shared incremental-dedup oracle chain, parameterized by
+    * which doc_ids sit on the PROBE side (`newPred`, alias n) and
+    * which the STANDING index serves (`standingPred`, alias c) — one
+    * source of truth for the fused, persisted, appended, and
+    * tombstoned variants (only the band-join predicates move).
+    */
+  private def incrementalOracleSql(newPred: String, standingPred: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM (${DedupSuite.CorpusSql}) c),
+       |sh AS (
+       |  SELECT doc_id, ${DedupSuite.ShinglesSql} AS shingles FROM docs WHERE len(ws) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 12), p ->
+       |      list_min(list_transform(
+       |        list_transform(shingles, sh2 -> ('0x' || substr(md5(sh2), 1, 15))::BIGINT),
+       |        h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b - 1 AS band,
+       |    md5(array_to_string(sig[(b-1)*3+1:(b-1)*3+3], ',')) AS bucket
+       |  FROM sig, range(1, 5) r(b)),
+       |cands AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+       |  FROM bands n JOIN bands c
+       |    ON n.band = c.band AND n.bucket = c.bucket
+       |   AND ($newPred) AND ($standingPred))
+       |SELECT new_id, dup_of,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |    len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+       |FROM cands
+       |JOIN sh sa ON sa.doc_id = new_id
+       |JOIN sh sb ON sb.doc_id = dup_of
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |    len(list_distinct(sa.shingles || sb.shingles)) >= 0.7
+       |ORDER BY new_id, dup_of""".stripMargin
+
+  /** The probe-then-verify tail every incremental-dedup variant
+    * shares: candidate (new_id, dup_of) pairs re-join their shingle
+    * sets (candidates only — the pairwise work the band join already
+    * bounded) and keep exact-Jaccard >= 0.7.
+    */
+  private def verifyCands(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("shingles", "sh_n"), "new_id")
+      .join(sh.withColumnRenamed("doc_id", "dup_of")
+        .withColumnRenamed("shingles", "sh_c"), "dup_of")
+      .withColumn("jaccard", expr("jaccard_sim(sh_n, sh_c)"))
+      .filter(col("jaccard") >= 0.7)
+      .select("new_id", "dup_of", "jaccard")
+      .orderBy("new_id", "dup_of")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Overlapping fixed-window chunking — the document→passage step an
     // embedding/RAG pipeline runs before encoding (each chunk becomes
@@ -64,13 +117,88 @@ object CurationSuite {
           col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
         .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
         .dropDuplicates("new_id", "dup_of")
-      cands
-        .join(sh.withColumnRenamed("doc_id", "new_id").withColumnRenamed("shingles", "sh_n"), "new_id")
-        .join(sh.withColumnRenamed("doc_id", "dup_of").withColumnRenamed("shingles", "sh_c"), "dup_of")
-        .withColumn("jaccard", expr("jaccard_sim(sh_n, sh_c)"))
-        .filter(col("jaccard") >= 0.7)
-        .select("new_id", "dup_of", "jaccard")
-        .orderBy("new_id", "dup_of")
+      verifyCands(cands, sh)
+    },
+
+    // the standing band index PERSISTED — the shape the fused entry's
+    // doc promises at 100 TB: the corpus's (doc_id, band, bucket) rows
+    // live on disk (hot buckets gated at write time, so probes are
+    // join-only); an arriving batch hashes ITSELF and probes the
+    // stored index. Deterministic hash/band kernels + lossless parquet
+    // round-trip ⇒ value-identical to the fused entry, so its oracle
+    // checks the persisted path end-to-end.
+    "dedup_incremental_persisted" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val sh = DedupSuite.shingleSets(s, d).localCheckpoint()
+      val dir = graft.sources.Scratch.stable(
+        "band_index_persisted/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      DedupSuite.bandIndexSave(
+        DedupSuite.minhashBands(sh.filter(col("doc_id") < 1000000L)), dir)
+      val batchBands = DedupSuite.gateHotBuckets(
+        DedupSuite.minhashBands(sh.filter(col("doc_id") >= 1000000L)),
+        Seq("band", "bucket"))
+      val cands = batchBands.as("n")
+        .join(DedupSuite.bandIndexLoad(s, dir).as("c"),
+          col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+        .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+        .dropDuplicates("new_id", "dup_of")
+      verifyCands(cands, sh)
+    },
+
+    // the living band index's GROWTH leg: half the arriving docs were
+    // already committed to the standing index as a batchId-keyed
+    // append segment (cost ∝ batch — the standing rows never re-hash);
+    // the other half probes base ∪ segment. The oracle is the same
+    // chain with the appended docs moved to the standing side.
+    "dedup_incremental_append" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val sh = DedupSuite.shingleSets(s, d).localCheckpoint()
+      val dir = graft.sources.Scratch.stable(
+        "band_index_append/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      DedupSuite.bandIndexSave(
+        DedupSuite.minhashBands(sh.filter(col("doc_id") < 1000000L)), dir)
+      // injected ids are 1000000 + multiples of 10, so % 20 splits
+      // them into two NONEMPTY halves ({0, 10} residues)
+      DedupSuite.bandIndexAppend(
+        DedupSuite.minhashBands(sh.filter(
+          col("doc_id") >= 1000000L && col("doc_id") % 20 === 0)), dir,
+        batchId = 0L)
+      val batchBands = DedupSuite.gateHotBuckets(
+        DedupSuite.minhashBands(sh.filter(
+          col("doc_id") >= 1000000L && col("doc_id") % 20 === 10)),
+        Seq("band", "bucket"))
+      val cands = batchBands.as("n")
+        .join(DedupSuite.bandIndexLoad(s, dir).as("c"),
+          col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+        .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+        .dropDuplicates("new_id", "dup_of")
+      verifyCands(cands, sh)
+    },
+
+    // the living band index's DELETE leg (GDPR for the dedup corpus):
+    // tombstoned documents stop appearing as anyone's dup_of the
+    // moment the tombstone lands — masked at load, purged at the next
+    // compaction. Oracle = the chain with the deleted ids excluded
+    // from the standing side.
+    "dedup_incremental_delete" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val sh = DedupSuite.shingleSets(s, d).localCheckpoint()
+      val dir = graft.sources.Scratch.stable(
+        "band_index_delete/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      DedupSuite.bandIndexSave(
+        DedupSuite.minhashBands(sh.filter(col("doc_id") < 1000000L)), dir)
+      DedupSuite.bandIndexDelete(s, dir,
+        sh.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === 0)
+          .select("doc_id"), "doc_id", batchId = 0L)
+      val batchBands = DedupSuite.gateHotBuckets(
+        DedupSuite.minhashBands(sh.filter(col("doc_id") >= 1000000L)),
+        Seq("band", "bucket"))
+      val cands = batchBands.as("n")
+        .join(DedupSuite.bandIndexLoad(s, dir).as("c"),
+          col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+        .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+        .dropDuplicates("new_id", "dup_of")
+      verifyCands(cands, sh)
     },
 
     // Span-level (sentence/paragraph) exact dedup — the C4/RefinedWeb
@@ -222,36 +350,24 @@ object CurationSuite {
          |FROM ex
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM (${DedupSuite.CorpusSql}) c),
-         |sh AS (
-         |  SELECT doc_id, ${DedupSuite.ShinglesSql} AS shingles FROM docs WHERE len(ws) >= 3),
-         |sig AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 12), p ->
-         |      list_min(list_transform(
-         |        list_transform(shingles, sh2 -> ('0x' || substr(md5(sh2), 1, 15))::BIGINT),
-         |        h -> ((h % 1073741789) * ((40503 * (p + 1)) % 1073741789) + p) % 1073741789))) AS sig
-         |  FROM sh),
-         |bands AS (
-         |  SELECT doc_id, b - 1 AS band,
-         |    md5(array_to_string(sig[(b-1)*3+1:(b-1)*3+3], ',')) AS bucket
-         |  FROM sig, range(1, 5) r(b)),
-         |cands AS (
-         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
-         |  FROM bands n JOIN bands c
-         |    ON n.band = c.band AND n.bucket = c.bucket
-         |   AND n.doc_id >= 1000000 AND c.doc_id < 1000000)
-         |SELECT new_id, dup_of,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-         |FROM cands
-         |JOIN sh sa ON sa.doc_id = new_id
-         |JOIN sh sb ON sb.doc_id = dup_of
-         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    len(list_distinct(sa.shingles || sb.shingles)) >= 0.7
-         |ORDER BY new_id, dup_of""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql(
+      "n.doc_id >= 1000000", "c.doc_id < 1000000"),
+
+    // the persisted probe is value-identical to the fused chain
+    // (deterministic kernels, lossless parquet round-trip)
+    "dedup_incremental_persisted" -> incrementalOracleSql(
+      "n.doc_id >= 1000000", "c.doc_id < 1000000"),
+
+    // appended docs move to the STANDING side of the band join
+    // (injected ids are 1000000 + multiples of 10 → % 20 ∈ {0, 10})
+    "dedup_incremental_append" -> incrementalOracleSql(
+      "n.doc_id >= 1000000 AND n.doc_id % 20 = 10",
+      "(c.doc_id < 1000000 OR c.doc_id % 20 = 0)"),
+
+    // tombstoned docs leave the standing side
+    "dedup_incremental_delete" -> incrementalOracleSql(
+      "n.doc_id >= 1000000",
+      "c.doc_id < 1000000 AND NOT (c.doc_id % 20 = 0)"),
 
     "dedup_span_exact" ->
       s"""WITH spans AS (

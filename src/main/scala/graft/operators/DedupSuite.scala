@@ -722,6 +722,65 @@ object DedupSuite {
   private[graft] val SubstringScheme = graft.sources.SegmentStore.Scheme(
     "hashes.parquet", "hash_appends.parquet", "hashes_v", "hash_appends_v")
 
+  /** The PERSISTED MinHash band index — dedup_incremental's standing
+    * index made a living store (the doc-level twin of the substring
+    * hash index below, riding the same SegmentStore discipline):
+    * (doc_id, band, bucket) rows, hot buckets gated at WRITE time so
+    * probes never pay the occupancy window, batchId-keyed appends as
+    * the committed corpus grows, doc_id tombstones for
+    * right-to-be-forgotten (a deleted document must stop shadowing new
+    * arrivals as their `dup_of`), manifest-committed compactions.
+    */
+  private[graft] val BandScheme = graft.sources.SegmentStore.Scheme(
+    "bands.parquet", "band_appends.parquet", "bands_v", "band_appends_v",
+    "band_deletes.parquet", "band_deletes_v")
+
+  /** A save is a FULL rebuild: the store resets to generation 0.
+    * `bands` is a [[minhashBands]] frame; the hot-bucket gate runs
+    * here (write time) so every future probe is join-only.
+    */
+  private[graft] def bandIndexSave(bands: DataFrame, dir: String): Unit = {
+    gateHotBuckets(bands, Seq("band", "bucket"))
+      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+    graft.sources.SegmentStore.reset(bands.sparkSession, dir, BandScheme)
+  }
+
+  /** Grow the standing band index at cost ∝ batch (hash + band only
+    * the arriving documents; the standing rows are never read). The
+    * write-time gate bounds the SEGMENT's buckets; compaction
+    * re-gates across segment boundaries. Same replay contract as
+    * every append here: idempotent per batchId, refused at or below
+    * the compaction watermark.
+    */
+  private[graft] def bandIndexAppend(bands: DataFrame, dir: String,
+      batchId: Long): Boolean =
+    graft.sources.SegmentStore.append(bands.sparkSession, dir, BandScheme,
+      gateHotBuckets(bands, Seq("band", "bucket")), Seq.empty, batchId)
+
+  /** Tombstone documents out of the standing index (GDPR: a removed
+    * document must stop appearing as anyone's `dup_of`); purged
+    * physically at the next compaction.
+    */
+  private[graft] def bandIndexDelete(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String, batchId: Long): Boolean =
+    graft.sources.SegmentStore.appendDeletes(spark, dir, BandScheme,
+      ids.select(col(idCol).as("doc_id")).distinct(), batchId)
+
+  /** Reader view: base ∪ committed segments − tombstoned doc_ids. */
+  private[graft] def bandIndexLoad(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.SegmentStore.load(spark, dir, BandScheme,
+      deleteKeys = Seq("doc_id"))(_.select("doc_id", "band", "bucket"))
+
+  /** Fold segments (and purge tombstones) into a new base generation;
+    * the fold re-applies the hot-bucket gate so occupancy that only
+    * crossed the cap ACROSS segments is caught.
+    */
+  private[graft] def bandIndexCompact(spark: SparkSession, dir: String,
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
+    graft.sources.SegmentStore.compact(spark, dir, BandScheme,
+      gateHotBuckets(bandIndexLoad(spark, dir), Seq("band", "bucket")),
+      Seq.empty, crashBeforeCommit, retain)
+
   /** The distinct w-token window hashes of a document frame — the
     * 8-byte column every standing-index write shapes.
     */

@@ -456,6 +456,70 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === bulk)
   }
 
+  test("stream_ivf_cdc survives a torn-batch kill/restart with BOTH channels in flight") {
+    // the CDC stream's crash story end-to-end: a micro-batch lands its
+    // append segment AND its tombstone segment, then dies before the
+    // offset commit; the restart replays the batch — appends overwrite
+    // their own segment, tombstones overwrite theirs, and the served
+    // state equals the uninterrupted bulk twin
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_cdc_torn_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val ins = e.filter(col("vec_id") % 7 === 3)
+      .select(lit("c").as("op"), col("vec_id"), col("embedding"))
+    val dels = e.filter(col("vec_id") % 13 === 2)
+      .select(lit("d").as("op"), col("vec_id"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val feed = Scratch.dir("ivf_cdc_torn_feed")
+    ins.unionByName(dels).repartition(4).write.mode("overwrite").parquet(feed)
+    val cp = Scratch.dir("ivf_cdc_torn_cp")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(injectCrash: Boolean): Unit = {
+      val q = spark.readStream.schema(ins.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val up = df.filter(col("op").isin("c", "u")).select("vec_id", "embedding")
+          val del = df.filter(col("op") === "d").select("vec_id")
+          if (!up.isEmpty)
+            graft.api.Graft.ivfAppend(spark, dir, up, "vec_id", "embedding", batchId)
+          if (!del.isEmpty)
+            graft.api.Graft.ivfDelete(spark, dir, del, "vec_id", batchId)
+          // die AFTER both landings, BEFORE the offset commit
+          if (injectCrash && batchId == 2 && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected torn-batch crash")
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch {
+        case ex: org.apache.spark.sql.streaming.StreamingQueryException
+            if injectCrash && ex.getMessage.contains("injected torn-batch crash") => ()
+      }
+    }
+    run(injectCrash = true)
+    assert(crashed.get, "the injected crash never fired — batch 2 was not reached")
+    run(injectCrash = false)
+    val loaded = AnnSuite.ivfLoad(spark, dir).assigned
+    assert(loaded.groupBy("cand_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count() === 0L,
+      "the replay duplicated index rows")
+    assert(loaded.filter(col("cand_id") % 13 === 2).count() === 0L,
+      "a deleted id survived the replayed stream")
+    assert(loaded.count() ===
+      e.count() - e.filter(col("vec_id") % 13 === 2).count())
+    val served = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, dir),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    val bulkTwin = graft.streaming.CdcStream.queries("stream_ivf_cdc")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(served === bulkTwin)
+  }
+
   test("carried attributes survive save/load/append/compact; the filter pushes to the scan") {
     val e = Tables.embeddings(spark, sf)
     val dir = Scratch.dir("ivf_carry_spec")
