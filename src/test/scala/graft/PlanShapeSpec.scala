@@ -178,6 +178,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges <= 3, s"ann_pq: $exchanges exchanges in the serving plan\n$p")
   }
 
+  test("tombstone masking is a broadcast anti-join on the serving path, never a shuffle") {
+    // The delete channel's scale contract: tombstones are
+    // delete-traffic-sized, so masking them out of a serve must
+    // broadcast the tombstone set against the corpus-sized scan — a
+    // shuffled anti-join would move the whole index to mask a handful
+    // of ids. Pinned on both the IVF serve and the quantized serve.
+    for (name <- Seq("ann_ivf_delete", "ann_ivfpq_delete")) {
+      val p = plan(name)
+      val anti = p.linesIterator.filter(_.contains("LeftAnti")).mkString("\n")
+      assert(anti.nonEmpty, s"$name: no anti-join in the masked serving plan\n$p")
+      assert(anti.contains("BroadcastHashJoin"),
+        s"$name: the tombstone anti-join is not broadcast:\n$anti\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+    }
+  }
+
   test("ivfpq serving prunes code partitions dynamically and stays narrow") {
     // The IVFADC serving contract: the persisted codes are
     // cell-partitioned and a query batch must read ONLY its probed
