@@ -60,7 +60,13 @@ object Bench {
     // read none of the other PQ shapes cover) — and its DELETE leg,
     // serving through the tombstone broadcast anti-join (the masked
     // hot path a GDPR-compliant deployment actually runs)
-    "ann_ivfpq_append", "ann_ivfpq_delete")
+    "ann_ivfpq_append", "ann_ivfpq_delete",
+    // round-15: the operate-the-index additions — the quantized drift
+    // gate (two full IVFADC builds + a shared exact-truth grade, the
+    // retrain pricing pass a deployment schedules) and the living-store
+    // reconciliation sweep (tag-union parity + channel/segment audits
+    // over two persisted stores)
+    "ann_ivfpq_drift", "recon_index")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.

@@ -679,6 +679,28 @@ object Graft {
   def ivfLoad(spark: SparkSession, dir: String): graft.operators.AnnSuite.IvfIndex =
     graft.operators.AnnSuite.ivfLoad(spark, dir)
 
+  /** LAST-WRITE-WINS reader view of a persisted IVF index — the
+    * CDC-upsert read path (the reference sink's insert-mode=upsert /
+    * LSN discipline): per cand_id the highest-batchId append-segment
+    * row wins over the base and over any earlier tombstone, so a
+    * feed routing `c`/`u` envelope ops through [[ivfAppend]] and `d`
+    * ops through [[ivfDelete]] serves an index where an update of a
+    * live id supersedes instead of duplicating and a delete stops
+    * being terminal (a later re-insert wins; batchId ties go to the
+    * tombstone). One op per id per batch — collapse the envelope
+    * upstream (cdcApplyLatest) first. Winner selection runs on the
+    * delta only; the base pays one broadcast anti-join.
+    */
+  def ivfLoadLww(spark: SparkSession, dir: String): graft.operators.AnnSuite.IvfIndex =
+    graft.operators.AnnSuite.ivfLoadLww(spark, dir)
+
+  /** Fold the LWW reader view into the next generation — the upsert
+    * store's compaction ([[ivfLoadLww]]'s semantics made physical;
+    * use [[ivfCompact]] only for terminal-delete stores).
+    */
+  def ivfUpsertCompact(spark: SparkSession, dir: String, retain: Int = 1): Boolean =
+    graft.operators.AnnSuite.ivfUpsertCompact(spark, dir, retain = retain)
+
   /** Incremental IVF maintenance: assign an arriving batch at a
     * persisted index's FIXED centroids and land it as a batchId-keyed
     * cell-partitioned segment — queries then see old + new corpus with
@@ -751,8 +773,12 @@ object Graft {
     * applies. Equal to a fresh [[ivfBuild]]+[[ivfSave]] over the live
     * corpus — but without ivfSave's reset window, during which a
     * concurrent reader would observe a half-written base.
+    *
+    * `k` defaults to the persisted index's own geometry (its centroid
+    * count); pass a positive value only to deliberately re-cluster at
+    * a new nlist.
     */
-  def ivfRetrain(spark: SparkSession, dir: String, k: Int = 10,
+  def ivfRetrain(spark: SparkSession, dir: String, k: Int = -1,
       retain: Int = 1): Boolean =
     graft.operators.AnnSuite.ivfRetrain(spark, dir, k, retain = retain)
 

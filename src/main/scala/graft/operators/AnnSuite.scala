@@ -339,7 +339,14 @@ object AnnSuite {
     */
   private[graft] val CodesScheme = graft.sources.SegmentStore.Scheme(
     "codes.parquet", "codes_appends.parquet", "codes_v", "codes_appends_v",
-    "codes_deletes.parquet", "codes_deletes_v")
+    "codes_deletes.parquet", "codes_deletes_v", "codes_purged.parquet")
+
+  /** The code store's sidecar families ([[ivfPqRetrain]]'s versioned
+    * centroids/book/flags) — every compaction passes these so a torn
+    * retrain's orphans are scrubbed before any manifest commit.
+    */
+  private[graft] val PqSidecarPrefixes =
+    Seq("centroids_v", "book_v", "flags_v")
 
   /** Persist a trained PQ index — build-once-serve-many across
     * sessions, the [[ivfSave]] twin. Codes partition by `cell` when
@@ -623,7 +630,9 @@ object AnnSuite {
       crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
       pqLoad(spark, dir, pqCarryOf(spark, dir)).codes, Seq("cell"),
-      crashBeforeCommit, retain)
+      crashBeforeCommit, retain,
+      sidecarPrefixes = PqSidecarPrefixes, deleteKeys = Seq("cand_id"),
+      recordPurged = true)
 
   /** ZERO-DOWNTIME REINDEX of the QUANTIZED index — [[ivfRetrain]]'s
     * twin for the store a 100 TB deployment actually serves. Codes are
@@ -643,6 +652,15 @@ object AnnSuite {
     * applies. Deterministic build ⇒ the swapped index equals a fresh
     * [[ivfPqBuild]] over the live corpus — `ann_ivfpq_retrain`'s
     * oracle is the plain full-corpus IVFADC chain.
+    *
+    * Deletion contract: the retrain anti-joins BOTH the current
+    * generation's tombstones and the store's cumulative purged-key
+    * record ([[graft.sources.SegmentStore.purged]], written by every
+    * `recordPurged` compaction) — so `corpus` may be the raw lake
+    * frame even when it still carries rows whose purge already
+    * completed. Rows deleted from the LAKE itself before this call
+    * are naturally absent; rows deleted only in the index are masked
+    * here.
     */
   private[graft] def ivfPqRetrain(spark: SparkSession, dir: String,
       corpus: DataFrame, idCol: String, embCol: String,
@@ -655,10 +673,17 @@ object AnnSuite {
     val carry = pqCarryOf(spark, dir)
     val src0 = corpus.select((col(idCol).as("vec_id") +:
       col(embCol).as("embedding") +: carry.map(col)): _*)
-    val src = graft.sources.SegmentStore.deletes(spark, dir, CodesScheme)
-      .map(t => src0.join(broadcast(t.select("cand_id")),
-        src0("vec_id") === col("cand_id"), "left_anti"))
-      .getOrElse(src0)
+    // mask BOTH the current generation's tombstones AND the cumulative
+    // purged-key record: the caller's corpus frame is the LAKE table,
+    // which may still carry rows an earlier ivfPqCompact physically
+    // purged (channel cleared) — without the purged list the rebuild
+    // would quietly undo a completed right-to-be-forgotten purge.
+    val masks = graft.sources.SegmentStore.deletes(spark, dir, CodesScheme).toSeq ++
+      graft.sources.SegmentStore.purged(spark, dir, CodesScheme).toSeq
+    val src = masks.foldLeft(src0) { (acc, t) =>
+      val m = t.select("cand_id")
+      acc.join(broadcast(m), acc("vec_id") === m("cand_id"), "left_anti")
+    }
     val idx = ivfPqBuild(src, "vec_id", "embedding", kCoarse, m, dsub, ksub,
       residual, carry = carry)
     val lowestRetained = graft.sources.SegmentStore
@@ -668,6 +693,8 @@ object AnnSuite {
     graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
       idx.pq.codes, Seq("cell"), crashBeforeCommit, retain,
       requireSegments = false,
+      sidecarPrefixes = PqSidecarPrefixes, deleteKeys = Seq("cand_id"),
+      recordPurged = true,
       beforeCommit = next => {
         idx.centroids.write.mode("overwrite")
           .parquet(s"$dir/centroids_v$next.parquet")
@@ -875,18 +902,26 @@ object AnnSuite {
     * Single-writer discipline with append/compact applies.
     */
   private[graft] def ivfRetrain(spark: SparkSession, dir: String,
-      k: Int, crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean = {
+      k: Int = -1, crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean = {
+    // k defaults to the PERSISTED index's geometry (the centroid-table
+    // row count) — a caller re-clustering for drift keeps the nlist it
+    // built with unless it explicitly asks for a new one; a hardcoded
+    // numeric default silently re-clustered at the wrong geometry.
+    val kEff =
+      if (k > 0) k
+      else spark.read.parquet(ivfCentroidsPath(spark, dir)).count().toInt
     val carry = ivfCarryOf(spark, dir)
     val view = ivfLoad(spark, dir, carry).assigned
       .select((col("cand_id").as("vec_id") +: col("ce2").as("embedding") +:
         carry.map(col)): _*)
-    val idx = ivfBuild(view, "vec_id", "embedding", k, carry)
+    val idx = ivfBuild(view, "vec_id", "embedding", kEff, carry)
     val lowestRetained = resolveLayout(spark, dir).gen + 1 - retain
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     graft.sources.SegmentStore.compact(spark, dir, IvfScheme,
       idx.assigned, Seq("cell"), crashBeforeCommit, retain,
       requireSegments = false,
+      sidecarPrefixes = IvfSidecarPrefixes, deleteKeys = Seq("cand_id"),
       beforeCommit = next => idx.centroids.write.mode("overwrite")
         .parquet(s"$dir/centroids_v$next.parquet"),
       onRetire = g => {
@@ -908,6 +943,12 @@ object AnnSuite {
     */
   private[graft] val IvfScheme = graft.sources.SegmentStore.Scheme(
     "assigned.parquet", "appends.parquet", "assigned_v", "appends_v")
+
+  /** The IVF store's sidecar families ([[ivfRetrain]]'s versioned
+    * centroid tables) — every compaction passes these so a torn
+    * retrain's orphans are scrubbed before any manifest commit.
+    */
+  private[graft] val IvfSidecarPrefixes = Seq("centroids_v")
 
   /** Resolve the index's CURRENT layout (base, appends, generation,
     * folded-batchId watermark) — see [[graft.sources.SegmentStore]]
@@ -935,7 +976,8 @@ object AnnSuite {
       crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, IvfScheme,
       ivfLoad(spark, dir, carry = ivfCarryOf(spark, dir)).assigned,
-      Seq("cell"), crashBeforeCommit, retain)
+      Seq("cell"), crashBeforeCommit, retain,
+      sidecarPrefixes = IvfSidecarPrefixes, deleteKeys = Seq("cand_id"))
 
   /** The ATTRIBUTE columns a persisted index carries beyond the core
     * (cand_id, cell, ce2) triple — read from the base's parquet schema
@@ -965,6 +1007,46 @@ object AnnSuite {
         _.withColumn("cell", col("cell").cast("long"))
           .select((Seq("cand_id", "cell", "ce2") ++ carry).map(col): _*)),
       spark.read.parquet(ivfCentroidsPath(spark, dir)))
+
+  /** LAST-WRITE-WINS reader view of a persisted IVF index —
+    * [[ivfLoad]]'s CDC-UPSERT twin (the reference sink's
+    * insert-mode=upsert / LSN discipline): per cand_id the
+    * highest-batchId append-segment row wins over the base and over
+    * any EARLIER tombstone, so routing envelope `c` and `u` ops
+    * through [[ivfAppend]] and `d` ops through [[ivfDelete]] yields an
+    * index where an update of a live id SUPERSEDES instead of
+    * duplicating, and a delete is no longer terminal (a later
+    * re-insert revives the id). Within one batch an id must carry at
+    * most one op — collapse the envelope per key upstream
+    * (cdc_apply_latest) — and on an insert/delete batchId TIE the
+    * tombstone wins. Scale shape is [[graft.sources.SegmentStore
+    * .loadLww]]'s: winner selection runs on the delta only; the
+    * corpus-sized base pays one broadcast anti-join of the touched
+    * ids. Compact through [[ivfUpsertCompact]], which folds the LWW
+    * view (NOT the terminal-delete view) into the next generation.
+    */
+  private[graft] def ivfLoadLww(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): IvfIndex =
+    IvfIndex(
+      graft.sources.SegmentStore.loadLww(spark, dir, IvfScheme,
+        Seq("cand_id"))(
+        _.withColumn("cell", col("cell").cast("long"))
+          .select((Seq("cand_id", "cell", "ce2") ++ carry).map(col): _*)),
+      spark.read.parquet(ivfCentroidsPath(spark, dir)))
+
+  /** Fold the LWW reader view into the next generation — the upsert
+    * store's compaction. Passes NO deleteKeys: under last-write-wins
+    * an unmatched tombstone must NOT carry across the fold (an insert
+    * arriving after the compaction has a higher batchId than the
+    * folded tombstone and legitimately wins), the exact opposite of
+    * the terminal-delete stores' carry-forward.
+    */
+  private[graft] def ivfUpsertCompact(spark: SparkSession, dir: String,
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
+    graft.sources.SegmentStore.compact(spark, dir, IvfScheme,
+      ivfLoadLww(spark, dir, carry = ivfCarryOf(spark, dir)).assigned,
+      Seq("cell"), crashBeforeCommit, retain,
+      sidecarPrefixes = IvfSidecarPrefixes)
 
   /** Tombstone a batch of vector ids out of a persisted IVF index —
     * see [[ivfPqDelete]] (the same delete channel on the assignments
@@ -1031,6 +1113,85 @@ object AnnSuite {
     graft.sources.SegmentStore.append(spark, dir, IvfScheme,
       ivfAssignBatch(spark, dir, batch, idCol, embCol, carry),
       Seq("cell"), batchId)
+
+  /** OPERATIONAL RECONCILIATION of a living index store — the
+    * reference's recon discipline (ref: src/reconciliation/
+    * strategies/row_count.py:1, referential checks) pointed at the
+    * engine's own segment stores: the specs prove exactly-once per
+    * operation, but a 100 TB deployment also needs the cheap SCHEDULED
+    * pass that catches what slips anyway (a lost segment, a
+    * double-landed batch, a tombstone for a key that never arrived).
+    * One tag-union + group-by over served keys ∪ corpus ids (the
+    * skew-immune recon_referential shape — single shuffle, scalar out)
+    * yields duplicate-key / parity counts; the delete channel and the
+    * segment listing are delta-sized side reads. Emitted invariants:
+    *   - `served_rows`, `dup_keys`     — duplicate cand_ids in the
+    *     reader view (a double-fold or replayed-past-the-watermark
+    *     landing; must be 0 on a healthy terminal-delete store);
+    *   - `missing_from_index` / `foreign_in_index` — index-vs-corpus
+    *     row parity (missing = corpus rows the view lacks, e.g.
+    *     legitimate deletes; foreign = served ids the corpus lacks);
+    *   - `orphan_tombstones`           — current-channel tombstones
+    *     matching no standing row (a delete waiting for its insert, or
+    *     one that will never come);
+    *   - `append_segments`, `stale_segments`, `watermark` — segment
+    *     listing vs manifest consistency (a committed segment at or
+    *     below the folded watermark should not exist: the fold retired
+    *     it, so its presence means a torn retire or a foreign writer).
+    */
+  private[graft] def reconIndexStore(spark: SparkSession, dir: String,
+      scheme: graft.sources.SegmentStore.Scheme, store: String,
+      served: DataFrame, corpusIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    val lay = graft.sources.SegmentStore.resolve(spark, dir, scheme)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val apPath = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
+    val segIds: Seq[Long] =
+      if (!fs.exists(apPath)) Seq.empty
+      else fs.listStatus(apPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .flatMap(_.stripPrefix("batch_id=").toLongOption)
+    // ONE pass over served keys ∪ corpus ids: per-key (index rows,
+    // corpus rows) → the dup/parity scalars
+    val tagged = served.select(col("cand_id"),
+        lit(1L).as("ni"), lit(0L).as("nc"))
+      .unionByName(corpusIds.select(col("vec_id").as("cand_id"),
+        lit(0L).as("ni"), lit(1L).as("nc")))
+    val scalars = tagged.groupBy(col("cand_id"))
+      .agg(sum(col("ni")).as("ni"), sum(col("nc")).as("nc"))
+      .agg(
+        sum(col("ni")).as("served_rows"),
+        sum(when(col("ni") > 1, 1L).otherwise(0L)).as("dup_keys"),
+        sum(when(col("ni") === 0 && col("nc") > 0, 1L).otherwise(0L))
+          .as("missing_from_index"),
+        sum(when(col("ni") > 0 && col("nc") === 0, 1L).otherwise(0L))
+          .as("foreign_in_index"))
+      .head()
+    val orphans = graft.sources.SegmentStore.deletes(spark, dir, scheme)
+      .map { t =>
+        val standing = {
+          val b = spark.read.parquet(s"$dir/${lay.base}").select("cand_id")
+          if (fs.exists(apPath))
+            b.unionByName(spark.read.parquet(apPath.toString).select("cand_id"))
+          else b
+        }
+        t.select("cand_id").distinct()
+          .join(standing, Seq("cand_id"), "left_anti").count()
+      }
+      .getOrElse(0L)
+    Seq(
+      ("append_segments", segIds.size.toLong),
+      ("dup_keys", scalars.getAs[Long]("dup_keys")),
+      ("foreign_in_index", scalars.getAs[Long]("foreign_in_index")),
+      ("missing_from_index", scalars.getAs[Long]("missing_from_index")),
+      ("orphan_tombstones", orphans),
+      ("served_rows", scalars.getAs[Long]("served_rows")),
+      ("stale_segments", segIds.count(_ <= lay.folded).toLong),
+      ("watermark", lay.folded))
+      .toDF("invariant", "value")
+      .select(lit(store).as("store"), col("invariant"), col("value"))
+  }
 
   /** Sample-trained flat-PQ serve (the 100 TB training economics —
     * see [[pqTrain]]'s sampleMod doc): codebook from the 1/sampleMod
@@ -1221,7 +1382,12 @@ object AnnSuite {
     // swaps in). One shared truth pass; both legs the deterministic
     // kernels, so the drift delta is engine-exact and hash-checked —
     // a deployment reruns this on a query sample and retrains when
-    // the stale row's recall drops below its bar.
+    // the stale row's recall drops below its bar. The 100 TB read: the
+    // STALE leg serves from the PERSISTED standing index (ivfLoad — no
+    // corpus re-assign; the full-corpus kmeansAssign below mirrors, at
+    // bench SFs, exactly what that index's base + append segments
+    // already hold), and only the RETRAINED leg pays a build — priced
+    // once, on the corpus the reindex would cover.
     "ann_ivf_drift" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d)
@@ -1494,6 +1660,110 @@ object AnnSuite {
       ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
         .orderBy("query_id", "rk")
+    },
+
+    // The QUANTIZED when-to-retrain gate — ann_ivf_drift's twin for
+    // the store a deployment actually serves (IVFADC), where the
+    // CODEBOOK goes stale along with the coarse centroids: recall@3
+    // against the exact L2 truth for the STALE serving state (coarse
+    // cells + codebook trained on the base rows, the FULL corpus
+    // assigned and encoded at those frozen parameters — exactly what
+    // ann_ivfpq_append serves as the corpus grows past the build) vs
+    // the RETRAINED state (fresh full-corpus build — exactly what
+    // ivfPqRetrain swaps in). One shared truth pass grades both legs;
+    // everything rides the deterministic kernels, so the drift delta
+    // is engine-exact and hash-checked. This number is what pulls the
+    // ivfPqRetrain trigger: rerun on a query sample, retrain when the
+    // stale row drops below the bar. At 100 TB both legs serve from
+    // persisted state — the stale leg IS the standing index
+    // (ivfPqLoad, no corpus re-encode; the full-corpus encode here
+    // mirrors what its append segments already hold), and the
+    // retrained leg prices the reindex before committing to it.
+    "ann_ivfpq_drift" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queriesDf = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val truth = graft.api.Graft.rankedByGroup(
+          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+            .withColumn("d_e6", floor(expr(
+              """aggregate(zip_with(qe, ce,
+                |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+              * 1e6 + 0.5).cast("long"))
+            .select(col("query_id"), col("d_e6"), col("cand_id")),
+          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+        .filter(col("rn") <= 3)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+      def recallOf(idx: IvfPqIndex, variant: String): DataFrame = {
+        val got = ivfPqQuery(idx, queriesDf, "query_id", "embedding",
+            IvfNProbe, topK = 3)
+          .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+        truth.join(got, Seq("query_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
+          .select(lit(variant).as("variant"), col("n_truth"), col("hits"),
+            floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
+              .cast("long").as("recall_e6"))
+      }
+      val sIdx = ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16)
+      val sCents = sIdx.centroids.localCheckpoint()
+      val assignedFull = kmeansAssign(e, sCents)
+        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+      val codesFull = pqEncode(assignedFull, sIdx.pq.book, m = 8, dsub = 8,
+        carry = Seq("cell"))
+      val stale = IvfPqIndex(sCents, PqIndex(sIdx.pq.book, codesFull, 8, 8))
+      val fresh = ivfPqBuild(e, "vec_id", "embedding", IvfK,
+        m = 8, dsub = 8, ksub = 16)
+      recallOf(stale, "stale")
+        .unionByName(recallOf(fresh, "retrained"))
+        .orderBy("variant")
+    },
+
+    // The scheduled reconciliation pass over the LIVING STORES
+    // ([[reconIndexStore]]) — run against one deliberately-damaged IVF
+    // store and one healthy IVFADC code store, so the entry proves
+    // both that every fault class is caught AND that a clean store
+    // reads clean. Faults injected (the real crash shapes): a
+    // double-landed batch slice (the same rows under two batchIds —
+    // what a replay past a LOST watermark would do) and tombstones for
+    // ids that never arrived (delete-before-insert traffic). A
+    // deployment runs exactly this on a cadence and alerts on any
+    // non-zero dup/foreign/stale row.
+    "recon_index" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val held = e.filter(col("vec_id") % 7 === 3)
+      val dirA = graft.sources.Scratch.stable(
+        "recon_index_ivf/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK), dirA)
+      ivfAppend(s, dirA, held, "vec_id", "embedding", batchId = 0L)
+      // fault 1: a slice of batch 0 lands AGAIN under a fresh batchId
+      ivfAppend(s, dirA, held.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", batchId = 1L)
+      // fault 2: tombstones for real ids (% 13 = 2) AND for ids that
+      // never existed (orphans — vec_id + 1000000)
+      ivfDelete(s, dirA,
+        e.filter(col("vec_id") % 13 === 2).select("vec_id")
+          .unionByName(e.filter(col("vec_id") % 17 === 4)
+            .select((col("vec_id") + 1000000L).as("vec_id"))),
+        "vec_id", batchId = 2L)
+      val dirB = graft.sources.Scratch.stable(
+        "recon_index_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16), dirB)
+      ivfPqAppend(s, dirB, held, "vec_id", "embedding", batchId = 0L)
+      reconIndexStore(s, dirA, IvfScheme, "ivf",
+          ivfLoad(s, dirA).assigned, e)
+        .unionByName(reconIndexStore(s, dirB, CodesScheme, "ivfpq",
+          pqLoad(s, dirB).codes, e))
+        .orderBy("store", "invariant")
     },
 
     // attribute-FILTERED IVFADC — ann_ivf_filtered's twin on the
@@ -1804,11 +2074,18 @@ object AnnSuite {
 
     // The sampled-training QUALITY curve — recall@3 of the ADC top-3
     // against the exact full-vector L2 truth, at training rates
-    // 1/1, 1/2, 1/16 (one row per rate): the measured evidence that a
-    // corpus-scale codebook can train on a sample. One truth pass
-    // (localCheckpointed) grades all three legs; each leg retrains its
-    // own codebook (that is the thing under test) but encodes the full
-    // corpus. All legs deterministic → the whole table is hash-checked.
+    // 1/1, 1/2, 1/16, 1/256 (one row per rate): the measured evidence
+    // that a corpus-scale codebook can train on a sample — and where
+    // the cliff is. One truth pass (localCheckpointed) grades all
+    // legs; each leg retrains its own codebook (that is the thing
+    // under test) but encodes the full corpus. All legs deterministic
+    // → the whole table is hash-checked. The rate is only meaningful
+    // relative to corpus size: a rate whose SAMPLE falls under ksub
+    // rows trains a degenerate book (sf0.01's 1/16 ≈ 26 rows is past
+    // the cliff; 1/256 needs ≥ sf1 — the committed curve at sf0.1/sf1
+    // lives in bench/pq_sampled_curve.json, where the three cheap
+    // rates separate cleanly). The 100 TB read: pick the rate by
+    // target SAMPLE SIZE (≥ ~100 × ksub rows), not by a fixed divisor.
     "ann_pq_sampled_recall" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -1830,7 +2107,7 @@ object AnnSuite {
         .localCheckpoint()
       val queriesDf = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val legs = Seq(1, 2, 16).map { mod =>
+      val legs = Seq(1, 2, 16, 256).map { mod =>
         val book = pqTrain(e, m = 8, dsub = 8, ksub = 16, sampleMod = mod)
         val got = pqQuery(
             PqIndex(book, pqEncode(e, book, m = 8, dsub = 8), 8, 8),
@@ -2102,11 +2379,16 @@ object AnnSuite {
     * score (training and probes are untouched): `NOT (cand_id …)`
     * mirrors tombstone deletes, an attribute predicate (`label = …`)
     * mirrors filtered search — both operate on the a1 columns
-    * (cand_id, cell, label).
+    * (cand_id, cell, label). `serveBase` swaps the frame the serve-side
+    * assignment/probes cover (default the raw corpus `e`): an
+    * LWW-upserted index serves the corpus's FINAL state — updated
+    * vectors superseding, deleted ids absent — which `extraCtes`
+    * defines as a (vec_id, label, embedding) CTE derived from `e`.
     */
-  private def ivfOracleSql(basePred: String, servePred: String = "TRUE"): String =
+  private def ivfOracleSql(basePred: String, servePred: String = "TRUE",
+      serveBase: String = "e", extraCtes: String = ""): String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-       |eb AS (SELECT vec_id, label, embedding FROM e WHERE $basePred),
+       |${extraCtes}eb AS (SELECT vec_id, label, embedding FROM e WHERE $basePred),
        |seeds AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM eb
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
@@ -2131,7 +2413,7 @@ object AnnSuite {
        |d1 AS (
        |  SELECT e.vec_id, c.cid, e.label, e.embedding,
        |    ${oracleDist("c.ce")} AS dist
-       |  FROM e, cents c),
+       |  FROM $serveBase e, cents c),
        |a1 AS (
        |  SELECT vec_id AS cand_id, cid AS cell, label, embedding AS ce2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -2163,6 +2445,31 @@ object AnnSuite {
     */
   private[graft] lazy val IvfCdcOracleSql: String =
     ivfOracleSql("vec_id % 7 <> 3", "NOT (cand_id % 13 = 2)")
+
+  /** The LWW CDC-UPSERT index's oracle (stream_ivf_upsert): the index
+    * builds on the base rows, then one envelope stream UPDATES live
+    * base ids (vec_id % 5 = 1 — vector reversed), INSERTS the held-out
+    * rows (% 7 = 3) and DELETES a disjoint base slice (% 13 = 2); under
+    * last-write-wins the served corpus is exactly the FINAL state per
+    * id, so the serve side of the plain chain runs over `fin` — the
+    * corpus with updates applied and deletes absent — while training
+    * stays on the base rows the build saw. Every id carries exactly one
+    * op, so the final state is independent of batch assignment (the
+    * ORDERED multi-op-per-id algebra is IvfPersistSpec's LWW case).
+    */
+  private[graft] lazy val IvfUpsertOracleSql: String = ivfOracleSql(
+    basePred = "vec_id % 7 <> 3",
+    serveBase = "fin",
+    extraCtes =
+      s"""fin AS (
+         |  SELECT vec_id, label,
+         |    CASE WHEN vec_id % 7 <> 3 AND vec_id % 5 = 1
+         |         THEN list_transform(range(1, len(embedding) + 1),
+         |                i -> embedding[len(embedding) + 1 - i])
+         |         ELSE embedding END AS embedding
+         |  FROM e
+         |  WHERE NOT (vec_id % 13 = 2 AND vec_id % 5 <> 1 AND vec_id % 7 <> 3)),
+         |""".stripMargin)
 
   /** The quantized CDC twin (stream_ivfpq_cdc): the IVFADC
     * build-then-append chain (both trainings on the base rows) with
@@ -2344,6 +2651,108 @@ object AnnSuite {
          |UNION ALL
          |${leg("retrained", "f_")}
          |) u ORDER BY variant""".stripMargin
+    },
+
+    "ann_ivfpq_drift" -> {
+      // two complete IVFADC chains in one WITH list — stale trains
+      // coarse cells AND codebook on the base rows (<prefix>iv_ /
+      // <prefix>pq_), retrained on everything; both encode/serve the
+      // full corpus; one exact-L2 truth grades both
+      def adcLeg(p: String, ivp: String, trainBase: String): String =
+        s"""${pqCodesSql(trainBase, "e", p)},
+           |${p}dt AS (
+           |  SELECT q.query_id, c.j, c.slot,
+           |    CAST(FLOOR(${pqSubDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+           |  FROM q, ${p}slots c),
+           |${p}sc2 AS (
+           |  SELECT dt.query_id, cd.vec_id AS cand_id,
+           |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
+           |  FROM ${p}codes cd JOIN ${p}dt dt ON dt.j = cd.j AND dt.slot = cd.slot
+           |  WHERE dt.query_id <> cd.vec_id
+           |  GROUP BY dt.query_id, cd.vec_id),
+           |${p}got AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT s.query_id, s.cand_id,
+           |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+           |                         ORDER BY s.adist_e6, s.cand_id) AS rk
+           |    FROM ${p}sc2 s
+           |    JOIN ${ivp}a1 a ON a.cand_id = s.cand_id
+           |    JOIN ${ivp}probes pb ON pb.query_id = s.query_id
+           |                        AND pb.cell = a.cell) t
+           |  WHERE rk <= 3)""".stripMargin
+      def leg(variant: String, p: String): String =
+        s"""SELECT '$variant' AS variant,
+           |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_e6
+           |FROM truth t LEFT JOIN ${p}got g
+           |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
+         |${ivfCellChainSql("vec_id % 7 <> 3", "siv_")},
+         |${ivfCellChainSql("TRUE", "fiv_")},
+         |${adcLeg("spq_", "siv_", "siv_eb")},
+         |${adcLeg("fpq_", "fiv_", "e")},
+         |tdist AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY d_e6, cand_id) AS rk
+         |    FROM tdist) t WHERE rk <= 3)
+         |SELECT * FROM (
+         |${leg("stale", "spq_")}
+         |UNION ALL
+         |${leg("retrained", "fpq_")}
+         |) u ORDER BY variant""".stripMargin
+    },
+
+    "recon_index" -> {
+      // the fixture's construction, replayed arithmetically: the IVF
+      // store double-lands the % 3 = 0 slice of the held-out batch and
+      // tombstones % 13 = 2 (real) plus % 17 = 4 (+1000000, orphans);
+      // the code store is clean. Segment counts / watermark are
+      // construction constants (2 appends + 1 delete batch, never
+      // compacted)
+      s"""WITH e AS (SELECT vec_id FROM embeddings),
+         |iv AS (
+         |  SELECT 'append_segments' AS invariant, CAST(2 AS BIGINT) AS value
+         |  UNION ALL SELECT 'dup_keys',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+         |     WHERE vec_id % 7 = 3 AND vec_id % 3 = 0 AND NOT vec_id % 13 = 2)
+         |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'missing_from_index',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % 13 = 2)
+         |  UNION ALL SELECT 'orphan_tombstones',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % 17 = 4)
+         |  UNION ALL SELECT 'served_rows',
+         |    CAST((SELECT COUNT(*) FROM e WHERE NOT vec_id % 13 = 2)
+         |      + (SELECT COUNT(*) FROM e
+         |         WHERE vec_id % 7 = 3 AND vec_id % 3 = 0
+         |           AND NOT vec_id % 13 = 2) AS BIGINT)
+         |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT)),
+         |pq AS (
+         |  SELECT 'append_segments' AS invariant, CAST(1 AS BIGINT) AS value
+         |  UNION ALL SELECT 'dup_keys', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'missing_from_index', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'orphan_tombstones', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'served_rows',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
+         |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT))
+         |SELECT * FROM (
+         |  SELECT 'ivf' AS store, invariant, value FROM iv
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS store, invariant, value FROM pq) u
+         |ORDER BY store, invariant""".stripMargin
     },
 
     "ann_tune" -> {
@@ -2703,9 +3112,11 @@ object AnnSuite {
          |    FROM tdist) t WHERE rk <= 3),
          |${modChain(1, "m1_")},
          |${modChain(2, "m2_")},
-         |${modChain(16, "m16_")}
+         |${modChain(16, "m16_")},
+         |${modChain(256, "m256_")}
          |SELECT * FROM (
-         |${Seq(legSql(1, "m1_"), legSql(2, "m2_"), legSql(16, "m16_"))
+         |${Seq(legSql(1, "m1_"), legSql(2, "m2_"), legSql(16, "m16_"),
+              legSql(256, "m256_"))
             .mkString("\nUNION ALL\n")}
          |) u ORDER BY sample_mod""".stripMargin
     },

@@ -29,7 +29,7 @@ object CurationSuite {
     * source of truth for the fused, persisted, appended, and
     * tombstoned variants (only the band-join predicates move).
     */
-  private def incrementalOracleSql(newPred: String, standingPred: String): String =
+  private[graft] def incrementalOracleSql(newPred: String, standingPred: String): String =
     s"""WITH docs AS (
        |  SELECT doc_id, str_split(lower(text), ' ') AS ws FROM (${DedupSuite.CorpusSql}) c),
        |sh AS (
@@ -65,7 +65,7 @@ object CurationSuite {
     * sets (candidates only — the pairwise work the band join already
     * bounded) and keep exact-Jaccard >= 0.7.
     */
-  private def verifyCands(cands: DataFrame, sh: DataFrame): DataFrame =
+  private[graft] def verifyCands(cands: DataFrame, sh: DataFrame): DataFrame =
     cands
       .join(sh.withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("shingles", "sh_n"), "new_id")

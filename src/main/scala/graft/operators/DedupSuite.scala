@@ -779,7 +779,7 @@ object DedupSuite {
       crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
     graft.sources.SegmentStore.compact(spark, dir, BandScheme,
       gateHotBuckets(bandIndexLoad(spark, dir), Seq("band", "bucket")),
-      Seq.empty, crashBeforeCommit, retain)
+      Seq.empty, crashBeforeCommit, retain, deleteKeys = Seq("doc_id"))
 
   /** The distinct w-token window hashes of a document frame — the
     * 8-byte column every standing-index write shapes.

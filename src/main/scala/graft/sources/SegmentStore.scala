@@ -41,7 +41,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     are bounded by the delete traffic between compactions, never
   *     corpus-sized), and a compaction PURGES them physically (the
   *     folded base is the reader view, which already excludes them;
-  *     the new generation starts with an empty delete channel).
+  *     the new generation's delete channel holds only the CARRIED
+  *     tombstones — keys that matched no row yet, kept so a delete
+  *     that preceded its insert still kills the row when it lands
+  *     after the fold — see [[compact]]).
   *     Delete-wins semantics: a tombstoned key is masked no matter
   *     which segment carries it or in which order the batches landed —
   *     re-inserting a deleted key is out of contract (keys are unique
@@ -50,7 +53,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     rules, and the watermark is what stops RESURRECTION: an
   *     append-batch replay arriving after a compaction folded both the
   *     batch and a later delete of its rows is refused, so the deleted
-  *     rows cannot ride back in through the replay;
+  *     rows cannot ride back in through the replay. Stores whose keys
+  *     legitimately UPDATE in place read through [[loadLww]] instead —
+  *     last op per key wins by batchId, and deletes stop being
+  *     terminal;
   *   - readers and the compactor are isolated by GENERATION RETENTION:
   *     committing generation n+1 retires generation n−1, never n, so
   *     an in-flight reader that resolved the pre-compaction layout
@@ -70,7 +76,8 @@ object SegmentStore {
     */
   case class Scheme(base0: String, appends0: String,
       vBase: String, vAppends: String,
-      deletes0: String = "deletes.parquet", vDeletes: String = "deletes_v") {
+      deletes0: String = "deletes.parquet", vDeletes: String = "deletes_v",
+      purged0: String = "purged.parquet") {
     def baseOf(gen: Int): String = if (gen == 0) base0 else s"$vBase$gen.parquet"
     def appendsOf(gen: Int): String =
       if (gen == 0) appends0 else s"$vAppends$gen.parquet"
@@ -170,6 +177,20 @@ object SegmentStore {
     else None
   }
 
+  /** The store's CUMULATIVE purged-key list, if any — every tombstone
+    * key a `recordPurged` compaction ever folded (commit-versioned
+    * append-only dirs; see [[compact]]). The durable
+    * right-to-be-forgotten record: a rebuild from a source frame that
+    * still carries deleted rows anti-joins this.
+    */
+  def purged(spark: SparkSession, dir: String, scheme: Scheme)
+      : Option[DataFrame] = {
+    val pp = new org.apache.hadoop.fs.Path(s"$dir/${scheme.purged0}")
+    if (fileSystem(spark, dir).exists(pp))
+      Some(spark.read.parquet(pp.toString).drop("commit").distinct())
+    else None
+  }
+
   /** Base ∪ committed segments, both passed through `normalize`
     * (column selection / partition-value type restoration). The union
     * preserves each leg's partition layout, so partition-column
@@ -201,6 +222,80 @@ object SegmentStore {
     }
   }
 
+  /** LAST-WRITE-WINS reader view — the reference CDC sink's
+    * insert-mode=upsert discipline (ref: docker/configs/kafka-connect/
+    * postgresql-sink.json:1, last write by LSN wins per key) applied
+    * to a segment store: per `keyCols` key, the row from the
+    * HIGHEST-batchId append segment wins; the base counts as batchId
+    * −∞ (any segment row supersedes it); a tombstone batch masks the
+    * key only while no LATER append re-inserts it. So `op ∈ {c, u}`
+    * both land as plain [[append]]s — an update of a live id
+    * SUPERSEDES instead of duplicating — and a delete is no longer
+    * terminal: the last op per key wins, exactly the semantics a CDC
+    * feed of (op, key, row) envelopes needs. Within one batchId a key
+    * must appear in at most ONE channel with ONE row (collapse the
+    * envelope per key first — cdc_apply_latest — as foreachBatch gives
+    * no intra-batch order); on an insert and a tombstone TYING at the
+    * same batchId the tombstone wins (matches the terminal-delete
+    * stores' delete-wins tie rule).
+    *
+    * Plan shape at scale: the winner computation runs on the DELTA
+    * only (segments + tombstones, bounded by the traffic between
+    * compactions — two small groupBys); the corpus-sized base pays
+    * exactly one BROADCAST anti-join of the touched keys, the same
+    * price as [[load]]'s tombstone mask. Partition layout of both
+    * union legs is preserved, so partition-column pruning (e.g. the
+    * IVF cell probes) holds.
+    */
+  def loadLww(spark: SparkSession, dir: String, scheme: Scheme,
+      keyCols: Seq[String])(normalize: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, max}
+    require(keyCols.nonEmpty, "loadLww requires the store's key columns")
+    val lay = resolve(spark, dir, scheme)
+    val fs = fileSystem(spark, dir)
+    val base = normalize(spark.read.parquet(s"$dir/${lay.base}"))
+    val ap = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
+    val dp = new org.apache.hadoop.fs.Path(s"$dir/${scheme.deletesOf(lay.gen)}")
+    if (!fs.exists(ap) && !fs.exists(dp)) return base
+    val ks = keyCols.map(col)
+    // batch_id is the segment dirs' partition column; delta-sized legs
+    val segs =
+      if (fs.exists(ap))
+        Some(spark.read.parquet(ap.toString)
+          .withColumn("__b", col("batch_id").cast("long")))
+      else None
+    val maxIns = segs.map(_.groupBy(ks: _*).agg(max("__b").as("__bi")))
+    val maxDel =
+      if (fs.exists(dp))
+        Some(spark.read.parquet(dp.toString)
+          .withColumn("__b", col("batch_id").cast("long"))
+          .groupBy(ks: _*).agg(max("__b").as("__bd")))
+      else None
+    val status = (maxIns, maxDel) match {
+      case (Some(i), Some(d)) => i.join(d, keyCols, "full_outer")
+      case (Some(i), None) => i.withColumn("__bd",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+      case (None, Some(d)) => d.withColumn("__bi",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+      case (None, None) => return base // unreachable (guarded above)
+    }
+    // every touched key leaves the base; the winning insert rows of the
+    // delta re-enter. Ties (__bi = __bd) go to the tombstone.
+    val touched = status.select(ks: _*)
+    val winners = status
+      .filter(col("__bi").isNotNull &&
+        (col("__bd").isNull || col("__bi") > col("__bd")))
+      .select((ks :+ col("__bi").as("__b")): _*)
+    val masked = base.join(broadcast(touched), keyCols, "left_anti")
+    segs match {
+      case Some(sg) =>
+        val winRows = sg.join(broadcast(winners), keyCols :+ "__b")
+          .drop("__b", "batch_id")
+        masked.unionByName(normalize(winRows))
+      case None => masked
+    }
+  }
+
   /** Fold base ∪ committed segments into generation gen+1 with
     * crash-safe land-then-swap (see object doc). `folded` must be the
     * frame to land — callers pass their reader-side union so fold ≡
@@ -219,15 +314,50 @@ object SegmentStore {
     * SIDECARS (e.g. a retrain's new centroids) inside the atomic
     * window — after the folded base, before the manifest, so a torn
     * run leaves them invisible; `onRetire(gen)` runs per retired
-    * generation for the caller's sidecar GC.
+    * generation for the caller's sidecar GC. `sidecarPrefixes` names
+    * the store's sidecar families (`<prefix><gen>.parquet`): before
+    * the manifest commit, any `<prefix><next>` file THIS run's
+    * `beforeCommit` did not just write is deleted — without this, a
+    * torn RETRAIN's orphaned sidecars would become visible through a
+    * later plain compaction's manifest and serve a mixed-generation
+    * pair (new centroids/book against a base folded at the old
+    * parameters).
+    *
+    * Tombstone handling at the fold is semantics-dependent:
+    *   - TERMINAL-delete stores pass `deleteKeys`: tombstones whose
+    *     key matched NO row in base ∪ appends are CARRIED FORWARD into
+    *     the new generation's delete channel (a delete that arrived
+    *     before its insert — the CDC delete-before-row ordering — must
+    *     still kill the row when it lands after the compaction;
+    *     without the carry, the fold would consume the tombstone with
+    *     no effect and the later append would resurrect the key).
+    *     Tombstones that DID remove rows are purged with the channel.
+    *     The carried set is bounded by the store's never-matched
+    *     delete traffic, never corpus-sized.
+    *   - LWW stores ([[loadLww]]) pass `deleteKeys = Nil`: a later
+    *     insert legitimately supersedes an earlier tombstone, so an
+    *     unmatched tombstone must NOT outlive the fold (the arriving
+    *     insert's batchId is above the watermark, hence newer).
+    * `recordPurged` (requires `deleteKeys`) additionally appends the
+    * folding tombstones' keys to a CUMULATIVE `purged.parquet` list
+    * ([[purged]]) — the durable right-to-be-forgotten record a
+    * from-source rebuild ([[graft.operators.AnnSuite.ivfPqRetrain]])
+    * anti-joins so a completed purge survives retraining from a lake
+    * frame that still carries the deleted rows. Append-only, bounded
+    * by lifetime delete traffic.
     */
   def compact(spark: SparkSession, dir: String, scheme: Scheme,
       folded: => DataFrame, partitionCols: Seq[String],
       crashBeforeCommit: Boolean = false, retain: Int = 1,
       requireSegments: Boolean = true,
       beforeCommit: Int => Unit = _ => (),
-      onRetire: Int => Unit = _ => ()): Boolean = {
+      onRetire: Int => Unit = _ => (),
+      sidecarPrefixes: Seq[String] = Nil,
+      deleteKeys: Seq[String] = Nil,
+      recordPurged: Boolean = false): Boolean = {
     require(retain >= 1, s"retain must be >= 1 (got $retain)")
+    require(!recordPurged || deleteKeys.nonEmpty,
+      "recordPurged requires deleteKeys (the tombstone key columns)")
     val lay = resolve(spark, dir, scheme)
     val fs = fileSystem(spark, dir)
     val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
@@ -250,6 +380,36 @@ object SegmentStore {
     val w = folded.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/${scheme.baseOf(next)}")
+    // 2. clear generation-<next> leftovers a TORN prior attempt (plain
+    //    compact, retrain, or carry-forward) may have orphaned: the
+    //    delete channel dir and every sidecar family's <next> version.
+    //    Runs BEFORE beforeCommit/carry-forward so this run's own
+    //    landings survive; committing the manifest below would
+    //    otherwise make any stale orphan visible as generation state.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.deletesOf(next)}"), true)
+    sidecarPrefixes.foreach { pre =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$pre$next.parquet"), true)
+    }
+    // 3. tombstone disposition (terminal-delete stores only — see doc)
+    if (deleteKeys.nonEmpty && fs.exists(deletesPath)) {
+      val keyCols = deleteKeys.map(org.apache.spark.sql.functions.col)
+      val tombs = spark.read.parquet(deletesPath.toString)
+        .select(keyCols: _*).distinct()
+      val standing = {
+        val b = spark.read.parquet(s"$dir/${lay.base}").select(keyCols: _*)
+        if (fs.exists(appendsPath))
+          b.unionByName(
+            spark.read.parquet(appendsPath.toString).select(keyCols: _*))
+        else b
+      }
+      val carried = tombs.join(standing, deleteKeys, "left_anti")
+      if (carried.count() > 0)
+        carried.write.mode("overwrite").parquet(
+          s"$dir/${scheme.deletesOf(next)}/batch_id=$newFolded")
+      if (recordPurged)
+        tombs.write.mode("overwrite")
+          .parquet(s"$dir/${scheme.purged0}/commit=$next")
+    }
     beforeCommit(next)
     if (crashBeforeCommit) return false
     // 2. commit the generation (readers switch at their next resolve)
@@ -286,7 +446,7 @@ object SegmentStore {
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (n == scheme.appends0 || n == scheme.deletes0 ||
-        n.startsWith("MANIFEST-") ||
+        n == scheme.purged0 || n.startsWith("MANIFEST-") ||
         n.startsWith(scheme.vBase) || n.startsWith(scheme.vAppends) ||
         n.startsWith(scheme.vDeletes))
         fs.delete(st.getPath, true)

@@ -1074,8 +1074,12 @@ object CdcStream {
     * centroids and its deletes masked at serve time) checks the
     * streamed path end-to-end. Deletes are TERMINAL per id
     * (right-to-be-forgotten): a CDC key that re-inserts after a
-    * delete is out of contract for this index (collapse upstream with
-    * cdc_apply_latest first if keys can resurrect).
+    * delete is out of contract for this index, and so is a `u` of an
+    * id the index ALREADY serves (it would land a second row for the
+    * same cand_id) — feeds where live keys update or resurrect must
+    * either be collapsed upstream with cdc_apply_latest or drive the
+    * LWW twin [[ivfUpsertStream]], whose read path makes the last op
+    * per id win.
     *
     * Crash story: both channels are idempotent per batchId (segment
     * overwrite) and watermark-guarded across compactions — the shared
@@ -1123,6 +1127,73 @@ object CdcStream {
       AnnSuite.IvfNProbe, 3)
   }
 
+  /** The LWW CDC-UPSERT living index — [[ivfCdcStream]] with the
+    * single most common CDC event the terminal-delete twin declares
+    * out of contract: an UPDATE of an id the index already serves
+    * (the reference sink's whole discipline is last-write-wins upsert
+    * by LSN — ref: docker/configs/kafka-connect/postgresql-sink.json:1
+    * insert.mode=upsert). `c` and `u` ops both land as plain
+    * fixed-centroid appends (Graft.ivfAppend — cost ∝ batch), `d` ops
+    * tombstone; the LWW is entirely at READ time:
+    * [[graft.operators.AnnSuite.ivfLoadLww]] serves, per cand_id, the
+    * highest-batchId row — an update SUPERSEDES the base row instead
+    * of duplicating it, and a delete stops being terminal (a later
+    * re-insert wins). The fixture updates LIVE base ids (% 5 = 1,
+    * vector reversed), inserts the held-out rows (% 7 = 3) and
+    * deletes a disjoint base slice (% 13 = 2): each id carries exactly
+    * one op, so the final state is batch-order-independent and the
+    * batch-side oracle (the plain chain serving the corpus's FINAL
+    * state) checks the streamed path end-to-end; the ordered
+    * multi-op-per-id algebra — u-after-u, re-insert-after-delete,
+    * torn-batch replay — is IvfPersistSpec's LWW case. Queries probe
+    * with the served corpus's own final vectors (a deployment queries
+    * the state it serves).
+    */
+  def ivfUpsertStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnSuite
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val idxDir = Scratch.stable(
+      "stream_ivf_upsert/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), idxDir)
+    val ups = e.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 5 === 1)
+      .select(lit("u").as("op"), col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val ins = e.filter(col("vec_id") % 7 === 3)
+      .select(lit("c").as("op"), col("vec_id"), col("embedding"))
+    val dels = e.filter(col("vec_id") % 13 === 2 &&
+        col("vec_id") % 5 =!= 1 && col("vec_id") % 7 =!= 3)
+      .select(lit("d").as("op"), col("vec_id"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val feed = Scratch.dir("stream_ivf_upsert_feed")
+    ups.unionByName(ins).unionByName(dels)
+      .repartition(4).write.mode("overwrite").parquet(feed)
+    val qname = "ivf_upsert_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(ups.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val up = df.filter(col("op").isin("c", "u"))
+          .select("vec_id", "embedding")
+        val del = df.filter(col("op") === "d").select("vec_id")
+        if (!up.isEmpty)
+          graft.api.Graft.ivfAppend(spark, idxDir, up, "vec_id", "embedding", batchId)
+        if (!del.isEmpty)
+          graft.api.Graft.ivfDelete(spark, idxDir, del, "vec_id", batchId)
+        ()
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_ivf_upsert", q)
+    val idx = AnnSuite.ivfLoadLww(spark, idxDir)
+    val queriesDf = idx.assigned.filter(col("cand_id") < 5)
+      .select(col("cand_id").as("vec_id"), col("ce2").as("embedding"))
+    AnnSuite.ivfQuery(idx, queriesDf, "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3)
+  }
+
   /** [[ivfCdcStream]]'s QUANTIZED twin: the same CDC envelope stream
     * maintains the persisted IVFADC index — c/u ops encode at the
     * fixed coarse centroids + fixed codebook (Graft.ivfPqAppend),
@@ -1167,6 +1238,74 @@ object CdcStream {
       e.filter(col("vec_id") < 5), "vec_id", "embedding",
       AnnSuite.IvfNProbe, topK = 5)
       .orderBy("query_id", "rk")
+  }
+
+  /** CDC maintenance for the BAND STORE — the third living store gets
+    * the same single entry point the two vector indexes have
+    * ([[ivfCdcStream]]'s shape on the MinHash band index): one
+    * envelope stream of (op, doc_id, shingles) rows drives
+    * bandIndexAppend for `c`/`u` ops (hash + band ONLY the batch —
+    * cost ∝ batch, write-time hot-bucket gate) and bandIndexDelete for
+    * `d` ops (GDPR: a tombstoned document stops appearing as anyone's
+    * dup_of the moment the tombstone lands). Delete-wins and terminal
+    * per doc_id, so batch ORDER is irrelevant to the final standing
+    * set — the fixture deletes a corpus slice (% 20 = 0) AND half of
+    * the very documents the stream itself appends (injected % 40 = 0,
+    * exercising delete-of-appended in either arrival order) — and the
+    * batch-side oracle (the incremental chain with standing =
+    * corpus − deleted ∪ appended − deleted) checks the streamed path
+    * end-to-end. Crash story: both channels idempotent per batchId,
+    * watermark-guarded (the shared SegmentStore contract the IVF
+    * specs kill-test).
+    */
+  def dedupCdcStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CurationSuite, DedupSuite}
+    org.apache.spark.sql.graft.Bridge.register(spark)
+    val sh = DedupSuite.shingleSets(spark, dir).localCheckpoint()
+    val idxDir = Scratch.stable(
+      "stream_dedup_cdc/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    DedupSuite.bandIndexSave(
+      DedupSuite.minhashBands(sh.filter(col("doc_id") < 1000000L)), idxDir)
+    val cOps = sh.filter(col("doc_id") >= 1000000L && col("doc_id") % 20 === 0)
+      .select(lit("c").as("op"), col("doc_id"), col("shingles"))
+    val dOps = sh.filter(
+        (col("doc_id") < 1000000L && col("doc_id") % 20 === 0) ||
+        (col("doc_id") >= 1000000L && col("doc_id") % 40 === 0))
+      .select(lit("d").as("op"), col("doc_id"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)).as("shingles"))
+    val feed = Scratch.dir("stream_dedup_cdc_feed")
+    cOps.unionByName(dOps).repartition(4).write.mode("overwrite").parquet(feed)
+    val qname = "dedup_cdc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(cOps.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val up = df.filter(col("op").isin("c", "u"))
+          .select("doc_id", "shingles")
+        val del = df.filter(col("op") === "d").select("doc_id")
+        if (!up.isEmpty)
+          DedupSuite.bandIndexAppend(DedupSuite.minhashBands(up), idxDir, batchId)
+        if (!del.isEmpty)
+          DedupSuite.bandIndexDelete(spark, idxDir, del, "doc_id", batchId)
+        ()
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_dedup_cdc", q)
+    // the arriving probe batch (injected % 20 = 10) against the
+    // CDC-maintained standing index — the dedup_incremental probe shape
+    val batchBands = DedupSuite.gateHotBuckets(
+      DedupSuite.minhashBands(sh.filter(
+        col("doc_id") >= 1000000L && col("doc_id") % 20 === 10)),
+      Seq("band", "bucket"))
+    val cands = batchBands.as("n")
+      .join(DedupSuite.bandIndexLoad(spark, idxDir).as("c"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+      .dropDuplicates("new_id", "dup_of")
+    CurationSuite.verifyCands(cands, sh)
   }
 
   /** Streaming twin of semantic dedup (`dedup_semantic`): arriving
@@ -1331,10 +1470,12 @@ object CdcStream {
     "stream_attribution" -> ((s, d) => attribution(s, d)),
     "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d)),
     "stream_ivf_cdc" -> ((s, d) => ivfCdcStream(s, d)),
+    "stream_ivf_upsert" -> ((s, d) => ivfUpsertStream(s, d)),
     "stream_ivfpq_cdc" -> ((s, d) => ivfPqCdcStream(s, d)),
     "stream_ivfpq_append" -> ((s, d) => ivfPqAppendStream(s, d)),
     "stream_dedup_semantic" -> ((s, d) => dedupSemanticStream(s, d)),
-    "stream_dedup_substring" -> ((s, d) => dedupSubstringStream(s, d))
+    "stream_dedup_substring" -> ((s, d) => dedupSubstringStream(s, d)),
+    "stream_dedup_cdc" -> ((s, d) => dedupCdcStream(s, d))
   )
 
   /** The streaming results must equal their batch formulations, so the
@@ -1422,6 +1563,15 @@ object CdcStream {
     // order (fixed-centroid assignment algebra + delete-wins): the
     // batch-side chain with inserts unioned and deletes masked
     "stream_ivf_cdc" -> graft.operators.AnnSuite.IvfCdcOracleSql,
+    "stream_ivf_upsert" -> graft.operators.AnnSuite.IvfUpsertOracleSql,
+    // standing = corpus − deleted (% 20 = 0) ∪ appended (injected
+    // % 20 = 0) − deleted-of-appended (% 40 = 0); probes are the
+    // injected % 20 = 10 batch
+    "stream_dedup_cdc" -> graft.operators.CurationSuite.incrementalOracleSql(
+      "n.doc_id >= 1000000 AND n.doc_id % 20 = 10",
+      """((c.doc_id < 1000000 AND NOT c.doc_id % 20 = 0)
+        | OR (c.doc_id >= 1000000 AND c.doc_id % 20 = 0
+        |     AND NOT c.doc_id % 40 = 0))""".stripMargin),
     // the quantized CDC twin: encode-at-fixed-parameters algebra +
     // delete-wins ⇒ the build-then-append IVFADC chain with the
     // stream's deletes masked checks the streamed path

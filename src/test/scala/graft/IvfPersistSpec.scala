@@ -655,4 +655,191 @@ class IvfPersistSpec extends SparkSpecBase {
     assert(partLine.contains("cell"),
       s"cell predicate did not become a partition filter:\n$p")
   }
+
+  test("a tombstone that precedes its insert is carried across compaction and still kills the row") {
+    // the CDC delete-before-row ordering ACROSS a fold: the tombstone
+    // lands, a compaction runs (consuming it with no effect), and the
+    // insert arrives afterwards with a batchId above the watermark.
+    // Without the carry-forward the fold would purge the tombstone and
+    // the append would resurrect a key the deployment already deleted.
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_carry_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val doomed = e.filter(col("vec_id") % 7 === 3 && col("vec_id") % 2 === 0)
+      .select("vec_id")
+    assert(doomed.count() > 0)
+    assert(AnnSuite.ivfDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+    // deletes-only compaction between the tombstone and its insert
+    assert(AnnSuite.ivfCompact(spark, dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes_v1.parquet")),
+      "unmatched tombstones must be carried into the new generation's channel")
+    // the insert finally arrives, above the fold's watermark
+    assert(AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 1L))
+    val loaded = AnnSuite.ivfLoad(spark, dir).assigned
+    assert(loaded.filter(col("cand_id") % 7 === 3 && col("cand_id") % 2 === 0)
+      .count() === 0L,
+      "a compaction between a tombstone and its insert resurrected the key")
+    assert(loaded.filter(col("cand_id") % 7 === 3).count() ===
+      e.filter(col("vec_id") % 7 === 3 && col("vec_id") % 2 =!= 0).count())
+    // the next compaction sees the carried tombstones matched by the
+    // appended rows: they purge with the channel, nothing re-carries
+    assert(AnnSuite.ivfCompact(spark, dir))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes_v2.parquet")),
+      "matched tombstones must purge at the fold, not carry forever")
+    val lay2 = AnnSuite.resolveLayout(spark, dir)
+    assert(lay2.gen === 2)
+    assert(spark.read.parquet(s"$dir/${lay2.base}")
+      .filter(col("cand_id") % 7 === 3 && col("cand_id") % 2 === 0)
+      .count() === 0L)
+  }
+
+  test("a torn retrain's orphaned sidecars never leak through a later plain compaction") {
+    // crash window: ivfRetrain lands centroids_v1 then dies before the
+    // manifest. A later ORDINARY compaction commits MANIFEST-1 — the
+    // orphan must be scrubbed first, or generation 1 would serve the
+    // retrained centroids against a base folded at the OLD geometry.
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_torn_retrain_orphan")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    assert(!AnnSuite.ivfRetrain(spark, dir, k = 3, crashBeforeCommit = true))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_v1.parquet")),
+      "fixture: the torn retrain should have landed an orphan sidecar")
+    // ordinary maintenance proceeds: one append, one plain compaction
+    assert(AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L))
+    assert(AnnSuite.ivfCompact(spark, dir))
+    assert(AnnSuite.resolveLayout(spark, dir).gen === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_v1.parquet")),
+      "the torn retrain's sidecar became visible as generation-1 state")
+    assert(AnnSuite.ivfCentroidsPath(spark, dir) === s"$dir/centroids.parquet",
+      "generation 1 must keep serving the build's centroids")
+    // and the serving pair is consistent: the compacted store answers
+    // exactly like a build-then-append store that never saw the crash
+    val twin = Scratch.dir("ivf_torn_retrain_twin")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), twin)
+    assert(AnnSuite.ivfAppend(spark, twin, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L))
+    def served(d: String) = AnnSuite.ivfQuery(AnnSuite.ivfLoad(spark, d),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, 3).collect().map(_.toString).toSeq
+    assert(served(dir) === served(twin))
+  }
+
+  test("ivfRetrain defaults to the persisted geometry, not a numeric constant") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_retrain_geom")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e, "vec_id", "embedding", k = 7), dir)
+    assert(graft.api.Graft.ivfRetrain(spark, dir)) // no k passed
+    val cents = spark.read
+      .parquet(AnnSuite.ivfCentroidsPath(spark, dir)).count()
+    assert(cents === 7L,
+      s"default-argument retrain re-clustered at the wrong geometry ($cents cells)")
+  }
+
+  test("LWW view: interleaved c/u/d with replay serves one row per id, last op wins") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("ivf_lww_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val xId = 1L // in the base (1 % 7 != 3)
+    val yId = 2L // in the base; deleted then re-inserted
+    val zId = 4L // in the base; insert/delete TIE at one batchId
+    def rowOf(id: Long, mutate: Boolean) = {
+      val r = e.filter(col("vec_id") === id).select("vec_id", "embedding")
+      if (mutate) r.withColumn("embedding", reverse(col("embedding"))) else r
+    }
+    // batch 0: u of X (reversed); batch 1: d of Y; batch 2: re-insert Y
+    // (reversed) AFTER its delete; batch 3: a SECOND u of X (back to
+    // the original vector — the last op must win, not the first)
+    assert(AnnSuite.ivfAppend(spark, dir, rowOf(xId, mutate = true),
+      "vec_id", "embedding", batchId = 0L))
+    assert(AnnSuite.ivfDelete(spark, dir,
+      rowOf(yId, mutate = false).select("vec_id"), "vec_id", batchId = 1L))
+    assert(AnnSuite.ivfAppend(spark, dir, rowOf(yId, mutate = true),
+      "vec_id", "embedding", batchId = 2L))
+    assert(AnnSuite.ivfAppend(spark, dir, rowOf(xId, mutate = false),
+      "vec_id", "embedding", batchId = 3L))
+    // torn-batch replay of batch 2: idempotent per-segment overwrite
+    assert(AnnSuite.ivfAppend(spark, dir, rowOf(yId, mutate = true),
+      "vec_id", "embedding", batchId = 2L))
+    // tie at batch 4: insert and tombstone of Z share the batchId —
+    // the tombstone wins (the terminal stores' delete-wins tie rule)
+    assert(AnnSuite.ivfAppend(spark, dir, rowOf(zId, mutate = true),
+      "vec_id", "embedding", batchId = 4L))
+    assert(AnnSuite.ivfDelete(spark, dir,
+      rowOf(zId, mutate = false).select("vec_id"), "vec_id", batchId = 4L))
+
+    def check(assigned: org.apache.spark.sql.DataFrame): Unit = {
+      assert(assigned.groupBy("cand_id").count()
+        .filter(col("count") > 1).count() === 0L,
+        "the LWW view served a duplicated cand_id")
+      val origX = e.filter(col("vec_id") === xId)
+        .select(col("embedding")).head.getSeq[Float](0)
+      assert(assigned.filter(col("cand_id") === xId)
+        .select("ce2").head.getSeq[Float](0) === origX,
+        "the LAST update of X did not win")
+      val revY = e.filter(col("vec_id") === yId)
+        .select(reverse(col("embedding"))).head.getSeq[Float](0)
+      assert(assigned.filter(col("cand_id") === yId)
+        .select("ce2").head.getSeq[Float](0) === revY,
+        "a re-insert after a delete must win under LWW")
+      assert(assigned.filter(col("cand_id") === zId).count() === 0L,
+        "an insert/tombstone tie must go to the tombstone")
+      assert(assigned.count() ===
+        e.filter(col("vec_id") % 7 =!= 3).count() - 1) // only Z is gone
+    }
+    check(AnnSuite.ivfLoadLww(spark, dir).assigned)
+    // the upsert compaction folds the LWW view (never the terminal
+    // view) and, being LWW, carries NO tombstones forward
+    assert(AnnSuite.ivfUpsertCompact(spark, dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes_v1.parquet")),
+      "an LWW fold must not carry tombstones (a later insert supersedes)")
+    check(AnnSuite.ivfLoadLww(spark, dir).assigned)
+    // and a post-fold re-insert of Z wins over the folded tombstone
+    assert(AnnSuite.ivfAppend(spark, dir, rowOf(zId, mutate = false),
+      "vec_id", "embedding", batchId = 5L))
+    assert(AnnSuite.ivfLoadLww(spark, dir).assigned
+      .filter(col("cand_id") === zId).count() === 1L,
+      "a post-compaction insert must supersede the folded tombstone")
+  }
+
+  test("stream_ivf_upsert: an update of a live id supersedes; the stream equals its bulk twin") {
+    val e = Tables.embeddings(spark, sf)
+    val streamed = graft.streaming.CdcStream.queries("stream_ivf_upsert")(spark, sf)
+      .collect().map(_.toString).toSeq
+    // bulk twin: same base build, ONE append of all c/u rows (updates
+    // carried with their mutated vectors), one tombstone batch
+    val dir = Scratch.dir("ivf_upsert_bulk_twin")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    val ups = e.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 5 === 1)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val ins = e.filter(col("vec_id") % 7 === 3).select("vec_id", "embedding")
+    AnnSuite.ivfAppend(spark, dir, ups.unionByName(ins),
+      "vec_id", "embedding", batchId = 0L)
+    AnnSuite.ivfDelete(spark, dir,
+      e.filter(col("vec_id") % 13 === 2 &&
+        col("vec_id") % 5 =!= 1 && col("vec_id") % 7 =!= 3).select("vec_id"),
+      "vec_id", batchId = 1L)
+    val idx = AnnSuite.ivfLoadLww(spark, dir)
+    // every updated id serves exactly one row, with the NEW vector
+    assert(idx.assigned.groupBy("cand_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    val bulk = AnnSuite.ivfQuery(idx,
+      idx.assigned.filter(col("cand_id") < 5)
+        .select(col("cand_id").as("vec_id"), col("ce2").as("embedding")),
+      "vec_id", "embedding", AnnSuite.IvfNProbe, 3)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === bulk)
+  }
 }

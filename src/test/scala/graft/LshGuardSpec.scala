@@ -53,6 +53,37 @@ class LshGuardSpec extends SparkSpecBase {
       s"fixture bucket $maxBucket exceeds the cap — oracle would diverge")
   }
 
+  test("bandIndexCompact re-gates across segment boundaries (eventual gating, by design)") {
+    // the ONE place a compaction is not served-set-preserving: the
+    // write-time gate bounds each SEGMENT's buckets, so a bucket
+    // crossing the cap only in the UNION is served pre-fold and
+    // dropped at the fold (it re-gates across segment boundaries).
+    // This is the deliberate trade documented in SURVEY §5: dropping
+    // reduces candidates, never fabricates pairs, and write-time
+    // gating keeps every PROBE join-only — the alternative (gating at
+    // load over the reader view) would put a bucket-occupancy window
+    // on the hot path of every probe.
+    val s = spark
+    import s.implicits._
+    val dir = graft.sources.Scratch.dir("band_gate_compact")
+    def mk(lo: Long, n: Int, bucket: String) =
+      (0 until n).map(i => (lo + i, 0, bucket)).toDF("doc_id", "band", "bucket")
+    // 2600 + 2600 rows of one bucket: each write is under the 4096 cap,
+    // the union is over it; a 10-row bucket rides along untouched
+    DedupSuite.bandIndexSave(
+      mk(0, 2600, "HOT").unionByName(mk(100000, 10, "ok")), dir)
+    assert(DedupSuite.bandIndexAppend(mk(10000, 2600, "HOT"), dir, batchId = 0L))
+    assert(DedupSuite.bandIndexLoad(spark, dir)
+      .filter(col("bucket") === "HOT").count() === 5200L,
+      "per-segment gating must serve a bucket that is only union-hot")
+    assert(DedupSuite.bandIndexCompact(spark, dir))
+    assert(DedupSuite.bandIndexLoad(spark, dir)
+      .filter(col("bucket") === "HOT").count() === 0L,
+      "the fold must re-gate across segment boundaries")
+    assert(DedupSuite.bandIndexLoad(spark, dir).count() === 10L,
+      "non-hot buckets must survive the fold untouched")
+  }
+
   test("minhashDupPairs cap bounds a poisoned corpus") {
     val s = spark
     import s.implicits._

@@ -189,6 +189,35 @@ class PqPersistSpec extends SparkSpecBase {
     assert(re.codes.count() === e.count())
   }
 
+  test("a completed purge survives an ivfPqRetrain driven from the raw lake frame") {
+    // right-to-be-forgotten durability: delete → compact (physical
+    // purge, channel cleared) → retrain from the LAKE corpus, which
+    // still carries the deleted rows. The cumulative purged record the
+    // compaction wrote must keep them out of the rebuilt codes —
+    // without it the retrain would quietly undo a completed purge.
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dir = Scratch.dir("pq_purge_retrain_spec")
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e, "vec_id", "embedding",
+      AnnSuite.IvfK, m, dsub, ksub), dir)
+    val doomed = e.filter(col("vec_id") % 11 === 5).select("vec_id")
+    assert(doomed.count() > 0)
+    assert(AnnSuite.ivfPqDelete(spark, dir, doomed, "vec_id", batchId = 0L))
+    assert(AnnSuite.ivfPqCompact(spark, dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/codes_deletes_v1.parquet")),
+      "matched tombstones must purge with the channel")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_purged.parquet")),
+      "the compaction must record the purged keys durably")
+    // the retrain's corpus is the RAW lake frame (deleted rows present)
+    assert(AnnSuite.ivfPqRetrain(spark, dir, e, "vec_id", "embedding"))
+    val codes = AnnSuite.pqLoad(spark, dir).codes
+    assert(codes.filter(col("cand_id") % 11 === 5).count() === 0L,
+      "the retrain re-indexed rows whose purge had completed")
+    assert(codes.count() === e.count() - doomed.count())
+  }
+
   test("IVFADC scores equal flat ADC on every candidate it scans (pruning changes coverage, not scores)") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id") < 5)
