@@ -194,6 +194,39 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("LWW view: the corpus-sized base pays one broadcast anti-join; winner joins broadcast") {
+    // loadLww's scale contract: winner selection (per-key max batchId
+    // over segments ∪ tombstones) runs on the DELTA only, and the
+    // corpus-sized base leg is touched by exactly one BROADCAST
+    // anti-join of the touched keys — a shuffled anti-join (or a
+    // window over base ∪ segments) would move the whole index to
+    // supersede a handful of updates. The winner row-join back into
+    // the segments is likewise broadcast (winners are delta-sized).
+    import graft.operators.AnnSuite
+    import graft.sources.{Scratch, Tables}
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val dir = Scratch.dir("lww_plan_spec")
+    AnnSuite.ivfSave(AnnSuite.ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK), dir)
+    AnnSuite.ivfAppend(spark, dir, e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", batchId = 0L)
+    AnnSuite.ivfDelete(spark, dir,
+      e.filter(col("vec_id") % 13 === 2).select("vec_id"), "vec_id", batchId = 1L)
+    val p = AnnSuite.ivfLoadLww(spark, dir).assigned.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).mkString("\n")
+    assert(anti.nonEmpty, s"LWW view: no anti-join masking the base\n$p")
+    assert(anti.contains("BroadcastHashJoin"),
+      s"LWW view: the touched-keys anti-join is not broadcast:\n$anti\n$p")
+    val inner = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("Inner"))
+      .mkString("\n")
+    assert(inner.nonEmpty,
+      s"LWW view: the winner row-join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "LWW view: cartesian product")
+  }
+
   test("ivfpq serving prunes code partitions dynamically and stays narrow") {
     // The IVFADC serving contract: the persisted codes are
     // cell-partitioned and a query batch must read ONLY its probed
