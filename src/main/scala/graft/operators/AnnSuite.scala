@@ -428,6 +428,49 @@ object AnnSuite {
     PqIndex(book, codes, m, dsub)
   }
 
+  /** LAST-WRITE-WINS reader view of a persisted code store —
+    * [[pqLoad]]'s CDC-UPSERT twin ([[ivfLoadLww]]'s quantized mirror):
+    * per cand_id the highest-batchId code segment wins over the base
+    * and over any earlier tombstone (ties to the tombstone), so `u`
+    * ops of LIVE ids encode+append (`ivfPqAppend`) and supersede the
+    * standing code row instead of duplicating it, and a delete stops
+    * being terminal. Same delta-only winner selection + one broadcast
+    * anti-join on the corpus-sized codes.
+    */
+  private[graft] def pqLoadLww(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): PqIndex = {
+    val (book, m, dsub) = pqBookLoad(spark, dir)
+    val codes = graft.sources.SegmentStore.loadLww(spark, dir, CodesScheme,
+      Seq("cand_id")) { df =>
+      val typed = if (df.columns.contains("cell"))
+        df.withColumn("cell", col("cell").cast("long")) else df
+      val core = if (typed.columns.contains("cell"))
+        Seq("cand_id", "codes", "cell") else Seq("cand_id", "codes")
+      typed.select((core ++ carry).map(col): _*)
+    }
+    PqIndex(book, codes, m, dsub)
+  }
+
+  /** [[ivfPqLoad]]'s LWW twin: the composed quantized index served
+    * with last-write-wins code rows (see [[pqLoadLww]]).
+    */
+  private[graft] def ivfPqLoadLww(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")),
+      pqLoadLww(spark, dir, carry), ivfPqResidualFlag(spark, dir))
+
+  /** Fold the quantized LWW reader view into the next generation —
+    * [[ivfUpsertCompact]]'s code-store twin. No tombstone carry and no
+    * purged record: under last-write-wins a later insert legitimately
+    * supersedes a folded tombstone (the terminal stores' GDPR
+    * machinery does not apply to CDC-replicated keys).
+    */
+  private[graft] def ivfPqUpsertCompact(spark: SparkSession, dir: String,
+      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean =
+    graft.sources.SegmentStore.compact(spark, dir, CodesScheme,
+      pqLoadLww(spark, dir, pqCarryOf(spark, dir)).codes, Seq("cell"),
+      crashBeforeCommit, retain, sidecarPrefixes = PqSidecarPrefixes)
+
   /** The ATTRIBUTE columns a persisted code table carries beyond the
     * core (cand_id, codes, cell) — read from the base's parquet schema
     * so maintenance (compaction, appends, retrains) preserves them
@@ -2197,7 +2240,8 @@ object AnnSuite {
     * list (the drift oracle compares them); `a1`/`pr` carry the row
     * vectors (`ce2`/`qe`) so consumers can exact-cosine re-rank.
     */
-  private def ivfCellChainSql(basePred: String, p: String = "iv_"): String =
+  private def ivfCellChainSql(basePred: String, p: String = "iv_",
+      serveBase: String = "e"): String =
     s"""${p}eb AS (SELECT vec_id, embedding FROM e WHERE $basePred),
        |${p}seeds AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM ${p}eb
@@ -2222,7 +2266,7 @@ object AnnSuite {
        |${p}d1 AS (
        |  SELECT e.vec_id, c.cid, e.embedding,
        |    ${oracleDist("c.ce")} AS dist
-       |  FROM e, ${p}cents c),
+       |  FROM $serveBase e, ${p}cents c),
        |${p}a1 AS (
        |  SELECT vec_id AS cand_id, cid AS cell, embedding AS ce2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -2486,6 +2530,46 @@ object AnnSuite {
        |  JOIN iv_a1 a ON a.cand_id = s.cand_id
        |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell
        |  WHERE NOT (s.cand_id % 13 = 2)) t
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** The quantized LWW upsert oracle (stream_ivfpq_upsert): coarse
+    * cells AND codebook train on the base rows (original vectors —
+    * the build predates the updates), but assignment, encoding, ADC
+    * and probes all run over `fin`, the corpus's FINAL per-id state
+    * (updates applied, deletes absent) — exactly what the LWW read of
+    * the maintained code store serves. Queries probe with fin's own
+    * vectors (a deployment queries the state it serves).
+    */
+  private[graft] lazy val IvfPqUpsertOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |fin AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 7 <> 3 AND vec_id % 5 = 1
+       |         THEN list_transform(range(1, len(embedding) + 1),
+       |                i -> embedding[len(embedding) + 1 - i])
+       |         ELSE embedding END AS embedding
+       |  FROM e
+       |  WHERE NOT (vec_id % 13 = 2 AND vec_id % 5 <> 1 AND vec_id % 7 <> 3)),
+       |${ivfCellChainSql("vec_id % 7 <> 3", serveBase = "fin")},
+       |${pqCodesSql("iv_eb", "fin", "")},
+       |q AS (SELECT vec_id AS query_id, embedding FROM fin WHERE vec_id < 5),
+       |dt AS (
+       |  SELECT q.query_id, c.j, c.slot,
+       |    CAST(FLOOR(${pqSubDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+       |  FROM q, slots c),
+       |sc2 AS (
+       |  SELECT dt.query_id, cd.vec_id AS cand_id,
+       |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
+       |  FROM codes cd JOIN dt ON dt.j = cd.j AND dt.slot = cd.slot
+       |  WHERE dt.query_id <> cd.vec_id
+       |  GROUP BY dt.query_id, cd.vec_id)
+       |SELECT query_id, cand_id, cell, adist_e6, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT s.query_id, s.cand_id, a.cell, s.adist_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |                       ORDER BY s.adist_e6, s.cand_id) AS rk
+       |  FROM sc2 s
+       |  JOIN iv_a1 a ON a.cand_id = s.cand_id
+       |  JOIN iv_probes p ON p.query_id = s.query_id AND p.cell = a.cell) t
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   private def oraclesBase: Map[String, String] = Map(

@@ -1194,6 +1194,70 @@ object CdcStream {
       AnnSuite.IvfNProbe, 3)
   }
 
+  /** [[ivfUpsertStream]]'s QUANTIZED twin — LWW upsert on the CODE
+    * store: the same envelope fixture (updates of live base ids with
+    * the vector reversed, inserts of held-out ids, deletes of a
+    * disjoint slice) maintains the persisted IVFADC index, with `c`/`u`
+    * ops encoding at the fixed coarse centroids + fixed codebook
+    * (Graft.ivfPqAppend) and the LWW read
+    * ([[graft.operators.AnnSuite.ivfPqLoadLww]]) serving one code row
+    * per cand_id — an update SUPERSEDES the standing encoding instead
+    * of landing a second one (the duplicate-in-top-k failure the
+    * terminal twin declares out of contract). Oracle: trainings on the
+    * base rows, assignment/encode/ADC/probes over the corpus's FINAL
+    * state.
+    */
+  def ivfPqUpsertStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnSuite
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val idxDir = Scratch.stable(
+      "stream_ivfpq_upsert/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK, m = 8, dsub = 8, ksub = 16), idxDir)
+    val ups = e.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 5 === 1)
+      .select(lit("u").as("op"), col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val ins = e.filter(col("vec_id") % 7 === 3)
+      .select(lit("c").as("op"), col("vec_id"), col("embedding"))
+    val dels = e.filter(col("vec_id") % 13 === 2 &&
+        col("vec_id") % 5 =!= 1 && col("vec_id") % 7 =!= 3)
+      .select(lit("d").as("op"), col("vec_id"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val feed = Scratch.dir("stream_ivfpq_upsert_feed")
+    ups.unionByName(ins).unionByName(dels)
+      .repartition(4).write.mode("overwrite").parquet(feed)
+    val qname = "ivfpq_upsert_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(ups.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val up = df.filter(col("op").isin("c", "u"))
+          .select("vec_id", "embedding")
+        val del = df.filter(col("op") === "d").select("vec_id")
+        if (!up.isEmpty)
+          graft.api.Graft.ivfPqAppend(spark, idxDir, up, "vec_id", "embedding", batchId)
+        if (!del.isEmpty)
+          graft.api.Graft.ivfPqDelete(spark, idxDir, del, "vec_id", batchId)
+        ()
+      }
+      .option("checkpointLocation", Scratch.dir(qname + "_cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    recordProgress("stream_ivfpq_upsert", q)
+    // the corpus's FINAL per-id state — queries probe what is served
+    val fin = e
+      .filter(!(col("vec_id") % 13 === 2 &&
+        col("vec_id") % 5 =!= 1 && col("vec_id") % 7 =!= 3))
+      .withColumn("embedding",
+        when(col("vec_id") % 7 =!= 3 && col("vec_id") % 5 === 1,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+    AnnSuite.ivfPqQuery(AnnSuite.ivfPqLoadLww(spark, idxDir),
+      fin.filter(col("vec_id") < 5), "vec_id", "embedding",
+      AnnSuite.IvfNProbe, topK = 5)
+      .orderBy("query_id", "rk")
+  }
+
   /** [[ivfCdcStream]]'s QUANTIZED twin: the same CDC envelope stream
     * maintains the persisted IVFADC index — c/u ops encode at the
     * fixed coarse centroids + fixed codebook (Graft.ivfPqAppend),
@@ -1471,6 +1535,7 @@ object CdcStream {
     "stream_ivf_append" -> ((s, d) => ivfAppendStream(s, d)),
     "stream_ivf_cdc" -> ((s, d) => ivfCdcStream(s, d)),
     "stream_ivf_upsert" -> ((s, d) => ivfUpsertStream(s, d)),
+    "stream_ivfpq_upsert" -> ((s, d) => ivfPqUpsertStream(s, d)),
     "stream_ivfpq_cdc" -> ((s, d) => ivfPqCdcStream(s, d)),
     "stream_ivfpq_append" -> ((s, d) => ivfPqAppendStream(s, d)),
     "stream_dedup_semantic" -> ((s, d) => dedupSemanticStream(s, d)),
@@ -1564,6 +1629,7 @@ object CdcStream {
     // batch-side chain with inserts unioned and deletes masked
     "stream_ivf_cdc" -> graft.operators.AnnSuite.IvfCdcOracleSql,
     "stream_ivf_upsert" -> graft.operators.AnnSuite.IvfUpsertOracleSql,
+    "stream_ivfpq_upsert" -> graft.operators.AnnSuite.IvfPqUpsertOracleSql,
     // standing = corpus − deleted (% 20 = 0) ∪ appended (injected
     // % 20 = 0) − deleted-of-appended (% 40 = 0); probes are the
     // injected % 20 = 10 batch

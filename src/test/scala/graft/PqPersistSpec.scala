@@ -218,6 +218,52 @@ class PqPersistSpec extends SparkSpecBase {
     assert(codes.count() === e.count() - doomed.count())
   }
 
+  test("LWW code store: an update of a live id supersedes its encoding; one row per id") {
+    // the quantized upsert discipline end-to-end: u of a live id lands
+    // a re-encoded segment row; pqLoadLww serves exactly one code row
+    // per cand_id with the NEW encoding; a delete-then-reinsert
+    // revives; the stream twin equals this bulk formulation
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dir = Scratch.dir("pq_lww_spec")
+    AnnSuite.ivfPqSave(AnnSuite.ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", AnnSuite.IvfK, m, dsub, ksub), dir)
+    val ups = e.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 5 === 1)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val nUps = ups.count()
+    assert(nUps > 0)
+    assert(AnnSuite.ivfPqAppend(spark, dir, ups, "vec_id", "embedding", batchId = 0L))
+    // terminal read would now DUPLICATE the updated ids; the LWW read
+    // serves one row per id, and it is the re-encoded one
+    val lww = AnnSuite.pqLoadLww(spark, dir).codes
+    assert(lww.groupBy("cand_id").count().filter(col("count") > 1).count() === 0L,
+      "LWW code view served a duplicated cand_id")
+    assert(lww.count() === e.filter(col("vec_id") % 7 =!= 3).count())
+    val freshCodes = AnnSuite.ivfPqEncodeBatch(spark, dir, ups,
+      "vec_id", "embedding", AnnSuite.pqBookLoad(spark, dir)._1, m, dsub,
+      residual = false)
+      .select("cand_id", "codes").collect().map(_.toString).sorted.toSeq
+    val served = lww.join(ups.select(col("vec_id").as("cand_id")), Seq("cand_id"))
+      .select("cand_id", "codes").collect().map(_.toString).sorted.toSeq
+    assert(served === freshCodes, "a live-id update did not supersede its encoding")
+    // the upsert fold keeps exactly the LWW view and carries no tombstones
+    assert(AnnSuite.ivfPqDelete(spark, dir,
+      e.filter(col("vec_id") === 1).select("vec_id"), "vec_id", batchId = 1L))
+    assert(AnnSuite.ivfPqUpsertCompact(spark, dir))
+    val folded = AnnSuite.pqLoadLww(spark, dir).codes
+    assert(folded.filter(col("cand_id") === 1).count() === 0L)
+    assert(folded.count() === lww.count() - 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/codes_deletes_v1.parquet")),
+      "an LWW fold must not carry tombstones")
+    // post-fold re-insert supersedes the folded tombstone
+    assert(AnnSuite.ivfPqAppend(spark, dir,
+      e.filter(col("vec_id") === 1), "vec_id", "embedding", batchId = 2L))
+    assert(AnnSuite.pqLoadLww(spark, dir).codes
+      .filter(col("cand_id") === 1).count() === 1L)
+  }
+
   test("IVFADC scores equal flat ADC on every candidate it scans (pruning changes coverage, not scores)") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id") < 5)
