@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -1181,10 +1181,25 @@ object AnnSuite {
     *     listing vs manifest consistency (a committed segment at or
     *     below the folded watermark should not exist: the fold retired
     *     it, so its presence means a torn retire or a foreign writer).
+    *
+    * `lww = true` audits a store read through [[ivfLoadLww]] instead:
+    * pass the LWW view as `served`. The same invariants apply at the
+    * VIEW level — dup_keys must still be 0 (raw segment rows
+    * legitimately duplicate a superseded key, but the winner selection
+    * serves one row per key unless a writer violated the one-row-per-
+    * key-per-batch contract, which is exactly what this detects — see
+    * [[graft.sources.SegmentStore.loadLww]]'s operating bounds), and a
+    * tombstone superseded by a later insert is NOT an orphan (the
+    * anti-join's standing side already carries the later insert's
+    * segment row). One invariant is added: `superseded_rows` = raw
+    * base+segment rows minus served rows — the compaction debt
+    * [[ivfUpsertCompact]] clears, and the growth observable that sizes
+    * a deployment's compaction cadence (bench/lww_cadence.json).
     */
   private[graft] def reconIndexStore(spark: SparkSession, dir: String,
       scheme: graft.sources.SegmentStore.Scheme, store: String,
-      served: DataFrame, corpusIds: DataFrame): DataFrame = {
+      served: DataFrame, corpusIds: DataFrame,
+      lww: Boolean = false): DataFrame = {
     import spark.implicits._
     val lay = graft.sources.SegmentStore.resolve(spark, dir, scheme)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1223,7 +1238,17 @@ object AnnSuite {
           .join(standing, Seq("cand_id"), "left_anti").count()
       }
       .getOrElse(0L)
-    Seq(
+    val extra =
+      if (!lww) Seq.empty[(String, Long)]
+      else {
+        val baseRows = spark.read.parquet(s"$dir/${lay.base}").count()
+        val segRows =
+          if (fs.exists(apPath)) spark.read.parquet(apPath.toString).count()
+          else 0L
+        Seq(("superseded_rows",
+          baseRows + segRows - scalars.getAs[Long]("served_rows")))
+      }
+    (Seq(
       ("append_segments", segIds.size.toLong),
       ("dup_keys", scalars.getAs[Long]("dup_keys")),
       ("foreign_in_index", scalars.getAs[Long]("foreign_in_index")),
@@ -1231,9 +1256,115 @@ object AnnSuite {
       ("orphan_tombstones", orphans),
       ("served_rows", scalars.getAs[Long]("served_rows")),
       ("stale_segments", segIds.count(_ <= lay.folded).toLong),
-      ("watermark", lay.folded))
+      ("watermark", lay.folded)) ++ extra)
       .toDF("invariant", "value")
       .select(lit(store).as("store"), col("invariant"), col("value"))
+  }
+
+  /** The scheduled reconciliation fixture `recon_index` and
+    * `recon_index_report` share: one deliberately-damaged IVF store
+    * (a double-landed batch slice + tombstones for real ids and for
+    * never-existed ids in the disjoint negative range) and one healthy
+    * IVFADC code store — both fault classes counted, the clean store
+    * reading clean. Returns the 16 (store, invariant, value) rows,
+    * unordered (callers sort).
+    */
+  private[graft] def reconIndexFixture(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val held = e.filter(col("vec_id") % 7 === 3)
+    val dirA = graft.sources.Scratch.stable(
+      "recon_index_ivf/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", IvfK), dirA)
+    ivfAppend(s, dirA, held, "vec_id", "embedding", batchId = 0L)
+    // fault 1: a slice of batch 0 lands AGAIN under a fresh batchId
+    ivfAppend(s, dirA, held.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", batchId = 1L)
+    // fault 2: tombstones for real ids (% 13 = 2) AND for ids that
+    // never existed (orphans — the NEGATIVE range, provably disjoint
+    // from real vec_ids at every SF; an additive offset would collide
+    // once the corpus reaches it and silently corrupt the counts)
+    ivfDelete(s, dirA,
+      e.filter(col("vec_id") % 13 === 2).select("vec_id")
+        .unionByName(e.filter(col("vec_id") % 17 === 4)
+          .select((-col("vec_id") - 1L).as("vec_id"))),
+      "vec_id", batchId = 2L)
+    val dirB = graft.sources.Scratch.stable(
+      "recon_index_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16), dirB)
+    ivfPqAppend(s, dirB, held, "vec_id", "embedding", batchId = 0L)
+    reconIndexStore(s, dirA, IvfScheme, "ivf",
+        ivfLoad(s, dirA).assigned, e)
+      .unionByName(reconIndexStore(s, dirB, CodesScheme, "ivfpq",
+        pqLoad(s, dirB).codes, e))
+  }
+
+  /** The held-out slice (% 7 = 3) displaced by a constant +0.5 on
+    * every dimension — the deterministic drift fixture the shifted
+    * gate entries and [[graft.tools.DriftCurve]] share. The offset is
+    * computed in doubles and cast back to FLOAT (IEEE-identical in
+    * DuckDB as CAST(... AS REAL)), so drifted chains stay hash-checked.
+    */
+  private[graft] def driftedCorpus(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      when(col("vec_id") % 7 === 3,
+        expr("transform(embedding, v -> CAST(CAST(v AS DOUBLE) + 0.5D AS FLOAT))"))
+        .otherwise(col("embedding")).as("embedding"))
+
+  /** Shared body of the quantized when-to-retrain gate
+    * (`ann_ivfpq_drift` / `ann_ivfpq_drift_shifted`): recall against
+    * the exact L2 truth for the STALE serving state (coarse cells +
+    * codebook trained on the %7≠3 base rows, full corpus encoded at
+    * those frozen parameters) vs the RETRAINED state (fresh full-corpus
+    * build). One shared truth pass grades both legs; everything rides
+    * the deterministic kernels, so the drift delta is engine-exact.
+    */
+  private[graft] def ivfPqDriftGate(e0: DataFrame, queryPred: Column,
+      topK: Int = 3): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val queriesDf = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val truth = graft.api.Graft.rankedByGroup(
+        c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+          .withColumn("d_e6", floor(expr(
+            """aggregate(zip_with(qe, ce,
+              |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+              |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+              |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+            * 1e6 + 0.5).cast("long"))
+          .select(col("query_id"), col("d_e6"), col("cand_id")),
+        Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
+      .filter(col("rn") <= topK)
+      .select("query_id", "cand_id")
+      .localCheckpoint()
+    def recallOf(idx: IvfPqIndex, variant: String): DataFrame = {
+      val got = ivfPqQuery(idx, queriesDf, "query_id", "embedding",
+          IvfNProbe, topK = topK)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
+      truth.join(got, Seq("query_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(lit(variant).as("variant"), col("n_truth"), col("hits"),
+          floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
+            .cast("long").as("recall_e6"))
+    }
+    val sIdx = ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16)
+    val sCents = sIdx.centroids.localCheckpoint()
+    val assignedFull = kmeansAssign(e, sCents)
+      .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+    val codesFull = pqEncode(assignedFull, sIdx.pq.book, m = 8, dsub = 8,
+      carry = Seq("cell"))
+    val stale = IvfPqIndex(sCents, PqIndex(sIdx.pq.book, codesFull, 8, 8))
+    val fresh = ivfPqBuild(e, "vec_id", "embedding", IvfK,
+      m = 8, dsub = 8, ksub = 16)
+    recallOf(stale, "stale")
+      .unionByName(recallOf(fresh, "retrained"))
+      .orderBy("variant")
   }
 
   /** Sample-trained flat-PQ serve (the 100 TB training economics —
@@ -1724,49 +1855,34 @@ object AnnSuite {
     // retrained leg prices the reindex before committing to it.
     "ann_ivfpq_drift" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val queriesDf = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      val truth = graft.api.Graft.rankedByGroup(
-          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-            .withColumn("d_e6", floor(expr(
-              """aggregate(zip_with(qe, ce,
-                |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-                |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-              * 1e6 + 0.5).cast("long"))
-            .select(col("query_id"), col("d_e6"), col("cand_id")),
-          Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
-        .filter(col("rn") <= 3)
-        .select("query_id", "cand_id")
-        .localCheckpoint()
-      def recallOf(idx: IvfPqIndex, variant: String): DataFrame = {
-        val got = ivfPqQuery(idx, queriesDf, "query_id", "embedding",
-            IvfNProbe, topK = 3)
-          .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
-        truth.join(got, Seq("query_id", "cand_id"), "left")
-          .agg(count(lit(1)).as("n_truth"),
-            sum(when(col("got").isNotNull, 1L).otherwise(0L)).as("hits"))
-          .select(lit(variant).as("variant"), col("n_truth"), col("hits"),
-            floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
-              .cast("long").as("recall_e6"))
-      }
-      val sIdx = ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
-        "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16)
-      val sCents = sIdx.centroids.localCheckpoint()
-      val assignedFull = kmeansAssign(e, sCents)
-        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
-      val codesFull = pqEncode(assignedFull, sIdx.pq.book, m = 8, dsub = 8,
-        carry = Seq("cell"))
-      val stale = IvfPqIndex(sCents, PqIndex(sIdx.pq.book, codesFull, 8, 8))
-      val fresh = ivfPqBuild(e, "vec_id", "embedding", IvfK,
-        m = 8, dsub = 8, ksub = 16)
-      recallOf(stale, "stale")
-        .unionByName(recallOf(fresh, "retrained"))
-        .orderBy("variant")
+      ivfPqDriftGate(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        col("vec_id") < 5)
+    },
+
+    // ann_ivfpq_drift over a corpus that GENUINELY drifted — the gate's
+    // positive-trigger demonstration. The held-out slice (% 7 = 3) is
+    // displaced by a constant +0.5 offset on every dimension before it
+    // (re)joins the corpus — a deterministic, exactly-reversible shift
+    // (double-add-then-CAST-to-FLOAT is IEEE-identical on both engines,
+    // so the whole chain stays hash-checked) that models a new data
+    // source the base training never saw. Queries are drawn FROM the
+    // drifted slice (drift matters when traffic follows it): the stale
+    // parameters crowd every drifted row into the nearest old cells and
+    // snap all of them to the same near-zero sub-centroids (ADC
+    // discrimination collapses), while the retrained build allocates
+    // cells and sub-centroids in the displaced region. This entry is
+    // the FORM at oracle size; bench/drift_curve.json carries the
+    // measurement-size reading (graft.tools.DriftCurve, 100 queries,
+    // recall@10) where retrained beats stale beyond the noise band —
+    // the committed number that justifies pulling the ivfPqRetrain
+    // trigger (ref: the reference's recon discipline exists to detect
+    // divergence worth repairing, src/reconciliation/report/
+    // generator.py:226).
+    "ann_ivfpq_drift_shifted" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      ivfPqDriftGate(driftedCorpus(Tables.embeddings(s, d)),
+        col("vec_id") % 7 === 3 && col("vec_id") < 40)
     },
 
     // The scheduled reconciliation pass over the LIVING STORES
@@ -1780,32 +1896,54 @@ object AnnSuite {
     // deployment runs exactly this on a cadence and alerts on any
     // non-zero dup/foreign/stale row.
     "recon_index" -> { (s, d) =>
+      reconIndexFixture(s, d).orderBy("store", "invariant")
+    },
+
+    // [[reconIndexStore]]'s LWW sibling, run against a deliberately
+    // damaged UPSERT store (the stream_ivf_upsert discipline): live-id
+    // updates, a delete batch, a re-insert batch reviving half the
+    // deleted keys, orphan tombstones in the disjoint negative range,
+    // and — the LWW-specific fault — a writer violating the one-row-
+    // per-key-per-batch contract (a slice landed TWICE inside one
+    // segment), which [[graft.sources.SegmentStore.loadLww]] cannot
+    // detect at read time: the view serves duplicate rows for those
+    // keys, and this pass's `dup_keys` is the scheduled detection path.
+    // `superseded_rows` prices the standing compaction debt the next
+    // ivfUpsertCompact clears. All counts are modular-arithmetic
+    // replayable, so the whole audit is hash-checked.
+    "recon_index_lww" -> { (s, d) =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val held = e.filter(col("vec_id") % 7 === 3)
-      val dirA = graft.sources.Scratch.stable(
-        "recon_index_ivf/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
-        "vec_id", "embedding", IvfK), dirA)
-      ivfAppend(s, dirA, held, "vec_id", "embedding", batchId = 0L)
-      // fault 1: a slice of batch 0 lands AGAIN under a fresh batchId
-      ivfAppend(s, dirA, held.filter(col("vec_id") % 3 === 0),
-        "vec_id", "embedding", batchId = 1L)
-      // fault 2: tombstones for real ids (% 13 = 2) AND for ids that
-      // never existed (orphans — vec_id + 1000000)
-      ivfDelete(s, dirA,
-        e.filter(col("vec_id") % 13 === 2).select("vec_id")
-          .unionByName(e.filter(col("vec_id") % 17 === 4)
-            .select((col("vec_id") + 1000000L).as("vec_id"))),
-        "vec_id", batchId = 2L)
-      val dirB = graft.sources.Scratch.stable(
-        "recon_index_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
-        "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16), dirB)
-      ivfPqAppend(s, dirB, held, "vec_id", "embedding", batchId = 0L)
-      reconIndexStore(s, dirA, IvfScheme, "ivf",
-          ivfLoad(s, dirA).assigned, e)
-        .unionByName(reconIndexStore(s, dirB, CodesScheme, "ivfpq",
-          pqLoad(s, dirB).codes, e))
+      val dir = graft.sources.Scratch.stable(
+        "recon_index_lww/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK), dir)
+      // batch 0: updates of live ids (% 5 = 1) — vector reversed
+      ivfAppend(s, dir,
+        e.filter(col("vec_id") % 5 === 1)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", batchId = 0L)
+      // batch 1: deletes (% 13 = 2)
+      ivfDelete(s, dir, e.filter(col("vec_id") % 13 === 2).select("vec_id"),
+        "vec_id", batchId = 1L)
+      // batch 2: re-insert of the even half of the deleted keys
+      // (% 26 = 2) — under LWW these revive
+      ivfAppend(s, dir,
+        e.filter(col("vec_id") % 26 === 2)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", batchId = 2L)
+      // batch 3: tombstones for keys that never existed (negative range)
+      ivfDelete(s, dir,
+        e.filter(col("vec_id") % 17 === 4)
+          .select((-col("vec_id") - 1L).as("vec_id")),
+        "vec_id", batchId = 3L)
+      // batch 4, the DAMAGE: % 29 = 7 landed twice in ONE segment — a
+      // writer that skipped the per-key envelope collapse
+      // (cdc_apply_latest) upstream of the append
+      val dup = e.filter(col("vec_id") % 29 === 7)
+        .select("vec_id", "embedding")
+      ivfAppend(s, dir, dup.unionByName(dup), "vec_id", "embedding",
+        batchId = 4L)
+      reconIndexStore(s, dir, IvfScheme, "lww_ivf",
+          ivfLoadLww(s, dir).assigned, e, lww = true)
         .orderBy("store", "invariant")
     },
 
@@ -2241,7 +2379,7 @@ object AnnSuite {
     * vectors (`ce2`/`qe`) so consumers can exact-cosine re-rank.
     */
   private def ivfCellChainSql(basePred: String, p: String = "iv_",
-      serveBase: String = "e"): String =
+      serveBase: String = "e", queryPred: String = "vec_id < 5"): String =
     s"""${p}eb AS (SELECT vec_id, embedding FROM e WHERE $basePred),
        |${p}seeds AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM ${p}eb
@@ -2274,7 +2412,7 @@ object AnnSuite {
        |${p}pr AS (
        |  SELECT vec_id AS query_id, cid AS cell, embedding AS qe,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM ${p}d1 WHERE vec_id < 5),
+       |  FROM ${p}d1 WHERE $queryPred),
        |${p}probes AS (
        |  SELECT query_id, cell, qe FROM ${p}pr WHERE rn <= $IvfNProbe)""".stripMargin
 
@@ -2354,6 +2492,115 @@ object AnnSuite {
        |  SELECT vec_id, j, slot FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
        |    FROM ${p}d1) t WHERE rn = 1)""".stripMargin
+
+  /** The quantized drift gate's full oracle (ann_ivfpq_drift and its
+    * shifted twin): two complete IVFADC chains in one WITH list —
+    * stale trains coarse cells AND codebook on the %7≠3 base rows
+    * (siv_/spq_ prefixes), retrained on everything (fiv_/fpq_); both
+    * encode/serve the full corpus; one exact-L2 truth pass grades
+    * both. `eSelect` defines the corpus CTE (the shifted twin bakes
+    * the +0.5 drift into it); `qPred` picks the query rows (and rides
+    * into the coarse chains' probe CTEs).
+    */
+  private def ivfPqDriftOracleSql(eSelect: String, qPred: String): String = {
+    def adcLeg(p: String, ivp: String, trainBase: String): String =
+      s"""${pqCodesSql(trainBase, "e", p)},
+         |${p}dt AS (
+         |  SELECT q.query_id, c.j, c.slot,
+         |    CAST(FLOOR(${pqSubDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
+         |  FROM q, ${p}slots c),
+         |${p}sc2 AS (
+         |  SELECT dt.query_id, cd.vec_id AS cand_id,
+         |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
+         |  FROM ${p}codes cd JOIN ${p}dt dt ON dt.j = cd.j AND dt.slot = cd.slot
+         |  WHERE dt.query_id <> cd.vec_id
+         |  GROUP BY dt.query_id, cd.vec_id),
+         |${p}got AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT s.query_id, s.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                         ORDER BY s.adist_e6, s.cand_id) AS rk
+         |    FROM ${p}sc2 s
+         |    JOIN ${ivp}a1 a ON a.cand_id = s.cand_id
+         |    JOIN ${ivp}probes pb ON pb.query_id = s.query_id
+         |                        AND pb.cell = a.cell) t
+         |  WHERE rk <= 3)""".stripMargin
+    def leg(variant: String, p: String): String =
+      s"""SELECT '$variant' AS variant,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_e6
+         |FROM truth t LEFT JOIN ${p}got g
+         |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id""".stripMargin
+    s"""WITH e AS ($eSelect),
+       |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE $qPred),
+       |${ivfCellChainSql("vec_id % 7 <> 3", "siv_", queryPred = qPred)},
+       |${ivfCellChainSql("TRUE", "fiv_", queryPred = qPred)},
+       |${adcLeg("spq_", "siv_", "siv_eb")},
+       |${adcLeg("fpq_", "fiv_", "e")},
+       |tdist AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
+       |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+       |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+       |      * 1e6 + 0.5) AS BIGINT) AS d_e6
+       |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+       |truth AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY d_e6, cand_id) AS rk
+       |    FROM tdist) t WHERE rk <= 3)
+       |SELECT * FROM (
+       |${leg("stale", "spq_")}
+       |UNION ALL
+       |${leg("retrained", "fpq_")}
+       |) u ORDER BY variant""".stripMargin
+  }
+
+  /** recon_index's oracle — the fixture's construction, replayed
+    * arithmetically: the IVF store double-lands the % 3 = 0 slice of
+    * the held-out batch and tombstones % 13 = 2 (real) plus % 17 = 4
+    * (negative-range fabrications, orphans); the code store is clean.
+    * Segment counts / watermark are construction constants (2 appends
+    * + 1 delete batch, never compacted). Shared with
+    * recon_index_report, which rolls the same invariants into the
+    * severity-graded health view.
+    */
+  private lazy val ReconIndexOracleSql: String =
+    """WITH e AS (SELECT vec_id FROM embeddings),
+      |iv AS (
+      |  SELECT 'append_segments' AS invariant, CAST(2 AS BIGINT) AS value
+      |  UNION ALL SELECT 'dup_keys',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+      |     WHERE vec_id % 7 = 3 AND vec_id % 3 = 0 AND NOT vec_id % 13 = 2)
+      |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'missing_from_index',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % 13 = 2)
+      |  UNION ALL SELECT 'orphan_tombstones',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % 17 = 4)
+      |  UNION ALL SELECT 'served_rows',
+      |    CAST((SELECT COUNT(*) FROM e WHERE NOT vec_id % 13 = 2)
+      |      + (SELECT COUNT(*) FROM e
+      |         WHERE vec_id % 7 = 3 AND vec_id % 3 = 0
+      |           AND NOT vec_id % 13 = 2) AS BIGINT)
+      |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT)),
+      |pq AS (
+      |  SELECT 'append_segments' AS invariant, CAST(1 AS BIGINT) AS value
+      |  UNION ALL SELECT 'dup_keys', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'missing_from_index', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'orphan_tombstones', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'served_rows',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
+      |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT))
+      |SELECT * FROM (
+      |  SELECT 'ivf' AS store, invariant, value FROM iv
+      |  UNION ALL
+      |  SELECT 'ivfpq' AS store, invariant, value FROM pq) u
+      |ORDER BY store, invariant""".stripMargin
 
   private def pqChainSqlFor(trainPred: String): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -2737,106 +2984,60 @@ object AnnSuite {
          |) u ORDER BY variant""".stripMargin
     },
 
-    "ann_ivfpq_drift" -> {
-      // two complete IVFADC chains in one WITH list — stale trains
-      // coarse cells AND codebook on the base rows (<prefix>iv_ /
-      // <prefix>pq_), retrained on everything; both encode/serve the
-      // full corpus; one exact-L2 truth grades both
-      def adcLeg(p: String, ivp: String, trainBase: String): String =
-        s"""${pqCodesSql(trainBase, "e", p)},
-           |${p}dt AS (
-           |  SELECT q.query_id, c.j, c.slot,
-           |    CAST(FLOOR(${pqSubDist("q.embedding[c.j*8+i]", "c.sc[i]")} * 1e6 + 0.5) AS BIGINT) AS d_e6
-           |  FROM q, ${p}slots c),
-           |${p}sc2 AS (
-           |  SELECT dt.query_id, cd.vec_id AS cand_id,
-           |    CAST(SUM(dt.d_e6) AS BIGINT) AS adist_e6
-           |  FROM ${p}codes cd JOIN ${p}dt dt ON dt.j = cd.j AND dt.slot = cd.slot
-           |  WHERE dt.query_id <> cd.vec_id
-           |  GROUP BY dt.query_id, cd.vec_id),
-           |${p}got AS (
-           |  SELECT query_id, cand_id FROM (
-           |    SELECT s.query_id, s.cand_id,
-           |      ROW_NUMBER() OVER (PARTITION BY s.query_id
-           |                         ORDER BY s.adist_e6, s.cand_id) AS rk
-           |    FROM ${p}sc2 s
-           |    JOIN ${ivp}a1 a ON a.cand_id = s.cand_id
-           |    JOIN ${ivp}probes pb ON pb.query_id = s.query_id
-           |                        AND pb.cell = a.cell) t
-           |  WHERE rk <= 3)""".stripMargin
-      def leg(variant: String, p: String): String =
-        s"""SELECT '$variant' AS variant,
-           |  CAST(COUNT(*) AS BIGINT) AS n_truth,
-           |  CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-           |  CAST(FLOOR(CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-           |    * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS recall_e6
-           |FROM truth t LEFT JOIN ${p}got g
-           |  ON g.query_id = t.query_id AND g.cand_id = t.cand_id""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 5),
-         |${ivfCellChainSql("vec_id % 7 <> 3", "siv_")},
-         |${ivfCellChainSql("TRUE", "fiv_")},
-         |${adcLeg("spq_", "siv_", "siv_eb")},
-         |${adcLeg("fpq_", "fiv_", "e")},
-         |tdist AS (
-         |  SELECT q.query_id, c.vec_id AS cand_id,
-         |    CAST(FLOOR(list_sum(list_transform(range(1, 65),
-         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
-         |      * 1e6 + 0.5) AS BIGINT) AS d_e6
-         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
-         |truth AS (
-         |  SELECT query_id, cand_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |                                 ORDER BY d_e6, cand_id) AS rk
-         |    FROM tdist) t WHERE rk <= 3)
-         |SELECT * FROM (
-         |${leg("stale", "spq_")}
-         |UNION ALL
-         |${leg("retrained", "fpq_")}
-         |) u ORDER BY variant""".stripMargin
-    },
+    "ann_ivfpq_drift" -> ivfPqDriftOracleSql(
+      "SELECT vec_id, embedding FROM embeddings", "vec_id < 5"),
 
-    "recon_index" -> {
-      // the fixture's construction, replayed arithmetically: the IVF
-      // store double-lands the % 3 = 0 slice of the held-out batch and
-      // tombstones % 13 = 2 (real) plus % 17 = 4 (+1000000, orphans);
-      // the code store is clean. Segment counts / watermark are
-      // construction constants (2 appends + 1 delete batch, never
-      // compacted)
-      s"""WITH e AS (SELECT vec_id FROM embeddings),
-         |iv AS (
-         |  SELECT 'append_segments' AS invariant, CAST(2 AS BIGINT) AS value
-         |  UNION ALL SELECT 'dup_keys',
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e
-         |     WHERE vec_id % 7 = 3 AND vec_id % 3 = 0 AND NOT vec_id % 13 = 2)
-         |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'missing_from_index',
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % 13 = 2)
-         |  UNION ALL SELECT 'orphan_tombstones',
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % 17 = 4)
-         |  UNION ALL SELECT 'served_rows',
-         |    CAST((SELECT COUNT(*) FROM e WHERE NOT vec_id % 13 = 2)
-         |      + (SELECT COUNT(*) FROM e
-         |         WHERE vec_id % 7 = 3 AND vec_id % 3 = 0
-         |           AND NOT vec_id % 13 = 2) AS BIGINT)
-         |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT)),
-         |pq AS (
-         |  SELECT 'append_segments' AS invariant, CAST(1 AS BIGINT) AS value
-         |  UNION ALL SELECT 'dup_keys', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'missing_from_index', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'orphan_tombstones', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'served_rows',
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
-         |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT))
-         |SELECT * FROM (
-         |  SELECT 'ivf' AS store, invariant, value FROM iv
-         |  UNION ALL
-         |  SELECT 'ivfpq' AS store, invariant, value FROM pq) u
-         |ORDER BY store, invariant""".stripMargin
+    // the same two-chain gate over the SHIFTED corpus: the held slice
+    // carries the +0.5 all-dims offset (REAL cast — IEEE-identical to
+    // the Spark side's FLOAT cast) and the queries come from it
+    "ann_ivfpq_drift_shifted" -> ivfPqDriftOracleSql(
+      """SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 3
+        |      THEN list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) + 0.5 AS REAL))
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings""".stripMargin,
+      "vec_id % 7 = 3 AND vec_id < 40"),
+
+    "recon_index" -> ReconIndexOracleSql,
+
+    "recon_index_lww" -> {
+      // the LWW fixture replayed arithmetically, by per-key priority:
+      // batch 4 (% 29 = 7, landed twice → 2 rows) > batch 2 re-insert
+      // (% 26 = 2 → 1 row) > batch 1 delete (% 13 = 2 → 0 rows) >
+      // batch 0 update / base (1 row). superseded_rows = raw base +
+      // segment rows − served rows; orphans are the % 17 = 4 negative
+      // fabrications; 3 append segments (batches 0, 2, 4), never
+      // compacted
+      """WITH e AS (SELECT vec_id FROM embeddings),
+        |st AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 29 = 7 THEN 2
+        |         WHEN vec_id % 26 = 2 THEN 1
+        |         WHEN vec_id % 13 = 2 THEN 0
+        |         ELSE 1 END AS srv
+        |  FROM e),
+        |inv AS (
+        |  SELECT 'append_segments' AS invariant, CAST(3 AS BIGINT) AS value
+        |  UNION ALL SELECT 'dup_keys',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM st WHERE srv = 2)
+        |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'missing_from_index',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM st WHERE srv = 0)
+        |  UNION ALL SELECT 'orphan_tombstones',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % 17 = 4)
+        |  UNION ALL SELECT 'served_rows',
+        |    (SELECT CAST(SUM(srv) AS BIGINT) FROM st)
+        |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'superseded_rows',
+        |    (SELECT CAST(
+        |        (SELECT COUNT(*) FROM e)
+        |      + (SELECT COUNT(*) FROM e WHERE vec_id % 5 = 1)
+        |      + (SELECT COUNT(*) FROM e WHERE vec_id % 26 = 2)
+        |      + 2 * (SELECT COUNT(*) FROM e WHERE vec_id % 29 = 7)
+        |      - (SELECT SUM(srv) FROM st) AS BIGINT))
+        |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT))
+        |SELECT 'lww_ivf' AS store, invariant, value FROM inv
+        |ORDER BY store, invariant""".stripMargin
     },
 
     "ann_tune" -> {

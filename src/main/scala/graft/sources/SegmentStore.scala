@@ -246,6 +246,21 @@ object SegmentStore {
     * price as [[load]]'s tombstone mask. Partition layout of both
     * union legs is preserved, so partition-column pruning (e.g. the
     * IVF cell probes) holds.
+    *
+    * Two operating bounds a deployment owns (unenforced here):
+    *   - the at-most-one-row-per-key-per-batch contract is NOT checked
+    *     at read time (the winning-batch join passes every row of that
+    *     batch through) — a violating writer makes the view serve
+    *     duplicate rows for the key. The detection path is the
+    *     scheduled recon pass: recon_index_lww's `dup_keys` invariant
+    *     counts exactly these (must be 0 on a healthy LWW store);
+    *   - `touched` (the broadcast anti-join side) grows with the
+    *     DISTINCT keys written since the last compaction. Compact
+    *     before it outgrows the broadcast threshold (~10M keys at
+    *     default autoBroadcastJoinThreshold); recon_index_lww's
+    *     `append_segments` / `superseded_rows` are the observable to
+    *     alert on, and bench/lww_cadence.json carries the measured
+    *     serving-wall degradation curve that sizes the cadence.
     */
   def loadLww(spark: SparkSession, dir: String, scheme: Scheme,
       keyCols: Seq[String])(normalize: DataFrame => DataFrame): DataFrame = {
@@ -387,6 +402,19 @@ object SegmentStore {
     //    landings survive; committing the manifest below would
     //    otherwise make any stale orphan visible as generation state.
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${scheme.deletesOf(next)}"), true)
+    // ... including a torn recordPurged attempt's commit dir: purged
+    //   entries become durable only when the generation commits, so a
+    //   stale commit=<next> left by a prior torn run must not ride into
+    //   THIS run's manifest (this run re-lands it below iff it also
+    //   passes recordPurged — the invariant is structural, not
+    //   dependent on callers always purging). An emptied parent is
+    //   removed too: [[purged]] treats bare existence as "has entries".
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/${scheme.purged0}/commit=$next"), true)
+    locally {
+      val pp = new org.apache.hadoop.fs.Path(s"$dir/${scheme.purged0}")
+      if (fs.exists(pp) && fs.listStatus(pp).isEmpty) fs.delete(pp, true)
+    }
     sidecarPrefixes.foreach { pre =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$pre$next.parquet"), true)
     }

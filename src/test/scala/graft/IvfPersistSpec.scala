@@ -813,6 +813,51 @@ class IvfPersistSpec extends SparkSpecBase {
       "a post-compaction insert must supersede the folded tombstone")
   }
 
+  test("a torn recordPurged attempt's commit dir is scrubbed, not committed by a later plain fold") {
+    // crash window: a recordPurged compaction lands purged.parquet/
+    // commit=1 then dies before the manifest. A later compaction that
+    // does NOT pass recordPurged commits MANIFEST-1 — the stale commit
+    // dir must be scrubbed in the step-2 window, or keys the torn run
+    // never durably purged would surface through [[SegmentStore.purged]]
+    // and be anti-joined out of every future retrain.
+    val sess = spark
+    import sess.implicits._
+    import graft.sources.SegmentStore
+    val dir = Scratch.dir("segstore_torn_purged")
+    val scheme = SegmentStore.Scheme(
+      "base.parquet", "appends.parquet", "base_v", "appends_v")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/base.parquet")
+    assert(SegmentStore.append(spark, dir, scheme,
+      Seq((3L, "c")).toDF("k", "v"), Nil, batchId = 0L))
+    assert(SegmentStore.appendDeletes(spark, dir, scheme,
+      Seq(1L).toDF("k"), batchId = 1L))
+    def view = SegmentStore.load(spark, dir, scheme,
+      deleteKeys = Seq("k"))(_.select("k", "v"))
+    assert(!SegmentStore.compact(spark, dir, scheme, view, Nil,
+      crashBeforeCommit = true, deleteKeys = Seq("k"), recordPurged = true))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/purged.parquet/commit=1")),
+      "fixture: the torn attempt should have landed the commit dir")
+    // a later compaction WITHOUT recordPurged commits generation 1:
+    // the stale commit dir must not become durable purge state
+    assert(SegmentStore.compact(spark, dir, scheme, view, Nil,
+      deleteKeys = Seq("k")))
+    assert(SegmentStore.resolve(spark, dir, scheme).gen === 1)
+    assert(SegmentStore.purged(spark, dir, scheme).isEmpty,
+      "a torn recordPurged attempt leaked through a later plain compaction")
+    // and a RE-DRIVEN recordPurged compaction still lands its own
+    // purge record durably (the scrub removes only the torn orphan)
+    assert(SegmentStore.appendDeletes(spark, dir, scheme,
+      Seq(2L).toDF("k"), batchId = 2L))
+    assert(SegmentStore.compact(spark, dir, scheme, view, Nil,
+      deleteKeys = Seq("k"), recordPurged = true))
+    assert(SegmentStore.purged(spark, dir, scheme).get
+      .select("k").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("stream_ivf_upsert: an update of a live id supersedes; the stream equals its bulk twin") {
     val e = Tables.embeddings(spark, sf)
     val streamed = graft.streaming.CdcStream.queries("stream_ivf_upsert")(spark, sf)
