@@ -1947,6 +1947,91 @@ object AnnSuite {
         .orderBy("store", "invariant")
     },
 
+    // THE OPERATIONAL HEALTH REPORT — the entry a deployment actually
+    // schedules (the reference's severity/recommendation discipline,
+    // ref: src/reconciliation/report/generator.py:226, pointed at the
+    // engine's own stores): recon_index's store invariants, the
+    // SHIFTED drift gate, and the run-level recon metrics rolled into
+    // one severity-graded table. Severity grammar: CRITICAL = store
+    // corruption (duplicate keys, foreign rows, stale segments) or a
+    // table-level checksum mismatch; HIGH = index/corpus parity holes;
+    // MEDIUM = standing tombstone debt, or a measured RELATIVE retrain
+    // win past the 50%-of-stale bar (the row that pulls the
+    // ivfPqRetrain trigger — and on this fixture it FIRES, because the
+    // drifted gate's retrained leg genuinely wins); INFO =
+    // observability rows. All
+    // inputs deterministic ⇒ the whole report is hash-checked. Wall
+    // attribution: ~all of this entry's cost is the in-entry fixture
+    // builds (two index stores + two IVFADC drift builds + the
+    // multi-table recon), not the report rollup itself — the scheduled
+    // pass over ALREADY-BUILT production stores pays only the
+    // tag-union group-bys and delta reads.
+    "recon_index_report" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val inv = reconIndexFixture(s, d)
+        .select(concat(lit("index:"), col("store")).as("component"),
+          col("invariant").as("metric"), col("value"))
+      val drift = ivfPqDriftGate(driftedCorpus(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))),
+        col("vec_id") % 7 === 3 && col("vec_id") < 40)
+      // the retrain trigger is RELATIVE (gain as a fraction of the
+      // stale recall): an absolute e-6 bar can't hold across corpus
+      // sizes (absolute recall shrinks as the corpus grows), while
+      // "retrained wins by > 50% of stale" fires at every committed SF
+      // exactly when the drift is genuine (bench/drift_curve.json) and
+      // never on the unshifted corpus
+      val driftRows = drift.agg(
+          max(when(col("variant") === "stale", col("recall_e6"))).as("st"),
+          max(when(col("variant") === "retrained", col("recall_e6"))).as("rt"))
+        .select(explode(array(
+          struct(lit("stale_recall_e6").as("metric"), col("st").as("value")),
+          struct(lit("retrained_recall_e6").as("metric"), col("rt").as("value")),
+          struct(lit("retrain_gain_ratio_e6").as("metric"),
+            floor((col("rt") - col("st")).cast("double") * 1e6
+              / greatest(col("st"), lit(1L)) + 0.5).cast("long")
+              .as("value")))).as("r"))
+        .select(lit("drift:ivfpq_shifted").as("component"),
+          col("r.metric").as("metric"), col("r.value").as("value"))
+      val runRows = SafetySuite.queries("recon_run_metrics")(s, d)
+        .select(explode(array(
+          struct(lit("tables_checked").as("metric"),
+            col("tables_checked").as("value")),
+          struct(lit("tables_mismatched").as("metric"),
+            col("tables_mismatched").as("value")),
+          struct(lit("max_row_delta").as("metric"),
+            col("max_row_delta").as("value")))).as("r"))
+        .select(lit("runs:recon").as("component"),
+          col("r.metric").as("metric"), col("r.value").as("value"))
+      inv.unionByName(driftRows).unionByName(runRows)
+        .withColumn("severity",
+          when(col("metric").isin("dup_keys", "foreign_in_index",
+              "stale_segments") && col("value") > 0, "CRITICAL")
+            .when(col("metric") === "tables_mismatched" && col("value") > 0,
+              "CRITICAL")
+            .when(col("metric") === "missing_from_index" && col("value") > 0,
+              "HIGH")
+            .when(col("metric") === "orphan_tombstones" && col("value") > 0,
+              "MEDIUM")
+            .when(col("metric") === "retrain_gain_ratio_e6" &&
+              col("value") > 500000, "MEDIUM")
+            .otherwise("INFO"))
+        .withColumn("recommendation",
+          when(col("severity") === "CRITICAL" &&
+              col("metric") === "tables_mismatched",
+            lit("Run recon_bisect and recon_rowlevel on the mismatched tables."))
+            .when(col("severity") === "CRITICAL",
+              lit("Halt writers; rebuild or replay the store from the last good manifest."))
+            .when(col("severity") === "HIGH",
+              lit("Verify the missing keys are intentional deletes; else re-drive the lost segments."))
+            .when(col("metric") === "orphan_tombstones" && col("value") > 0,
+              lit("Match tombstones against the upstream delete feed; they purge at the next compaction."))
+            .when(col("metric") === "retrain_gain_ratio_e6" &&
+              col("value") > 500000,
+              lit("Schedule ivfPqRetrain: the retrained index wins by more than the noise band."))
+            .otherwise(lit("No action.")))
+        .orderBy("component", "metric")
+    },
+
     // attribute-FILTERED IVFADC — ann_ivf_filtered's twin on the
     // quantized index: the attribute is carried INTO the code rows at
     // encode time, so filtered quantized search evaluates its
@@ -2558,6 +2643,17 @@ object AnnSuite {
        |) u ORDER BY variant""".stripMargin
   }
 
+  /** The shifted drift gate's oracle (shared by
+    * ann_ivfpq_drift_shifted and recon_index_report's drift rows).
+    */
+  private lazy val DriftShiftedOracleSql: String = ivfPqDriftOracleSql(
+    """SELECT vec_id,
+      |    CASE WHEN vec_id % 7 = 3
+      |      THEN list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) + 0.5 AS REAL))
+      |      ELSE embedding END AS embedding
+      |  FROM embeddings""".stripMargin,
+    "vec_id % 7 = 3 AND vec_id < 40")
+
   /** recon_index's oracle — the fixture's construction, replayed
     * arithmetically: the IVF store double-lands the % 3 = 0 slice of
     * the held-out batch and tombstones % 13 = 2 (real) plus % 17 = 4
@@ -2990,13 +3086,7 @@ object AnnSuite {
     // the same two-chain gate over the SHIFTED corpus: the held slice
     // carries the +0.5 all-dims offset (REAL cast — IEEE-identical to
     // the Spark side's FLOAT cast) and the queries come from it
-    "ann_ivfpq_drift_shifted" -> ivfPqDriftOracleSql(
-      """SELECT vec_id,
-        |    CASE WHEN vec_id % 7 = 3
-        |      THEN list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) + 0.5 AS REAL))
-        |      ELSE embedding END AS embedding
-        |  FROM embeddings""".stripMargin,
-      "vec_id % 7 = 3 AND vec_id < 40"),
+    "ann_ivfpq_drift_shifted" -> DriftShiftedOracleSql,
 
     "recon_index" -> ReconIndexOracleSql,
 
@@ -3038,6 +3128,61 @@ object AnnSuite {
         |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT))
         |SELECT 'lww_ivf' AS store, invariant, value FROM inv
         |ORDER BY store, invariant""".stripMargin
+    },
+
+    "recon_index_report" -> {
+      // composition of three already-mirrored chains (each wrapped as
+      // a parenthesized WITH subquery — scopes don't collide), plus
+      // the severity/recommendation CASE grammar mirrored from the
+      // Spark side verbatim
+      s"""WITH inv AS (
+         |  SELECT 'index:' || store AS component, invariant AS metric, value
+         |  FROM (${ReconIndexOracleSql}) ri),
+         |dr AS (
+         |  SELECT MAX(CASE WHEN variant = 'stale' THEN recall_e6 END) AS st,
+         |         MAX(CASE WHEN variant = 'retrained' THEN recall_e6 END) AS rt
+         |  FROM (${DriftShiftedOracleSql}) dd),
+         |driftrows AS (
+         |  SELECT 'drift:ivfpq_shifted' AS component, m AS metric,
+         |    CASE m WHEN 'stale_recall_e6' THEN st
+         |           WHEN 'retrained_recall_e6' THEN rt
+         |           ELSE CAST(FLOOR(CAST(rt - st AS DOUBLE) * 1e6
+         |                  / GREATEST(st, 1) + 0.5) AS BIGINT) END AS value
+         |  FROM dr, (VALUES ('stale_recall_e6'), ('retrained_recall_e6'),
+         |                   ('retrain_gain_ratio_e6')) v(m)),
+         |rm AS (SELECT * FROM (${SafetySuite.oracles("recon_run_metrics")}) r0),
+         |runrows AS (
+         |  SELECT 'runs:recon' AS component, m AS metric,
+         |    CASE m WHEN 'tables_checked' THEN tables_checked
+         |           WHEN 'tables_mismatched' THEN tables_mismatched
+         |           ELSE max_row_delta END AS value
+         |  FROM rm, (VALUES ('tables_checked'), ('tables_mismatched'),
+         |                   ('max_row_delta')) v(m)),
+         |rows0 AS (
+         |  SELECT * FROM inv
+         |  UNION ALL SELECT * FROM driftrows
+         |  UNION ALL SELECT * FROM runrows)
+         |SELECT component, metric, CAST(value AS BIGINT) AS value,
+         |  CASE WHEN metric IN ('dup_keys', 'foreign_in_index', 'stale_segments')
+         |         AND value > 0 THEN 'CRITICAL'
+         |       WHEN metric = 'tables_mismatched' AND value > 0 THEN 'CRITICAL'
+         |       WHEN metric = 'missing_from_index' AND value > 0 THEN 'HIGH'
+         |       WHEN metric = 'orphan_tombstones' AND value > 0 THEN 'MEDIUM'
+         |       WHEN metric = 'retrain_gain_ratio_e6' AND value > 500000 THEN 'MEDIUM'
+         |       ELSE 'INFO' END AS severity,
+         |  CASE WHEN metric = 'tables_mismatched' AND value > 0
+         |         THEN 'Run recon_bisect and recon_rowlevel on the mismatched tables.'
+         |       WHEN metric IN ('dup_keys', 'foreign_in_index', 'stale_segments')
+         |         AND value > 0
+         |         THEN 'Halt writers; rebuild or replay the store from the last good manifest.'
+         |       WHEN metric = 'missing_from_index' AND value > 0
+         |         THEN 'Verify the missing keys are intentional deletes; else re-drive the lost segments.'
+         |       WHEN metric = 'orphan_tombstones' AND value > 0
+         |         THEN 'Match tombstones against the upstream delete feed; they purge at the next compaction.'
+         |       WHEN metric = 'retrain_gain_ratio_e6' AND value > 500000
+         |         THEN 'Schedule ivfPqRetrain: the retrained index wins by more than the noise band.'
+         |       ELSE 'No action.' END AS recommendation
+         |FROM rows0 ORDER BY component, metric""".stripMargin
     },
 
     "ann_tune" -> {

@@ -415,6 +415,40 @@ object DedupSuite {
         .orderBy("doc_a", "doc_b")
     },
 
+    // the scheduled reconciliation pass over the BAND store
+    // ([[reconBandStore]]) — the dedup index gets the same audited
+    // health the vector stores have. Faults planted (the real crash
+    // shapes, recon_index's on this store): one committed batch landed
+    // AGAIN under a fresh batchId (a replay past a LOST watermark —
+    // every (doc_id, band) key of that batch duplicates), tombstones
+    // for real documents (legit GDPR traffic → missing rows) and for
+    // ids that never existed (the disjoint negative range → orphans).
+    // All counts are modular-arithmetic replayable, so the audit is
+    // hash-checked end to end.
+    "recon_index_bands" -> { (s, d) =>
+      org.apache.spark.sql.graft.Bridge.register(s)
+      val sh = shingleSets(s, d).localCheckpoint()
+      val dir = graft.sources.Scratch.stable(
+        "recon_index_bands/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      bandIndexSave(minhashBands(sh.filter(col("doc_id") < 1000000L)), dir)
+      val seg = minhashBands(
+        sh.filter(col("doc_id") >= 1000000L && col("doc_id") % 20 === 0))
+      bandIndexAppend(seg, dir, batchId = 0L)
+      // fault 1: the same batch lands AGAIN under a fresh batchId
+      bandIndexAppend(seg, dir, batchId = 1L)
+      // fault 2: tombstones for real docs (% 20 = 10) AND for ids that
+      // never existed (negative range — provably disjoint at every SF)
+      bandIndexDelete(s, dir,
+        sh.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === 10)
+          .select("doc_id")
+          .unionByName(
+            sh.filter(col("doc_id") < 1000000L && col("doc_id") % 23 === 5)
+              .select((-col("doc_id") - 1L).as("doc_id"))),
+        "doc_id", batchId = 2L)
+      reconBandStore(s, dir, "bands", sh.select("doc_id"))
+        .orderBy("store", "invariant")
+    },
+
     "dedup_summary" -> { (s, d) =>
       // the dedup dashboard: one rollup row per method — how many
       // groups/pairs each found and how many documents are implicated.
@@ -781,6 +815,72 @@ object DedupSuite {
       gateHotBuckets(bandIndexLoad(spark, dir), Seq("band", "bucket")),
       Seq.empty, crashBeforeCommit, retain, deleteKeys = Seq("doc_id"))
 
+  /** [[graft.operators.AnnSuite.reconIndexStore]]'s discipline pointed
+    * at the BAND store — the third living index: the key is
+    * (doc_id, band) (a healthy store serves exactly one bucket per
+    * document per band), tombstones are doc_id-granular. Same shape as
+    * the vector-store pass: ONE tag-union group-by over served keys ∪
+    * expected keys for the dup/parity scalars (skew-immune, single
+    * shuffle), delta-sized channel/segment side reads. `corpusDocs` is
+    * the doc_id set the index SHOULD cover (missing keys are
+    * tombstoned or never-appended documents).
+    */
+  private[graft] def reconBandStore(spark: SparkSession, dir: String,
+      store: String, corpusDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val scheme = BandScheme
+    val lay = graft.sources.SegmentStore.resolve(spark, dir, scheme)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val apPath = new org.apache.hadoop.fs.Path(s"$dir/${lay.appends}")
+    val segIds: Seq[Long] =
+      if (!fs.exists(apPath)) Seq.empty
+      else fs.listStatus(apPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .flatMap(_.stripPrefix("batch_id=").toLongOption)
+    val served = bandIndexLoad(spark, dir)
+    val corpusPairs = corpusDocs.select(col("doc_id"))
+      .withColumn("band",
+        explode(expr(s"sequence(0, ${NumPerm / BandRows - 1})")))
+    val tagged = served.select(col("doc_id"), col("band"),
+        lit(1L).as("ni"), lit(0L).as("nc"))
+      .unionByName(corpusPairs.select(col("doc_id"), col("band"),
+        lit(0L).as("ni"), lit(1L).as("nc")))
+    val scalars = tagged.groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("ni")).as("ni"), sum(col("nc")).as("nc"))
+      .agg(
+        sum(col("ni")).as("served_rows"),
+        sum(when(col("ni") > 1, 1L).otherwise(0L)).as("dup_keys"),
+        sum(when(col("ni") === 0 && col("nc") > 0, 1L).otherwise(0L))
+          .as("missing_from_index"),
+        sum(when(col("ni") > 0 && col("nc") === 0, 1L).otherwise(0L))
+          .as("foreign_in_index"))
+      .head()
+    val orphans = graft.sources.SegmentStore.deletes(spark, dir, scheme)
+      .map { t =>
+        val standing = {
+          val b = spark.read.parquet(s"$dir/${lay.base}").select("doc_id")
+          if (fs.exists(apPath))
+            b.unionByName(spark.read.parquet(apPath.toString).select("doc_id"))
+          else b
+        }
+        t.select("doc_id").distinct()
+          .join(standing, Seq("doc_id"), "left_anti").count()
+      }
+      .getOrElse(0L)
+    Seq(
+      ("append_segments", segIds.size.toLong),
+      ("dup_keys", scalars.getAs[Long]("dup_keys")),
+      ("foreign_in_index", scalars.getAs[Long]("foreign_in_index")),
+      ("missing_from_index", scalars.getAs[Long]("missing_from_index")),
+      ("orphan_tombstones", orphans),
+      ("served_rows", scalars.getAs[Long]("served_rows")),
+      ("stale_segments", segIds.count(_ <= lay.folded).toLong),
+      ("watermark", lay.folded))
+      .toDF("invariant", "value")
+      .select(lit(store).as("store"), col("invariant"), col("value"))
+  }
+
   /** The distinct w-token window hashes of a document frame — the
     * 8-byte column every standing-index write shapes.
     */
@@ -899,6 +999,40 @@ object DedupSuite {
          |ORDER BY method""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // recon_index_bands replayed arithmetically from the fixture's
+    // construction: every indexed document carries exactly one bucket
+    // per band (4 bands), the % 20 = 0 injected batch landed twice
+    // (dup), % 20 = 10 ids are tombstoned or never appended (missing),
+    // the % 23 = 5 negative fabrications match nothing (orphans); 2
+    // append segments + 1 delete batch, never compacted
+    "recon_index_bands" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, str_split(lower(text), ' ') AS ws
+         |    FROM (${CorpusSql}) c) t
+         |  WHERE len(ws) >= 3),
+         |inv AS (
+         |  SELECT 'append_segments' AS invariant, CAST(2 AS BIGINT) AS value
+         |  UNION ALL SELECT 'dup_keys',
+         |    (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM docs
+         |     WHERE doc_id >= 1000000 AND doc_id % 20 = 0)
+         |  UNION ALL SELECT 'foreign_in_index', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'missing_from_index',
+         |    (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM docs
+         |     WHERE doc_id % 20 = 10)
+         |  UNION ALL SELECT 'orphan_tombstones',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM docs
+         |     WHERE doc_id < 1000000 AND doc_id % 23 = 5)
+         |  UNION ALL SELECT 'served_rows',
+         |    CAST((SELECT 4 * COUNT(*) FROM docs
+         |          WHERE doc_id < 1000000 AND NOT doc_id % 20 = 10)
+         |      + (SELECT 8 * COUNT(*) FROM docs
+         |         WHERE doc_id >= 1000000 AND doc_id % 20 = 0) AS BIGINT)
+         |  UNION ALL SELECT 'stale_segments', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'watermark', CAST(-1 AS BIGINT))
+         |SELECT 'bands' AS store, invariant, value FROM inv
+         |ORDER BY store, invariant""".stripMargin,
+
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
