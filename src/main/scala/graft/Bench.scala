@@ -66,7 +66,13 @@ object Bench {
     // retrain pricing pass a deployment schedules) and the living-store
     // reconciliation sweep (tag-union parity + channel/segment audits
     // over two persisted stores)
-    "ann_ivfpq_drift", "recon_index")
+    "ann_ivfpq_drift", "recon_index",
+    // round-16: the LWW serving read + its audit (loadLww's delta-only
+    // winner groupBys and broadcast touched-keys anti-join — the
+    // upsert-store hot path none of the terminal-masked shapes cover;
+    // wall is fixture-build dominated like recon_index, see the entry
+    // doc). The steady-state serving curve is bench/lww_cadence.json.
+    "recon_index_lww")
 
   /** Sums task-level shuffle-write and spill metrics across every task
     * the session runs; the timed loop snapshots it around each run.
