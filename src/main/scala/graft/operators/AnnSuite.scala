@@ -1268,6 +1268,14 @@ object AnnSuite {
     * IVFADC code store — both fault classes counted, the clean store
     * reading clean. Returns the 16 (store, invariant, value) rows,
     * unordered (callers sort).
+    *
+    * BENCH WALL ATTRIBUTION: ~all of the entries' benched cost is the
+    * two in-entry index builds this fixture pays (a fixture must
+    * construct the damage it audits); the recon kernel itself is one
+    * tag-union group-by plus delta-sized channel reads. A deployment's
+    * scheduled pass runs against ALREADY-BUILT production stores and
+    * pays only the kernel — do not price the scheduled recon at the
+    * benched entry's wall.
     */
   private[graft] def reconIndexFixture(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
