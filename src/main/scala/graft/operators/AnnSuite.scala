@@ -74,7 +74,12 @@ object AnnSuite {
         carry.map(col)): _*)
     val assign0 = kmeansAssign(e, kmeansSeeds(e, k))
       .select(col("vec_id"), col("cid"), col("embedding"))
-    val refined = lloydStep(assign0)
+    // k rows — localCheckpoint (the Graft.kmeans/semanticCells lineage
+    // pattern): without it every consumer of the centroids (the assign1
+    // broadcast below, ivfSave's centroid write, every probeCells
+    // broadcast) re-runs the full seeds → assign → Lloyd lineage,
+    // i.e. one EXTRA CORPUS SCAN per consuming action at any scale
+    val refined = lloydStep(assign0).localCheckpoint()
     val assign1 = kmeansAssign(e, refined)
       .select((col("vec_id").as("cand_id") +: col("cid").as("cell") +:
         col("embedding").as("ce2") +: carry.map(col)): _*)
@@ -559,15 +564,22 @@ object AnnSuite {
       carry: Seq[String] = Nil): IvfPqIndex = {
     val e = corpus.select((col(idCol).as("vec_id") +:
       col(embCol).as("embedding") +: carry.map(col)): _*)
-    val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse, carry)
     if (!residual) {
-      val book = pqTrain(e.select("vec_id", "embedding"), m, dsub, ksub, sampleMod)
+      // coarse quantizer and codebook train from the same corpus but
+      // are otherwise independent — overlap their (checkpointed) build
+      // jobs instead of paying the two walls back to back
+      val (coarse, book) = graft.functions.Par.inParallel(
+        ivfBuild(e, "vec_id", "embedding", kCoarse, carry),
+        pqTrain(e.select("vec_id", "embedding"), m, dsub, ksub, sampleMod))
       val codes = pqEncode(
         coarse.assigned.select((col("cand_id").as("vec_id") +: col("cell") +:
           col("ce2").as("embedding") +: carry.map(col)): _*),
         book, m, dsub, carry = "cell" +: carry)
       IvfPqIndex(coarse.centroids, PqIndex(book, codes, m, dsub))
     } else {
+      // residual training depends on the coarse assignment, so the two
+      // builds cannot overlap here
+      val coarse = ivfBuild(e, "vec_id", "embedding", kCoarse, carry)
       // corpus residuals: one narrow pass over the (already-assigned)
       // corpus × the broadcast k-row centroid table, materialized once
       // (the codebook training and the encode both consume it)
@@ -1280,32 +1292,38 @@ object AnnSuite {
   private[graft] def reconIndexFixture(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val held = e.filter(col("vec_id") % 7 === 3)
-    val dirA = graft.sources.Scratch.stable(
-      "recon_index_ivf/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
-      "vec_id", "embedding", IvfK), dirA)
-    ivfAppend(s, dirA, held, "vec_id", "embedding", batchId = 0L)
-    // fault 1: a slice of batch 0 lands AGAIN under a fresh batchId
-    ivfAppend(s, dirA, held.filter(col("vec_id") % 3 === 0),
-      "vec_id", "embedding", batchId = 1L)
-    // fault 2: tombstones for real ids (% 13 = 2) AND for ids that
-    // never existed (orphans — the NEGATIVE range, provably disjoint
-    // from real vec_ids at every SF; an additive offset would collide
-    // once the corpus reaches it and silently corrupt the counts)
-    ivfDelete(s, dirA,
-      e.filter(col("vec_id") % 13 === 2).select("vec_id")
-        .unionByName(e.filter(col("vec_id") % 17 === 4)
-          .select((-col("vec_id") - 1L).as("vec_id"))),
-      "vec_id", batchId = 2L)
-    val dirB = graft.sources.Scratch.stable(
-      "recon_index_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
-      "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16), dirB)
-    ivfPqAppend(s, dirB, held, "vec_id", "embedding", batchId = 0L)
-    reconIndexStore(s, dirA, IvfScheme, "ivf",
-        ivfLoad(s, dirA).assigned, e)
-      .unionByName(reconIndexStore(s, dirB, CodesScheme, "ivfpq",
-        pqLoad(s, dirB).codes, e))
+    // the two stores live in disjoint directories and never read each
+    // other: build + damage + audit each on its own thread (guide §2.6)
+    // — the audits' blocking head()/count() calls otherwise serialize
+    // the whole fixture
+    val (ra, rb) = graft.functions.Par.inParallel({
+      val dirA = graft.sources.Scratch.stable(
+        "recon_index_ivf/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK), dirA)
+      ivfAppend(s, dirA, held, "vec_id", "embedding", batchId = 0L)
+      // fault 1: a slice of batch 0 lands AGAIN under a fresh batchId
+      ivfAppend(s, dirA, held.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", batchId = 1L)
+      // fault 2: tombstones for real ids (% 13 = 2) AND for ids that
+      // never existed (orphans — the NEGATIVE range, provably disjoint
+      // from real vec_ids at every SF; an additive offset would collide
+      // once the corpus reaches it and silently corrupt the counts)
+      ivfDelete(s, dirA,
+        e.filter(col("vec_id") % 13 === 2).select("vec_id")
+          .unionByName(e.filter(col("vec_id") % 17 === 4)
+            .select((-col("vec_id") - 1L).as("vec_id"))),
+        "vec_id", batchId = 2L)
+      reconIndexStore(s, dirA, IvfScheme, "ivf", ivfLoad(s, dirA).assigned, e)
+    }, {
+      val dirB = graft.sources.Scratch.stable(
+        "recon_index_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16), dirB)
+      ivfPqAppend(s, dirB, held, "vec_id", "embedding", batchId = 0L)
+      reconIndexStore(s, dirB, CodesScheme, "ivfpq", pqLoad(s, dirB).codes, e)
+    })
+    ra.unionByName(rb)
   }
 
   /** The held-out slice (% 7 = 3) displaced by a constant +0.5 on
@@ -1336,7 +1354,7 @@ object AnnSuite {
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val truth = graft.api.Graft.rankedByGroup(
+    def truthPass(): DataFrame = graft.api.Graft.rankedByGroup(
         c.join(broadcast(q), col("query_id") =!= col("cand_id"))
           .withColumn("d_e6", floor(expr(
             """aggregate(zip_with(qe, ce,
@@ -1349,6 +1367,15 @@ object AnnSuite {
       .filter(col("rn") <= topK)
       .select("query_id", "cand_id")
       .localCheckpoint()
+    // the exact-truth pass and the two index builds are independent —
+    // overlap all three (guide §2.6); each is itself checkpoint-bounded
+    val (truth, (sIdx, fresh)) = graft.functions.Par.inParallel(
+      truthPass(),
+      graft.functions.Par.inParallel(
+        ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
+          "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16),
+        ivfPqBuild(e, "vec_id", "embedding", IvfK,
+          m = 8, dsub = 8, ksub = 16)))
     def recallOf(idx: IvfPqIndex, variant: String): DataFrame = {
       val got = ivfPqQuery(idx, queriesDf, "query_id", "embedding",
           IvfNProbe, topK = topK)
@@ -1360,16 +1387,12 @@ object AnnSuite {
           floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
             .cast("long").as("recall_e6"))
     }
-    val sIdx = ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
-      "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16)
-    val sCents = sIdx.centroids.localCheckpoint()
+    val sCents = sIdx.centroids // ivfBuild centroids are checkpointed
     val assignedFull = kmeansAssign(e, sCents)
       .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
     val codesFull = pqEncode(assignedFull, sIdx.pq.book, m = 8, dsub = 8,
       carry = Seq("cell"))
     val stale = IvfPqIndex(sCents, PqIndex(sIdx.pq.book, codesFull, 8, 8))
-    val fresh = ivfPqBuild(e, "vec_id", "embedding", IvfK,
-      m = 8, dsub = 8, ksub = 16)
     recallOf(stale, "stale")
       .unionByName(recallOf(fresh, "retrained"))
       .orderBy("variant")
