@@ -1,0 +1,29 @@
+package graft.functions
+
+/** Driver-side action overlap (spark optimization guide §2.6): Spark's
+  * scheduler runs several jobs at once inside one application — actions
+  * are sequential only because driver code calls them sequentially. For
+  * INDEPENDENT blocks (disjoint stores/directories/frames), running one
+  * on a pool thread lets its jobs back-fill executors idled by the
+  * other's broadcast builds and stage tails, and overlaps the two
+  * blocks' driver-side planning. Results are unchanged by construction:
+  * the blocks must not read or write each other's state.
+  */
+object Par {
+  def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fb = Future(blocking(b))
+    // run `a` on the calling thread (no pool hop); if it fails, still
+    // drain `b` so its in-flight jobs cannot leak into a later query's
+    // timing window
+    val ra =
+      try a
+      catch { case t: Throwable =>
+        try Await.result(fb, Duration.Inf) catch { case _: Throwable => () }
+        throw t
+      }
+    (ra, Await.result(fb, Duration.Inf))
+  }
+}
