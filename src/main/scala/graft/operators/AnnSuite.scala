@@ -1301,19 +1301,22 @@ object AnnSuite {
         "recon_index_ivf/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfSave(ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
         "vec_id", "embedding", IvfK), dirA)
-      ivfAppend(s, dirA, held, "vec_id", "embedding", batchId = 0L)
-      // fault 1: a slice of batch 0 lands AGAIN under a fresh batchId
-      ivfAppend(s, dirA, held.filter(col("vec_id") % 3 === 0),
-        "vec_id", "embedding", batchId = 1L)
-      // fault 2: tombstones for real ids (% 13 = 2) AND for ids that
-      // never existed (orphans — the NEGATIVE range, provably disjoint
-      // from real vec_ids at every SF; an additive offset would collide
-      // once the corpus reaches it and silently corrupt the counts)
-      ivfDelete(s, dirA,
-        e.filter(col("vec_id") % 13 === 2).select("vec_id")
-          .unionByName(e.filter(col("vec_id") % 17 === 4)
-            .select((-col("vec_id") - 1L).as("vec_id"))),
-        "vec_id", batchId = 2L)
+      // the three landings write disjoint batch_id dirs under the
+      // static gen-0 layout — co-land them (Par.all doc)
+      graft.functions.Par.all(
+        () => ivfAppend(s, dirA, held, "vec_id", "embedding", batchId = 0L),
+        // fault 1: a slice of batch 0 lands AGAIN under a fresh batchId
+        () => ivfAppend(s, dirA, held.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", batchId = 1L),
+        // fault 2: tombstones for real ids (% 13 = 2) AND for ids that
+        // never existed (orphans — the NEGATIVE range, provably disjoint
+        // from real vec_ids at every SF; an additive offset would collide
+        // once the corpus reaches it and silently corrupt the counts)
+        () => ivfDelete(s, dirA,
+          e.filter(col("vec_id") % 13 === 2).select("vec_id")
+            .unionByName(e.filter(col("vec_id") % 17 === 4)
+              .select((-col("vec_id") - 1L).as("vec_id"))),
+          "vec_id", batchId = 2L))
       reconIndexStore(s, dirA, IvfScheme, "ivf", ivfLoad(s, dirA).assigned, e)
     }, {
       val dirB = graft.sources.Scratch.stable(
@@ -1947,32 +1950,38 @@ object AnnSuite {
       val dir = graft.sources.Scratch.stable(
         "recon_index_lww/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfSave(ivfBuild(e, "vec_id", "embedding", IvfK), dir)
-      // batch 0: updates of live ids (% 5 = 1) — vector reversed
-      ivfAppend(s, dir,
-        e.filter(col("vec_id") % 5 === 1)
-          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-        "vec_id", "embedding", batchId = 0L)
-      // batch 1: deletes (% 13 = 2)
-      ivfDelete(s, dir, e.filter(col("vec_id") % 13 === 2).select("vec_id"),
-        "vec_id", batchId = 1L)
-      // batch 2: re-insert of the even half of the deleted keys
-      // (% 26 = 2) — under LWW these revive
-      ivfAppend(s, dir,
-        e.filter(col("vec_id") % 26 === 2)
-          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-        "vec_id", "embedding", batchId = 2L)
-      // batch 3: tombstones for keys that never existed (negative range)
-      ivfDelete(s, dir,
-        e.filter(col("vec_id") % 17 === 4)
-          .select((-col("vec_id") - 1L).as("vec_id")),
-        "vec_id", batchId = 3L)
-      // batch 4, the DAMAGE: % 29 = 7 landed twice in ONE segment — a
-      // writer that skipped the per-key envelope collapse
-      // (cdc_apply_latest) upstream of the append
-      val dup = e.filter(col("vec_id") % 29 === 7)
-        .select("vec_id", "embedding")
-      ivfAppend(s, dir, dup.unionByName(dup), "vec_id", "embedding",
-        batchId = 4L)
+      // batches 0-4 write disjoint batch_id dirs under the static gen-0
+      // layout — co-land all five (Par.all doc)
+      graft.functions.Par.all(
+        // batch 0: updates of live ids (% 5 = 1) — vector reversed
+        () => ivfAppend(s, dir,
+          e.filter(col("vec_id") % 5 === 1)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", batchId = 0L),
+        // batch 1: deletes (% 13 = 2)
+        () => ivfDelete(s, dir,
+          e.filter(col("vec_id") % 13 === 2).select("vec_id"),
+          "vec_id", batchId = 1L),
+        // batch 2: re-insert of the even half of the deleted keys
+        // (% 26 = 2) — under LWW these revive
+        () => ivfAppend(s, dir,
+          e.filter(col("vec_id") % 26 === 2)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", batchId = 2L),
+        // batch 3: tombstones for keys that never existed (negative range)
+        () => ivfDelete(s, dir,
+          e.filter(col("vec_id") % 17 === 4)
+            .select((-col("vec_id") - 1L).as("vec_id")),
+          "vec_id", batchId = 3L),
+        // batch 4, the DAMAGE: % 29 = 7 landed twice in ONE segment — a
+        // writer that skipped the per-key envelope collapse
+        // (cdc_apply_latest) upstream of the append
+        () => {
+          val dup = e.filter(col("vec_id") % 29 === 7)
+            .select("vec_id", "embedding")
+          ivfAppend(s, dir, dup.unionByName(dup), "vec_id", "embedding",
+            batchId = 4L)
+        })
       reconIndexStore(s, dir, IvfScheme, "lww_ivf",
           ivfLoadLww(s, dir).assigned, e, lww = true)
         .orderBy("store", "invariant")
@@ -1999,12 +2008,17 @@ object AnnSuite {
     // tag-union group-bys and delta reads.
     "recon_index_report" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
-      val inv = reconIndexFixture(s, d)
+      // the store fixture and the drift gate touch disjoint scratch
+      // dirs/frames — overlap them (guide §2.6; both are internally
+      // parallel already)
+      val (inv0, drift) = graft.functions.Par.inParallel(
+        reconIndexFixture(s, d),
+        ivfPqDriftGate(driftedCorpus(
+            Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))),
+          col("vec_id") % 7 === 3 && col("vec_id") < 40))
+      val inv = inv0
         .select(concat(lit("index:"), col("store")).as("component"),
           col("invariant").as("metric"), col("value"))
-      val drift = ivfPqDriftGate(driftedCorpus(
-          Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))),
-        col("vec_id") % 7 === 3 && col("vec_id") < 40)
       // the retrain trigger is RELATIVE (gain as a fraction of the
       // stale recall): an absolute e-6 bar can't hold across corpus
       // sizes (absolute recall shrinks as the corpus grows), while
