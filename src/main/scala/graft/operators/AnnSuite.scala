@@ -361,10 +361,14 @@ object AnnSuite {
     * generations must not leak into reloads).
     */
   private[graft] def pqSave(idx: PqIndex, dir: String): Unit = {
-    idx.book.write.mode("overwrite").parquet(s"$dir/book.parquet")
-    val w = idx.codes.write.mode("overwrite")
-    (if (idx.codes.columns.contains("cell")) w.partitionBy("cell") else w)
-      .parquet(s"$dir/codes.parquet")
+    // two independent tables — overlap the one-row book write with the
+    // corpus-sized code write (guide §2.6)
+    graft.functions.Par.inParallel(
+      idx.book.write.mode("overwrite").parquet(s"$dir/book.parquet"), {
+        val w = idx.codes.write.mode("overwrite")
+        (if (idx.codes.columns.contains("cell")) w.partitionBy("cell") else w)
+          .parquet(s"$dir/codes.parquet")
+      })
     val spark = idx.codes.sparkSession
     graft.sources.SegmentStore.reset(spark, dir, CodesScheme)
     // a save resets to generation 0: retrain-versioned sidecars from a
@@ -602,12 +606,17 @@ object AnnSuite {
     * matches its codes).
     */
   private[graft] def ivfPqSave(idx: IvfPqIndex, dir: String): Unit = {
-    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    pqSave(idx.pq, dir)
     val spark = idx.centroids.sparkSession
     import spark.implicits._
-    Seq(idx.residual).toDF("residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/flags.parquet")
+    // three independent tables (centroids / book+codes / flags) —
+    // overlap their writes (guide §2.6); pqSave's generation reset only
+    // touches manifests and VERSIONED sidecars, never these files
+    graft.functions.Par.all(
+      () => idx.centroids.write.mode("overwrite")
+        .parquet(s"$dir/centroids.parquet"),
+      () => pqSave(idx.pq, dir),
+      () => Seq(idx.residual).toDF("residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/flags.parquet"))
   }
 
   /** The index's residual-ness at its CURRENT generation (pre-flag
@@ -901,9 +910,12 @@ object AnnSuite {
     * instead of re-filtering the full corpus.
     */
   private[graft] def ivfSave(idx: IvfIndex, dir: String): Unit = {
-    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    idx.assigned.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$dir/assigned.parquet")
+    // two independent tables — overlap the k-row centroid write with
+    // the corpus-sized assignment write (guide §2.6)
+    graft.functions.Par.inParallel(
+      idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet"),
+      idx.assigned.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$dir/assigned.parquet"))
     // a save is a FULL rebuild: incremental segments from prior
     // ivfAppend batches AND any compacted generations (manifests,
     // versioned base/appends dirs) are superseded and must not leak
@@ -1228,38 +1240,46 @@ object AnnSuite {
         lit(1L).as("ni"), lit(0L).as("nc"))
       .unionByName(corpusIds.select(col("vec_id").as("cand_id"),
         lit(0L).as("ni"), lit(1L).as("nc")))
-    val scalars = tagged.groupBy(col("cand_id"))
-      .agg(sum(col("ni")).as("ni"), sum(col("nc")).as("nc"))
-      .agg(
-        sum(col("ni")).as("served_rows"),
-        sum(when(col("ni") > 1, 1L).otherwise(0L)).as("dup_keys"),
-        sum(when(col("ni") === 0 && col("nc") > 0, 1L).otherwise(0L))
-          .as("missing_from_index"),
-        sum(when(col("ni") > 0 && col("nc") === 0, 1L).otherwise(0L))
-          .as("foreign_in_index"))
-      .head()
-    val orphans = graft.sources.SegmentStore.deletes(spark, dir, scheme)
-      .map { t =>
-        val standing = {
-          val b = spark.read.parquet(s"$dir/${lay.base}").select("cand_id")
-          if (fs.exists(apPath))
-            b.unionByName(spark.read.parquet(apPath.toString).select("cand_id"))
-          else b
-        }
-        t.select("cand_id").distinct()
-          .join(standing, Seq("cand_id"), "left_anti").count()
-      }
-      .getOrElse(0L)
+    // the three audit legs (tag-union scalars / orphan anti-join / raw
+    // row counts) are independent blocking actions — overlap them
+    // (guide §2.6)
+    val (scalars, (orphans, rawRows)) = graft.functions.Par.inParallel(
+      tagged.groupBy(col("cand_id"))
+        .agg(sum(col("ni")).as("ni"), sum(col("nc")).as("nc"))
+        .agg(
+          sum(col("ni")).as("served_rows"),
+          sum(when(col("ni") > 1, 1L).otherwise(0L)).as("dup_keys"),
+          sum(when(col("ni") === 0 && col("nc") > 0, 1L).otherwise(0L))
+            .as("missing_from_index"),
+          sum(when(col("ni") > 0 && col("nc") === 0, 1L).otherwise(0L))
+            .as("foreign_in_index"))
+        .head(),
+      graft.functions.Par.inParallel(
+        graft.sources.SegmentStore.deletes(spark, dir, scheme)
+          .map { t =>
+            val standing = {
+              val b = spark.read.parquet(s"$dir/${lay.base}").select("cand_id")
+              if (fs.exists(apPath))
+                b.unionByName(
+                  spark.read.parquet(apPath.toString).select("cand_id"))
+              else b
+            }
+            t.select("cand_id").distinct()
+              .join(standing, Seq("cand_id"), "left_anti").count()
+          }
+          .getOrElse(0L),
+        if (!lww) 0L
+        else {
+          val baseRows = spark.read.parquet(s"$dir/${lay.base}").count()
+          val segRows =
+            if (fs.exists(apPath)) spark.read.parquet(apPath.toString).count()
+            else 0L
+          baseRows + segRows
+        }))
     val extra =
       if (!lww) Seq.empty[(String, Long)]
-      else {
-        val baseRows = spark.read.parquet(s"$dir/${lay.base}").count()
-        val segRows =
-          if (fs.exists(apPath)) spark.read.parquet(apPath.toString).count()
-          else 0L
-        Seq(("superseded_rows",
-          baseRows + segRows - scalars.getAs[Long]("served_rows")))
-      }
+      else Seq(("superseded_rows",
+        rawRows - scalars.getAs[Long]("served_rows")))
     (Seq(
       ("append_segments", segIds.size.toLong),
       ("dup_keys", scalars.getAs[Long]("dup_keys")),
