@@ -1624,14 +1624,23 @@ object AnnSuite {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      val truth = graft.api.Graft.rankedByGroup(
-          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-            .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
-            .select(col("query_id"), col("cos"), col("cand_id")),
-          Seq("query_id"), Seq(col("cos").desc, col("cand_id")))
-        .filter(col("rn") <= 3)
-        .select("query_id", "cand_id")
-        .localCheckpoint()
+      // the exact-truth pass and the two builds are independent —
+      // overlap all three (guide §2.6, the quantized gate's pattern);
+      // ivfBuild's centroids are already checkpointed
+      val (truth, (base, fresh)) = graft.functions.Par.inParallel(
+        graft.api.Graft.rankedByGroup(
+            c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+              .withColumn("cos",
+                floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
+              .select(col("query_id"), col("cos"), col("cand_id")),
+            Seq("query_id"), Seq(col("cos").desc, col("cand_id")))
+          .filter(col("rn") <= 3)
+          .select("query_id", "cand_id")
+          .localCheckpoint(),
+        graft.functions.Par.inParallel(
+          ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
+            "vec_id", "embedding", IvfK),
+          ivfBuild(e, "vec_id", "embedding", IvfK)))
       def recallOf(idx: IvfIndex, variant: String): DataFrame = {
         val got = ivfQuery(idx, queriesDf, "query_id", "embedding", IvfNProbe, 3)
           .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
@@ -1642,15 +1651,12 @@ object AnnSuite {
             floor(col("hits").cast("double") * 1e6 / col("n_truth") + 0.5)
               .cast("long").as("recall_e6"))
       }
-      val base = ivfBuild(e.filter(col("vec_id") % 7 =!= 3),
-        "vec_id", "embedding", IvfK)
-      val staleCents = base.centroids.localCheckpoint()
+      val staleCents = base.centroids
       val stale = IvfIndex(
         kmeansAssign(e.select(col("vec_id"), col("embedding")), staleCents)
           .select(col("vec_id").as("cand_id"), col("cid").as("cell"),
             col("embedding").as("ce2")),
         staleCents)
-      val fresh = ivfBuild(e, "vec_id", "embedding", IvfK)
       recallOf(stale, "stale")
         .unionByName(recallOf(fresh, "retrained"))
         .orderBy("variant")
@@ -1713,24 +1719,30 @@ object AnnSuite {
       val e = Tables.embeddings(s, d)
       val queriesDf = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val built = ivfBuild(e, "vec_id", "embedding", IvfK)
-      val idx = IvfIndex(built.assigned.localCheckpoint(),
-        built.centroids.localCheckpoint())
-      val occ = idx.assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("cell_n")).localCheckpoint()
       val corpusN = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      val truth = graft.api.Graft.rankedByGroup(
-          c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-            .withColumn("cos", floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
-            .select(col("query_id"), col("cos"), col("cand_id")),
-          Seq("query_id"), Seq(col("cos").desc, col("cand_id")))
-        .filter(col("rn") <= 3)
-        .select("query_id", "cand_id")
-        .localCheckpoint()
-      val legs = Seq(1, 2, 4, 8).map { np =>
+      // index build (+ assignment/occupancy materialization) and the
+      // exact-truth pass are independent — overlap them (guide §2.6)
+      val ((idx, occ), truth) = graft.functions.Par.inParallel({
+        val built = ivfBuild(e, "vec_id", "embedding", IvfK)
+        // centroids are already checkpointed by ivfBuild; the
+        // assignment checkpoint materializes it once for all four legs
+        val ix = IvfIndex(built.assigned.localCheckpoint(), built.centroids)
+        (ix, ix.assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("cell_n")).localCheckpoint())
+      },
+        graft.api.Graft.rankedByGroup(
+            c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+              .withColumn("cos",
+                floor(expr("cosine_sim(qe, ce)") * 1e6 + 0.5) / 1e6)
+              .select(col("query_id"), col("cos"), col("cand_id")),
+            Seq("query_id"), Seq(col("cos").desc, col("cand_id")))
+          .filter(col("rn") <= 3)
+          .select("query_id", "cand_id")
+          .localCheckpoint())
+      def legOf(np: Int): DataFrame = {
         val got = ivfQuery(idx, queriesDf, "query_id", "embedding", np, 3)
           .select(col("query_id"), col("cand_id"), lit(1L).as("got"))
         val rec = truth.join(got, Seq("query_id", "cand_id"), "left")
@@ -1751,6 +1763,10 @@ object AnnSuite {
             / (col("nq") * lit(corpusN)) + 0.5)
             .cast("long").as("frac_scanned_e6"))
       }
+      // each leg's serve checkpoints its probe set at construction —
+      // build the four legs concurrently
+      val legs = graft.functions.Par.all(
+        Seq(1, 2, 4, 8).map(np => () => legOf(np)): _*)
       legs.reduce(_.unionByName(_)).orderBy("nprobe")
     },
 
@@ -2326,36 +2342,42 @@ object AnnSuite {
     "ann_ivfpq_tune" -> { (s, d) =>
       org.apache.spark.sql.graft.Bridge.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val built = ivfPqBuild(e, "vec_id", "embedding",
-        kCoarse = IvfK, m = 8, dsub = 8, ksub = 16)
-      val idx = built.copy(
-        centroids = built.centroids.localCheckpoint(),
-        pq = built.pq.copy(codes = built.pq.codes.localCheckpoint()))
-      val occ = idx.pq.codes.groupBy(col("cell"))
-        .agg(count(lit(1)).as("cell_n")).localCheckpoint()
       val corpusN = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
       val queriesDf = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      // full (query × corpus) exact L2 distances, shared by the truth
-      // ranking and every shortlist re-rank leg
-      val tdist = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-        .withColumn("d_e6", floor(expr(
-          """aggregate(zip_with(qe, ce,
-            |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-            |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-          * 1e6 + 0.5).cast("long"))
-        .select(col("query_id"), col("d_e6"), col("cand_id"))
-        .localCheckpoint()
+      // the index build (+ code/occupancy materialization) and the
+      // exact-truth distance pass are independent — overlap them
+      // (guide §2.6, the drift-gate pattern)
+      val ((idx, occ), tdist) = graft.functions.Par.inParallel({
+        val built = ivfPqBuild(e, "vec_id", "embedding",
+          kCoarse = IvfK, m = 8, dsub = 8, ksub = 16)
+        // centroids are already checkpointed by ivfBuild; the codes
+        // checkpoint materializes the encode once for all eight legs
+        val ix = built.copy(
+          pq = built.pq.copy(codes = built.pq.codes.localCheckpoint()))
+        (ix, ix.pq.codes.groupBy(col("cell"))
+          .agg(count(lit(1)).as("cell_n")).localCheckpoint())
+      },
+        // full (query × corpus) exact L2 distances, shared by the truth
+        // ranking and every shortlist re-rank leg
+        c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+          .withColumn("d_e6", floor(expr(
+            """aggregate(zip_with(qe, ce,
+              |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+              |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+              |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+            * 1e6 + 0.5).cast("long"))
+          .select(col("query_id"), col("d_e6"), col("cand_id"))
+          .localCheckpoint())
       val truth = graft.api.Graft.rankedByGroup(tdist,
           Seq("query_id"), Seq(col("d_e6").asc, col("cand_id")))
         .filter(col("rn") <= 3)
         .select("query_id", "cand_id")
         .localCheckpoint()
-      val legs = for { np <- Seq(1, 2, 4, 8); sl <- Seq(0, 50) } yield {
+      def legOf(np: Int, sl: Int): DataFrame = {
         val served = ivfPqQuery(idx, queriesDf, "query_id", "embedding",
           nprobe = np, topK = if (sl == 0) 3 else sl)
         val got = (if (sl == 0) served.select("query_id", "cand_id")
@@ -2384,6 +2406,11 @@ object AnnSuite {
             / (col("nq") * lit(corpusN)) + 0.5)
             .cast("long").as("frac_scanned_e6"))
       }
+      // leg CONSTRUCTION is also eager (each serve checkpoints its
+      // probe set) — build the eight legs concurrently
+      val legs = graft.functions.Par.all(
+        (for { np <- Seq(1, 2, 4, 8); sl <- Seq(0, 50) }
+          yield { () => legOf(np, sl) }): _*)
       legs.reduce(_.unionByName(_)).orderBy("nprobe", "shortlist")
     },
 
@@ -2438,8 +2465,13 @@ object AnnSuite {
         .localCheckpoint()
       val queriesDf = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val legs = Seq(1, 2, 16, 256).map { mod =>
-        val book = pqTrain(e, m = 8, dsub = 8, ksub = 16, sampleMod = mod)
+      // each rate's codebook training is an eager checkpoint — train
+      // the four concurrently (guide §2.6; the truth pass above already
+      // ran, so the pool is otherwise idle)
+      val books = graft.functions.Par.all(Seq(1, 2, 16, 256).map(mod =>
+        () => mod -> pqTrain(e, m = 8, dsub = 8, ksub = 16,
+          sampleMod = mod)): _*)
+      val legs = books.map { case (mod, book) =>
         val got = pqQuery(
             PqIndex(book, pqEncode(e, book, m = 8, dsub = 8), 8, 8),
             queriesDf, topK = 3)

@@ -466,13 +466,15 @@ object DedupSuite {
           .agg((count(lit(1)) / 2).cast("long").as("n_found"),
             countDistinct(col("d")).as("n_docs"))
           .select(lit(method).as("method"), col("n_found"), col("n_docs"))
-      val exact = queries("dedup_exact")(s, d)
-        .agg(count(lit(1)).as("n_found"), sum(col("n_copies")).as("n_docs"))
-        .select(lit("exact").as("method"), col("n_found"), col("n_docs"))
-      exact
-        .unionByName(pairStats(queries("dedup_minhash_lsh")(s, d), "minhash_lsh"))
-        .unionByName(pairStats(queries("dedup_simhash")(s, d), "simhash"))
-        .orderBy("method")
+      // each method's pipeline checkpoints its own intermediates at
+      // CONSTRUCTION — build the three concurrently (guide §2.6)
+      val methods = graft.functions.Par.all(
+        () => queries("dedup_exact")(s, d)
+          .agg(count(lit(1)).as("n_found"), sum(col("n_copies")).as("n_docs"))
+          .select(lit("exact").as("method"), col("n_found"), col("n_docs")),
+        () => pairStats(queries("dedup_minhash_lsh")(s, d), "minhash_lsh"),
+        () => pairStats(queries("dedup_simhash")(s, d), "simhash"))
+      methods.reduce(_.unionByName(_)).orderBy("method")
     },
 
     "dedup_ngram_jaccard" -> { (s, d) =>
