@@ -631,9 +631,14 @@ object AnnSuite {
   }
 
   private[graft] def ivfPqLoad(spark: SparkSession, dir: String,
-      carry: Seq[String] = Nil): IvfPqIndex =
-    IvfPqIndex(spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")),
+      carry: Seq[String] = Nil): IvfPqIndex = {
+    // the book head() and the flags head() are independent one-row
+    // reads — overlap them (guide §2.6)
+    val (pq, residual) = graft.functions.Par.inParallel(
       pqLoad(spark, dir, carry), ivfPqResidualFlag(spark, dir))
+    IvfPqIndex(spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")),
+      pq, residual)
+  }
 
   /** Incremental IVFADC maintenance — the composed quantized index as
     * a LIVING index: assign the arriving batch at the persisted
@@ -654,10 +659,13 @@ object AnnSuite {
   private[graft] def ivfPqAppend(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, embCol: String,
       batchId: Long): Boolean = {
-    val (book, m, dsub) = pqBookLoad(spark, dir)
+    // book head() and flags head() are independent one-row reads —
+    // overlap them (guide §2.6)
+    val ((book, m, dsub), residual) = graft.functions.Par.inParallel(
+      pqBookLoad(spark, dir), ivfPqResidualFlag(spark, dir))
     graft.sources.SegmentStore.append(spark, dir, CodesScheme,
       ivfPqEncodeBatch(spark, dir, batch, idCol, embCol, book, m, dsub,
-        ivfPqResidualFlag(spark, dir), pqCarryOf(spark, dir)),
+        residual, pqCarryOf(spark, dir)),
       Seq("cell"), batchId)
   }
 
