@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.LongAdder
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times the headline queries at the driver-chosen
@@ -81,7 +81,21 @@ object Bench {
     */
   private final class WorkMeter extends SparkListener {
     val bytes = new LongAdder; val records = new LongAdder; val spill = new LongAdder
+    // Max CONCURRENTLY-RUNNING tasks since the last resetConc() — the
+    // per-query parallelism evidence the wall-clock scaling probe can't
+    // give at toy SFs (r16 verdict: 8-core total ≈ 32-core total because
+    // every local stage is planning-bound; whether a query CAN fill the
+    // cores is a property of its task graph, and this measures exactly
+    // that). Listener events arrive in posting order on one queue, so
+    // the running count is consistent with the scheduler's own ordering.
+    private val active = new java.util.concurrent.atomic.AtomicInteger
+    private val high = new java.util.concurrent.atomic.AtomicInteger
+    override def onTaskStart(e: SparkListenerTaskStart): Unit = {
+      val a = active.incrementAndGet()
+      high.getAndAccumulate(a, Math.max(_: Int, _: Int))
+    }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      active.decrementAndGet()
       val m = e.taskMetrics
       // successful tasks only: a failed-then-retried task would count
       // its shuffle writes twice and fabricate a gate flag
@@ -92,9 +106,11 @@ object Bench {
       }
     }
     def snap: (Long, Long, Long) = (bytes.sum, records.sum, spill.sum)
+    def resetConc(): Unit = high.set(active.get)
+    def maxConc: Int = high.get
   }
 
-  private case class Work(bytes: Long, records: Long, spill: Long)
+  private case class Work(bytes: Long, records: Long, spill: Long, conc: Int)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,7 +180,7 @@ object Bench {
     def timeSet(qnames: Seq[String], dir: String, timedRuns: Int = 3)
         : Seq[(String, Either[String, (Double, Work)])] =
       qnames.map { name =>
-        var work = Work(0L, 0L, 0L)
+        var work = Work(0L, 0L, 0L, 0)
         val runs = (0 to timedRuns).map { i =>
           // each run starts cache-cold: leftover persists from the previous
           // run would otherwise make later runs time a cache read, and the
@@ -174,6 +190,7 @@ object Bench {
           // cost isn't billed to this timing
           System.gc()
           val before = snapDrained()
+          meter.resetConc()
           val t0 = System.nanoTime()
           val err =
             try { materialize(SparkEntry.queries(name)(spark, dir)); None }
@@ -184,7 +201,8 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           if (err.isEmpty && i == timedRuns) {
             val after = snapDrained()
-            work = Work(after._1 - before._1, after._2 - before._2, after._3 - before._3)
+            work = Work(after._1 - before._1, after._2 - before._2,
+              after._3 - before._3, meter.maxConc)
           }
           (dt, err, i)
         }
@@ -629,6 +647,32 @@ object Bench {
       val flags = shuffleRegressions.map(jstr).mkString("[", ",", "]")
       s""","shuffle_bytes":$sb,"shuffle_records":$sr,"spill_bytes":$sp,"shuffle_regressions":$flags,"drain_timeouts":${drainTimeouts.get}"""
     }
+    // Scaling evidence (r16 verdict: at local SFs every wall is
+    // planning-bound, so 8-core and 32-core TOTALS tie and the wall-ratio
+    // probe is vacuous): publish each query's measured max
+    // CONCURRENTLY-RUNNING task count instead — whether the task graph
+    // fills the cores is the property that transfers to a real cluster,
+    // and it is deterministic where walls are noisy. Full per-query maps
+    // at the bench SF and the 8-file sf1 tile go in this (persisted)
+    // record; the compact tail-sized line carries the shuffle-heavy
+    // subset so the driver's low-vs-high-cpu runs can compare it
+    // directly.
+    def concMap(work: Map[String, Work]): String =
+      work.toSeq.sortBy(_._1).map { case (k, w) => jstr(k) + ":" + w.conc }
+        .mkString("{", ",", "}")
+    val concJson = s""","cpus":$cpus,"max_concurrent_tasks":${concMap(workMap)}""" +
+      (if (sf1Work.isEmpty) ""
+       else s""","max_concurrent_tasks_sf1":${concMap(sf1Work)}""")
+    val scalingProbe = Seq("q_median_by_group", "recon_rowlevel",
+      "text_fingerprint", "dedup_substring", "dedup_minhash_lsh",
+      "q1_pricing_summary")
+    val compactScaling = {
+      def sub(work: Map[String, Work]): String =
+        scalingProbe.flatMap(k => work.get(k).map(w => jstr(k) + ":" + w.conc))
+          .mkString("{", ",", "}")
+      s""","cpus":$cpus,"max_conc":${sub(workMap)}""" +
+        (if (sf1Work.isEmpty) "" else s""","max_conc_sf1":${sub(sf1Work)}""")
+    }
     val streamJson = if (streaming.isEmpty && streamSkips.isEmpty) "" else {
       val entries = streaming.map { r =>
         jstr(r.key) + s""":{"wall_sec":${jnum(r.wall)},"input_rows":${r.rows},"batches":${r.batches},"rows_per_sec":${jnum(r.rps)},"state_rows":${r.stateRows},"state_mem_bytes":${r.stateMem},"runs":${r.runs}}"""
@@ -651,7 +695,7 @@ object Bench {
       s""","streaming_continuous":${entries.mkString("{", ",", "}")}"""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$sf01mJson$sf10Json$slJson$workJson$streamJson$contJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$scaleJson$sf1Json$sf01mJson$sf10Json$slJson$workJson$concJson$streamJson$contJson}"""
     println(line)
     // A COMPACT summary line is printed LAST: the driver's artifact
     // keeps only a ~2000-char stdout tail, and the full line above
@@ -662,7 +706,7 @@ object Bench {
     // name is DISTINCT ("total_compact") so a consumer grepping
     // '{"metric"' can tell the two shapes apart deterministically.
     println(
-      s"""{"metric":"total_compact","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","detail":"bench/last_bench.json"}""")
+      s"""{"metric":"total_compact","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"$compactScaling,"detail":"bench/last_bench.json"}""")
     // Persist the line: the driver's stdout capture keeps only a tail,
     // which truncated the per-query maps out of two rounds' artifacts —
     // the committed file makes round-over-round comparison

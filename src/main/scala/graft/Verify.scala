@@ -2,8 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run CONCURRENTLY on a small fixed pool (guide §2.6: actions
+  * are sequential only because driver code calls them sequentially; one
+  * query's jobs back-fill executors idled by another's trigger waits,
+  * broadcast builds and driver-side planning — the streaming twins in
+  * particular spend most of their wall waiting on micro-batch
+  * machinery, not CPU). Every query remains self-contained (own scratch
+  * dirs, own streaming checkpoint/queryName, deterministic output), so
+  * results are unchanged — the one exception is entries sharing an
+  * on-disk fixture, which are chained below.
+  */
 object Verify {
+  /** Entries that rebuild the SAME stable fixture dirs (two writers
+    * racing on one SegmentStore would corrupt it): run each group's
+    * members sequentially on one pool thread. recon_index and
+    * recon_index_report both (re)build reconIndexFixture's two stores
+    * (recon_index_ivf / recon_index_ivfpq). Every other entry's stable
+    * scratch paths are prefixed with its own name (audited r17).
+    */
+  private val ConflictGroups = Seq(Seq("recon_index", "recon_index_report"))
+
   def main(args: Array[String]): Unit = {
     // optional 3rd+ args: restrict to the named queries (local iteration
     // aid; the driver always invokes with exactly two)
@@ -16,18 +36,59 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // hoist the per-entry session setup: register the native functions
+    // once here, so the 59 in-entry Bridge.register calls become no-ops
+    // (idempotence guard in Bridge) instead of 59 × 11 re-registrations
+    org.apache.spark.sql.graft.Bridge.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+
+    def runOne(name: String): Unit = {
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // pipeline exit: drop any persists the query registered so cached
-      // intermediates don't accumulate across the 70+ query run
+      // intermediates don't accumulate across the 230-query run (main
+      // code holds no persists — localCheckpoint blocks are unaffected —
+      // so a concurrent clear can only force a recompute, never change
+      // a result)
       spark.catalog.clearCache()
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.isEmpty || only(name))
+    val chained = ConflictGroups.flatten.toSet
+    // one unit = what a single pool thread runs in order; longest work
+    // first (streaming twins and the fixture-heavy chains) so the pool's
+    // tail is short queries, not a 7 s twin started last
+    val units: Seq[Seq[String]] =
+      (ConflictGroups.map(_.filter(names.contains)).filter(_.nonEmpty) ++
+        names.filterNot(chained).map(Seq(_)))
+        .sortBy { u =>
+          val n = u.head
+          if (u.length > 1 || n.startsWith("stream_") ||
+            n.startsWith("cdc_stream") || n.startsWith("ann_") ||
+            n.startsWith("recon_index")) 0 else 1
+        }
+    // default 8 measured best at sf0.01 (316 s sequential → 136 s at 4
+    // → 111 s at 8 → 127 s at 12, same 228/228 oracle PASS); override
+    // with SPARK_GRAFT_VERIFY_PAR, 1 = the old sequential loop
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+    if (par == 1 || units.length <= 1) units.foreach(_.foreach(runOne))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"verify-${n.incrementAndGet()}")
+            t.setDaemon(true); t
+          }
+        })
+      try units.map { u =>
+        pool.submit(new Runnable { def run(): Unit = u.foreach(runOne) })
+      }.foreach(_.get()) // runOne never throws; .get() surfaces pool errors
+      finally pool.shutdown()
     }
     // LSH hot-bucket diagnostic: the Spark-side gate caps buckets at
     // MaxBucket while the oracles run uncapped — surface the observed

@@ -31,6 +31,16 @@ object Bridge {
     */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // idempotence guard: entries call register defensively (59 call
+    // sites), so a session pays 59 × 11 re-registrations — each logging
+    // "replaced a previously registered function" — without this. Keyed
+    // on the LAST function below: its presence implies a prior call
+    // completed the whole list (registration order is fixed; a
+    // concurrent second caller merely re-runs the idempotent
+    // createOrReplace calls).
+    if (classic.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_token_count")))
+      return
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
