@@ -416,6 +416,23 @@ object AnnSuite {
     (book, sub.getInt(0), sub.getInt(1))
   }
 
+  /** A quantized store's full metadata quadruple, read ONCE per entry:
+    * codebook (+ geometry head), residual flag (driver-side record
+    * read), carried attribute columns (base-schema footer read). An
+    * entry's maintain and serve phases each re-derived all of these
+    * (two book head() jobs, two flag reads per append+load chain);
+    * appends, deletes and plain compactions change none of them —
+    * only a retrain does, via its atomic sidecar swap — so one read
+    * is valid across a maintain+serve chain that does not retrain.
+    */
+  private[graft] case class PqMeta(book: DataFrame, m: Int, dsub: Int,
+      residual: Boolean, carry: Seq[String])
+
+  private[graft] def pqMetaLoad(spark: SparkSession, dir: String): PqMeta = {
+    val (book, m, dsub) = pqBookLoad(spark, dir)
+    PqMeta(book, m, dsub, ivfPqResidualFlag(spark, dir), pqCarryOf(spark, dir))
+  }
+
   /** Reload a [[pqSave]]d index; serves identically to the freshly
     * trained one (training is deterministic, the round-trip lossless —
     * PqPersistSpec pins reload equality). Codes are the base table
@@ -424,8 +441,9 @@ object AnnSuite {
     * holds on each leg).
     */
   private[graft] def pqLoad(spark: SparkSession, dir: String,
-      carry: Seq[String] = Nil): PqIndex = {
-    val (book, m, dsub) = pqBookLoad(spark, dir)
+      carry: Seq[String] = Nil,
+      bookOpt: Option[(DataFrame, Int, Int)] = None): PqIndex = {
+    val (book, m, dsub) = bookOpt.getOrElse(pqBookLoad(spark, dir))
     val codes = graft.sources.SegmentStore.load(spark, dir, CodesScheme,
       deleteKeys = Seq("cand_id")) { df =>
       val typed = if (df.columns.contains("cell"))
@@ -622,20 +640,22 @@ object AnnSuite {
   /** The index's residual-ness at its CURRENT generation (pre-flag
     * r13 layouts are plain-sub-vector by construction).
     */
-  private[graft] def ivfPqResidualFlag(spark: SparkSession, dir: String): Boolean = {
-    val p = ivfPqSidecarPath(spark, dir, "flags")
-    val fs = new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(new org.apache.hadoop.fs.Path(p)) &&
-      spark.read.parquet(p).head().getBoolean(0)
-  }
+  private[graft] def ivfPqResidualFlag(spark: SparkSession, dir: String): Boolean =
+    // driver-side record read (ParquetMeta.headBoolean): the flag is
+    // store metadata — a Spark head() on the one-row table paid full
+    // planning + an AQE stage-job per call, and every load/append/
+    // retrain/LWW path pays it (twice per maintain+serve entry)
+    graft.sources.ParquetMeta.headBoolean(spark,
+      ivfPqSidecarPath(spark, dir, "flags"), "residual").getOrElse(false)
 
   private[graft] def ivfPqLoad(spark: SparkSession, dir: String,
-      carry: Seq[String] = Nil): IvfPqIndex = {
-    // the book head() and the flags head() are independent one-row
-    // reads — overlap them (guide §2.6)
-    val (pq, residual) = graft.functions.Par.inParallel(
-      pqLoad(spark, dir, carry), ivfPqResidualFlag(spark, dir))
+      carry: Seq[String] = Nil, meta: Option[PqMeta] = None): IvfPqIndex = {
+    // `meta`: the entry already read the store's metadata for its
+    // maintain phase and nothing between has retrained — reuse it
+    // instead of re-paying the book head() (the flag read is now a
+    // driver-side record read either way, so no Par needed here)
+    val pq = pqLoad(spark, dir, carry, meta.map(mt => (mt.book, mt.m, mt.dsub)))
+    val residual = meta.map(_.residual).getOrElse(ivfPqResidualFlag(spark, dir))
     IvfPqIndex(spark.read.parquet(ivfPqSidecarPath(spark, dir, "centroids")),
       pq, residual)
   }
@@ -658,14 +678,11 @@ object AnnSuite {
     */
   private[graft] def ivfPqAppend(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, embCol: String,
-      batchId: Long): Boolean = {
-    // book head() and flags head() are independent one-row reads —
-    // overlap them (guide §2.6)
-    val ((book, m, dsub), residual) = graft.functions.Par.inParallel(
-      pqBookLoad(spark, dir), ivfPqResidualFlag(spark, dir))
+      batchId: Long, meta: Option[PqMeta] = None): Boolean = {
+    val mt = meta.getOrElse(pqMetaLoad(spark, dir))
     graft.sources.SegmentStore.append(spark, dir, CodesScheme,
-      ivfPqEncodeBatch(spark, dir, batch, idCol, embCol, book, m, dsub,
-        residual, pqCarryOf(spark, dir)),
+      ivfPqEncodeBatch(spark, dir, batch, idCol, embCol, mt.book, mt.m,
+        mt.dsub, mt.residual, mt.carry),
       Seq("cell"), batchId)
   }
 
@@ -734,13 +751,25 @@ object AnnSuite {
     * are naturally absent; rows deleted only in the index are masked
     * here.
     */
-  private[graft] def ivfPqRetrain(spark: SparkSession, dir: String,
-      corpus: DataFrame, idCol: String, embCol: String,
-      crashBeforeCommit: Boolean = false, retain: Int = 1): Boolean = {
+  /** The retrain's READ-AND-REBUILD half, split out so a caller can
+    * overlap it with independent maintenance (guide §2.6): everything
+    * here reads only the store's metadata quadruple, delete/purged
+    * channels and the caller's corpus frame — never the appends channel
+    * — so it may run concurrently with an [[ivfPqAppend]] landing.
+    * (The [[ivfPqRetrain]] COMMIT must still come after every landing:
+    * its compact folds the watermark over all committed segment ids.)
+    * Eager through the coarse build + codebook training (ivfBuild and
+    * pqTrain checkpoint); the codes frame stays lazy and materializes
+    * at the commit's fold write.
+    */
+  private[graft] def ivfPqRetrainPrep(spark: SparkSession, dir: String,
+      corpus: DataFrame, idCol: String, embCol: String): IvfPqIndex = {
     val (book, m, dsub) = pqBookLoad(spark, dir)
     val ksub = book.select(size(expr("element_at(subcents, 1)"))).head().getInt(0)
-    val kCoarse = spark.read
-      .parquet(ivfPqSidecarPath(spark, dir, "centroids")).count().toInt
+    // geometry parameter from the k-row table's footers — driver-side,
+    // no Spark job (ParquetMeta.rowCountDriver)
+    val kCoarse = graft.sources.ParquetMeta.rowCountDriver(spark,
+      ivfPqSidecarPath(spark, dir, "centroids")).toInt
     val residual = ivfPqResidualFlag(spark, dir)
     val carry = pqCarryOf(spark, dir)
     val src0 = corpus.select((col(idCol).as("vec_id") +:
@@ -756,8 +785,16 @@ object AnnSuite {
       val m = t.select("cand_id")
       acc.join(broadcast(m), acc("vec_id") === m("cand_id"), "left_anti")
     }
-    val idx = ivfPqBuild(src, "vec_id", "embedding", kCoarse, m, dsub, ksub,
+    ivfPqBuild(src, "vec_id", "embedding", kCoarse, m, dsub, ksub,
       residual, carry = carry)
+  }
+
+  private[graft] def ivfPqRetrain(spark: SparkSession, dir: String,
+      corpus: DataFrame, idCol: String, embCol: String,
+      crashBeforeCommit: Boolean = false, retain: Int = 1,
+      prebuilt: Option[IvfPqIndex] = None): Boolean = {
+    val idx = prebuilt.getOrElse(
+      ivfPqRetrainPrep(spark, dir, corpus, idCol, embCol))
     val lowestRetained = graft.sources.SegmentStore
       .resolve(spark, dir, CodesScheme).gen + 1 - retain
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1351,8 +1388,13 @@ object AnnSuite {
         "recon_index_ivfpq/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
         "vec_id", "embedding", IvfK, m = 8, dsub = 8, ksub = 16), dirB)
-      ivfPqAppend(s, dirB, held, "vec_id", "embedding", batchId = 0L)
-      reconIndexStore(s, dirB, CodesScheme, "ivfpq", pqLoad(s, dirB).codes, e)
+      // one metadata read serves the append's encode AND the audit's
+      // served view (appends change no metadata — PqMeta doc)
+      val meta = pqMetaLoad(s, dirB)
+      ivfPqAppend(s, dirB, held, "vec_id", "embedding", batchId = 0L,
+        meta = Some(meta))
+      reconIndexStore(s, dirB, CodesScheme, "ivfpq",
+        pqLoad(s, dirB, bookOpt = Some((meta.book, meta.m, meta.dsub))).codes, e)
     })
     ra.unionByName(rb)
   }
@@ -1906,9 +1948,14 @@ object AnnSuite {
         "ann_ivfpq_retrain/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding",
         kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
-      ivfPqAppend(s, dir, e.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
-        batchId = 0L)
-      ivfPqRetrain(s, dir, e, "vec_id", "embedding")
+      // the retrain's read-and-rebuild half never touches the appends
+      // channel (ivfPqRetrainPrep doc) — overlap it with the batch
+      // landing; only the COMMIT (compact) must see the landed segment
+      val (_, prep) = graft.functions.Par.inParallel(
+        ivfPqAppend(s, dir, e.filter(col("vec_id") % 7 === 3),
+          "vec_id", "embedding", batchId = 0L),
+        ivfPqRetrainPrep(s, dir, e, "vec_id", "embedding"))
+      ivfPqRetrain(s, dir, e, "vec_id", "embedding", prebuilt = Some(prep))
       ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
         .orderBy("query_id", "rk")
@@ -2160,9 +2207,16 @@ object AnnSuite {
         "ann_ivfpq_delete/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfPqSave(ivfPqBuild(e, "vec_id", "embedding",
         kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
-      ivfPqDelete(s, dir, e.filter(col("vec_id") % 11 === 5).select("vec_id"),
-        "vec_id", batchId = 0L)
-      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+      // the tombstone landing touches only the delete channel; the
+      // serve's metadata reads touch only book/flags/base schema —
+      // overlap them (guide §2.6). The SERVING view (codes ∪ segments −
+      // tombstones) is constructed below, after both finish.
+      val (_, meta) = graft.functions.Par.inParallel(
+        ivfPqDelete(s, dir, e.filter(col("vec_id") % 11 === 5).select("vec_id"),
+          "vec_id", batchId = 0L),
+        pqMetaLoad(s, dir))
+      ivfPqQuery(ivfPqLoad(s, dir, meta = Some(meta)),
+        e.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
         .orderBy("query_id", "rk")
     },
@@ -2291,9 +2345,14 @@ object AnnSuite {
         "ann_ivfpq_append/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       ivfPqSave(ivfPqBuild(e.filter(col("vec_id") % 7 =!= 3),
         "vec_id", "embedding", kCoarse = IvfK, m = 8, dsub = 8, ksub = 16), dir)
+      // one metadata read serves BOTH the append's encode and the
+      // reload (appends change no metadata — PqMeta doc); previously
+      // each phase re-paid the book head() + flag read
+      val meta = pqMetaLoad(s, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") % 7 === 3),
-        "vec_id", "embedding", batchId = 0L)
-      ivfPqQuery(ivfPqLoad(s, dir), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", batchId = 0L, meta = Some(meta))
+      ivfPqQuery(ivfPqLoad(s, dir, meta = Some(meta)),
+        e.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = IvfNProbe, topK = 5)
         .orderBy("query_id", "rk")
     },

@@ -430,21 +430,32 @@ object DedupSuite {
       val sh = shingleSets(s, d).localCheckpoint()
       val dir = graft.sources.Scratch.stable(
         "recon_index_bands/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      bandIndexSave(minhashBands(sh.filter(col("doc_id") < 1000000L)), dir)
-      val seg = minhashBands(
-        sh.filter(col("doc_id") >= 1000000L && col("doc_id") % 20 === 0))
-      bandIndexAppend(seg, dir, batchId = 0L)
-      // fault 1: the same batch lands AGAIN under a fresh batchId
-      bandIndexAppend(seg, dir, batchId = 1L)
-      // fault 2: tombstones for real docs (% 20 = 10) AND for ids that
-      // never existed (negative range — provably disjoint at every SF)
-      bandIndexDelete(s, dir,
-        sh.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === 10)
-          .select("doc_id")
-          .unionByName(
-            sh.filter(col("doc_id") < 1000000L && col("doc_id") % 23 === 5)
-              .select((-col("doc_id") - 1L).as("doc_id"))),
-        "doc_id", batchId = 2L)
+      // the base save (which also resets the segment store — it MUST
+      // complete before any landing) and the injected segment's
+      // materialization are independent jobs over the checkpointed
+      // shingles — overlap them (guide §2.6). The checkpoint also stops
+      // the two duplicate landings below re-banding the slice twice.
+      val (_, seg) = graft.functions.Par.inParallel(
+        bandIndexSave(minhashBands(sh.filter(col("doc_id") < 1000000L)), dir),
+        minhashBands(
+          sh.filter(col("doc_id") >= 1000000L && col("doc_id") % 20 === 0))
+          .localCheckpoint())
+      // batches 0-2 write disjoint batch_id dirs (two append segments,
+      // one tombstone segment) under the static gen-0 layout — co-land
+      // all three (the recon_index_lww pattern; fault 1 is the same
+      // batch landing AGAIN under a fresh batchId, fault 2 tombstones
+      // for real docs (% 20 = 10) and for ids that never existed — the
+      // negative range, provably disjoint at every SF)
+      graft.functions.Par.all(
+        () => bandIndexAppend(seg, dir, batchId = 0L),
+        () => bandIndexAppend(seg, dir, batchId = 1L),
+        () => bandIndexDelete(s, dir,
+          sh.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === 10)
+            .select("doc_id")
+            .unionByName(
+              sh.filter(col("doc_id") < 1000000L && col("doc_id") % 23 === 5)
+                .select((-col("doc_id") - 1L).as("doc_id"))),
+          "doc_id", batchId = 2L))
       reconBandStore(s, dir, "bands", sh.select("doc_id"))
         .orderBy("store", "invariant")
     },
@@ -848,28 +859,32 @@ object DedupSuite {
         lit(1L).as("ni"), lit(0L).as("nc"))
       .unionByName(corpusPairs.select(col("doc_id"), col("band"),
         lit(0L).as("ni"), lit(1L).as("nc")))
-    val scalars = tagged.groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("ni")).as("ni"), sum(col("nc")).as("nc"))
-      .agg(
-        sum(col("ni")).as("served_rows"),
-        sum(when(col("ni") > 1, 1L).otherwise(0L)).as("dup_keys"),
-        sum(when(col("ni") === 0 && col("nc") > 0, 1L).otherwise(0L))
-          .as("missing_from_index"),
-        sum(when(col("ni") > 0 && col("nc") === 0, 1L).otherwise(0L))
-          .as("foreign_in_index"))
-      .head()
-    val orphans = graft.sources.SegmentStore.deletes(spark, dir, scheme)
-      .map { t =>
-        val standing = {
-          val b = spark.read.parquet(s"$dir/${lay.base}").select("doc_id")
-          if (fs.exists(apPath))
-            b.unionByName(spark.read.parquet(apPath.toString).select("doc_id"))
-          else b
+    // the tag-union scalars head() and the orphan anti-join count()
+    // are independent blocking reads of the store — overlap them
+    // (guide §2.6, the reconIndexStore audit pattern)
+    val (scalars, orphans) = graft.functions.Par.inParallel(
+      tagged.groupBy(col("doc_id"), col("band"))
+        .agg(sum(col("ni")).as("ni"), sum(col("nc")).as("nc"))
+        .agg(
+          sum(col("ni")).as("served_rows"),
+          sum(when(col("ni") > 1, 1L).otherwise(0L)).as("dup_keys"),
+          sum(when(col("ni") === 0 && col("nc") > 0, 1L).otherwise(0L))
+            .as("missing_from_index"),
+          sum(when(col("ni") > 0 && col("nc") === 0, 1L).otherwise(0L))
+            .as("foreign_in_index"))
+        .head(),
+      graft.sources.SegmentStore.deletes(spark, dir, scheme)
+        .map { t =>
+          val standing = {
+            val b = spark.read.parquet(s"$dir/${lay.base}").select("doc_id")
+            if (fs.exists(apPath))
+              b.unionByName(spark.read.parquet(apPath.toString).select("doc_id"))
+            else b
+          }
+          t.select("doc_id").distinct()
+            .join(standing, Seq("doc_id"), "left_anti").count()
         }
-        t.select("doc_id").distinct()
-          .join(standing, Seq("doc_id"), "left_anti").count()
-      }
-      .getOrElse(0L)
+        .getOrElse(0L))
     Seq(
       ("append_segments", segIds.size.toLong),
       ("dup_keys", scalars.getAs[Long]("dup_keys")),

@@ -72,4 +72,75 @@ object ParquetMeta {
   def rowCount(s: SparkSession, path: String): Long =
     fileRowCounts(s, path).agg(coalesce(sum(col("n")), lit(0L)).as("c"))
       .head().getLong(0)
+
+  /** DRIVER-SIDE exact row count from parquet footers — for K-ROW
+    * metadata tables (an index's centroid count is its geometry
+    * parameter) where even [[rowCount]]'s one-task job pays full query
+    * planning. Footer reads only, no data pages; listing recurses like
+    * [[fileRowCounts]] with the same hidden-segment filter.
+    */
+  def rowCountDriver(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val rootUri = fs.getFileStatus(p).getPath.toUri.getPath
+    def hidden(f: org.apache.hadoop.fs.Path): Boolean =
+      f.toUri.getPath.stripPrefix(rootUri).split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !hidden(f.getPath))
+            buf += f.getPath
+        }
+        buf.result()
+      } else Seq(p)
+    files.map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try rd.getRecordCount finally rd.close()
+    }.sum
+  }
+
+  /** DRIVER-SIDE read of one BOOLEAN from a one-row parquet table —
+    * store METADATA (the quantized index's residual flag) should cost a
+    * metadata read, not a Spark job: `spark.read.parquet(p).head()` on
+    * a one-row table pays full query planning plus an AQE stage-job per
+    * call (~100 ms and a cluster round-trip), where the parquet-hadoop
+    * record reader pays one footer + one page read on the driver. Same
+    * value by construction (it reads the same file). Row-group skipping
+    * never applies (the table is one row); files are visited in listing
+    * order and the first non-null value wins — exactly head()'s
+    * semantics on a coalesce(1)-written table.
+    */
+  def headBoolean(s: SparkSession, path: String, column: String): Option[Boolean] = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      else Seq(p)
+    files.iterator.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf).build()
+      try {
+        Iterator.continually(reader.read()).takeWhile(_ != null)
+          .collectFirst {
+            case g if g.getType.containsField(column) &&
+              g.getFieldRepetitionCount(column) > 0 =>
+              g.getBoolean(column, 0)
+          }
+      } finally reader.close()
+    }.nextOption()
+  }
 }
