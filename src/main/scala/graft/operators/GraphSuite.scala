@@ -48,12 +48,26 @@ object GraphSuite {
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+      // sym is consumed by TWO actions below (the deg checkpoint and
+      // the edges checkpoint) and, un-materialized, ALSO re-derived by
+      // iteration 1 through the rank table's lineage — i.e. the heavy
+      // fixture (orders ⋈ lineitem → distinct → union) ran twice: once
+      // inside the edges job (its two sym subtrees dedup via exchange
+      // reuse) and once more when iteration 1 first touched ranks (the
+      // r16 wave-1 defect class: a second full fact-table pass at any
+      // scale). Checkpointing sym runs it exactly once; the frame is
+      // the same size class as the edges checkpoint two lines down,
+      // which the design already materializes.
       val sym = base.unionByName(base.select(col("b").as("a"), col("a").as("b")))
         .select(col("a").as("src"), col("b").as("dst"))
+        .localCheckpoint()
       // Static per-iteration join input: (src, dst, outdeg of src),
       // partitioned on the join key once. localCheckpoint is eager, so
-      // the two shuffles behind it (distinct + outdeg) run exactly once.
+      // the shuffles behind it run exactly once. deg (|nodes| rows, the
+      // rank tables' size class) checkpoints too: it feeds both the
+      // edges join and iteration 1's initial rank table.
       val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
       val edges = sym
         .join(deg.withColumnRenamed("node", "src"), "src")
         .repartition(col("src"))
