@@ -657,8 +657,14 @@ object Bench {
     // record; the compact tail-sized line carries the shuffle-heavy
     // subset so the driver's low-vs-high-cpu runs can compare it
     // directly.
+    // clamp to the session's core count: TaskStart events can outpace
+    // TaskEnd processing on the listener bus (measured: 13 "running"
+    // at local[8]), but local mode physically runs at most `cpus`
+    // tasks — the clamped figure is the defensible one
+    val concCap = cpus.toIntOption.getOrElse(Int.MaxValue)
     def concMap(work: Map[String, Work]): String =
-      work.toSeq.sortBy(_._1).map { case (k, w) => jstr(k) + ":" + w.conc }
+      work.toSeq.sortBy(_._1)
+        .map { case (k, w) => jstr(k) + ":" + math.min(w.conc, concCap) }
         .mkString("{", ",", "}")
     val concJson = s""","cpus":$cpus,"max_concurrent_tasks":${concMap(workMap)}""" +
       (if (sf1Work.isEmpty) ""
@@ -668,7 +674,8 @@ object Bench {
       "q1_pricing_summary")
     val compactScaling = {
       def sub(work: Map[String, Work]): String =
-        scalingProbe.flatMap(k => work.get(k).map(w => jstr(k) + ":" + w.conc))
+        scalingProbe.flatMap(k => work.get(k)
+          .map(w => jstr(k) + ":" + math.min(w.conc, concCap)))
           .mkString("{", ",", "}")
       s""","cpus":$cpus,"max_conc":${sub(workMap)}""" +
         (if (sf1Work.isEmpty) "" else s""","max_conc_sf1":${sub(sf1Work)}""")
